@@ -1,0 +1,63 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lake.LakeTable
+import graft.model.Schemas
+
+final case class PipelineConfig(
+    checkpointDir: String,
+    maxFilesPerTrigger: Int = 8,
+    merge: MergeConfig = MergeConfig(),
+    /** `upsert` = MERGE; `insert` = blind append (reference upload methods,
+      * reference: engine/wprdc_etl/pipeline/loaders.py:370-379). */
+    method: String = "upsert")
+
+/** The always-on ingest loop (SURVEY.md §7.1 item 5): a Structured
+  * Streaming query that tails a file-based change feed (a directory of
+  * parquet batch files standing in for a binlog/WAL) and applies each
+  * micro-batch through [[MergeApply]] inside `foreachBatch`.
+  *
+  * Exactly-once: the streaming checkpoint gives at-least-once redelivery of
+  * `(epochId, batch)` pairs after a crash; the table's committed-epoch
+  * guard turns redelivery into a no-op — together, exactly-once. This is
+  * the streaming-native replacement for the reference's cron + checksum +
+  * `start_from_chunk` manual resume (reference:
+  * engine/wprdc_etl/pipeline/pipeline.py:31, 338-341, 372-389).
+  */
+object CdcPipeline {
+
+  /** Open the change feed as a streaming DataFrame. */
+  def readChangeFeed(spark: SparkSession, feedDir: String,
+      cfg: PipelineConfig): DataFrame =
+    spark.readStream
+      .schema(Schemas.changeEvent)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(feedDir)
+
+  /** Start the ingest query. Caller stops it (or uses
+    * `processAllAvailable` for a bounded replay). */
+  def start(spark: SparkSession, feedDir: String, table: LakeTable,
+      cfg: PipelineConfig): StreamingQuery = {
+    readChangeFeed(spark, feedDir, cfg).writeStream
+      .queryName(s"cdc-ingest-${table.dir.hashCode.toHexString}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (cfg.method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
+        else MergeApply.merge(table, batch, epochId, cfg.merge)
+        ()
+      }
+      .start()
+  }
+
+  /** Bounded replay: process everything currently in the feed, then stop.
+    * Returns the table's resulting snapshot version. */
+  def replayAvailable(spark: SparkSession, feedDir: String, table: LakeTable,
+      cfg: PipelineConfig): Long = {
+    val q = start(spark, feedDir, table, cfg)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    table.snapshot.version
+  }
+}

@@ -1,0 +1,103 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.MergeApply
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.model.Schemas
+
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(nEvents = 5000L, nConvs = 100L, maxTurns = 10)
+  private def freshTable(n: Int = 4): LakeTable = {
+    val t = LakeTable.createTable(spark, tmpDir("lt"), Schemas.transcript, n)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    t
+  }
+
+  test("truncate keeps schema and column docs (wipe_data semantics)") {
+    val dir = tmpDir("lt-trunc")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4,
+      columnDocs = Map("text" -> "turn text", "ts" -> "event time"))
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    assert(t.read().count() > 0)
+    t.truncate()
+    assert(t.read().count() == 0)
+    assert(t.snapshot.userSchema == Schemas.transcript)
+    assert(t.snapshot.columnDocs("text") == "turn text")
+  }
+
+  test("replaceSchema keeps docs of surviving columns (migrate_schema)") {
+    val dir = tmpDir("lt-repl")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4,
+      columnDocs = Map("text" -> "turn text", "tool" -> "tool name"))
+    val newSchema = StructType(Schemas.transcript.fields.filterNot(_.name == "tool"))
+    t.replaceSchema(newSchema)
+    assert(t.snapshot.userSchema == newSchema)
+    assert(t.snapshot.columnDocs == Map("text" -> "turn text"))
+    assert(t.read().count() == 0)
+  }
+
+  test("addColumn: old files project with nulls, new writes carry it") {
+    val t = freshTable()
+    val before = t.read().count()
+    t.addColumn("meta", StringType, doc = "free-form metadata")
+    assert(t.read().columns.contains("meta"))
+    assert(t.read().filter(col("meta").isNotNull).count() == 0)
+    assert(t.read().count() == before)
+    assert(t.snapshot.columnDocs("meta") == "free-form metadata")
+    // a post-evolution batch writes the new column; old rows stay null
+    val ts = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val b = Seq((9999999L, "I", "evolved", 0, "user", "hi", null: String, ts, "m1"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "meta")
+    MergeApply.merge(t, b, 1L)
+    val got = t.read().filter(col("conv_id") === "evolved")
+      .select("meta").as[String].collect()
+    assert(got.toSeq == Seq("m1"))
+    assert(t.read().count() == before + 1)
+  }
+
+  test("widenColumn int->long reads old files upcast") {
+    val t = freshTable()
+    val before = t.read().agg(sum(col("turn_idx"))).as[Long].head()
+    t.widenColumn("turn_idx", LongType)
+    assert(t.snapshot.userSchema("turn_idx").dataType == LongType)
+    val after = t.read().agg(sum(col("turn_idx"))).as[Long].head()
+    assert(before == after)
+    intercept[IllegalArgumentException] { t.widenColumn("turn_idx", IntegerType) }
+  }
+
+  test("time travel: old snapshot versions stay readable") {
+    val t = freshTable()
+    val v1 = t.snapshot.version
+    val c1 = t.read().count()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val b = Seq((8888888L, "I", "zz_new", 0, "user", "x", null: String, ts))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, b, 1L)
+    assert(t.read().count() == c1 + 1)
+    assert(t.read(asOf = Some(v1)).count() == c1)
+  }
+
+  test("append fast path registers files without rewriting") {
+    val dir = tmpDir("lt-append")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    MergeApply.append(t, ChangeLogGen.changeLogDF(spark, cfg)
+      .filter(col("op") =!= "D"), 0L)
+    val files1 = t.snapshot.files.map(_.path).toSet
+    MergeApply.append(t, Seq((123456789L, "I", "apnd", 0, "user", "x",
+      null: String, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"), 1L)
+    val files2 = t.snapshot.files.map(_.path).toSet
+    assert(files1.subsetOf(files2) && files2.size > files1.size)
+  }
+
+  test("manifest row counts match data") {
+    val t = freshTable()
+    val manifestRows = t.snapshot.files.map(_.rows).sum
+    assert(manifestRows == t.readRaw().count())
+  }
+}
