@@ -1,0 +1,83 @@
+package graft.spec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** The reference's job-level row-filter DSL (reference:
+  * engine/wprdc_etl/pipeline/pipeline.py:212-245): a list of
+  * `[field, op, value]` triples AND-ed together, ops
+  * `==, !=, >, >=, <, <=, in, not in, includes, excludes`.
+  * Compiled to Catalyst `Column` predicates so they push down to the scan
+  * (the reference applies them row-at-a-time in Python, pipeline.py:379-384;
+  * here Catalyst's PushDownPredicates moves them into the parquet reader).
+  */
+object FilterDsl {
+  sealed trait Value
+  final case class Scalar(v: Any) extends Value
+  final case class Many(vs: Seq[Any]) extends Value
+
+  final case class Pred(field: String, op: String, value: Value)
+
+  def compileOne(p: Pred): Column = {
+    val c = col(p.field)
+    (p.op, p.value) match {
+      case ("==", Scalar(v)) => c === lit(v)
+      case ("!=", Scalar(v)) => c =!= lit(v)
+      case (">", Scalar(v)) => c > lit(v)
+      case (">=", Scalar(v)) => c >= lit(v)
+      case ("<", Scalar(v)) => c < lit(v)
+      case ("<=", Scalar(v)) => c <= lit(v)
+      case ("in", Many(vs)) => c.isin(vs: _*)
+      case ("not in", Many(vs)) => !c.isin(vs: _*)
+      // reference semantics: substring containment on the field value
+      case ("includes", Scalar(v)) => c.contains(lit(v))
+      case ("excludes", Scalar(v)) => !c.contains(lit(v))
+      case (op, v) => throw new IllegalArgumentException(s"bad filter: $op $v")
+    }
+  }
+
+  /** AND-fold, like `apply_filters` (reference: pipeline.py:236-245). */
+  def compile(preds: Seq[Pred]): Column =
+    preds.map(compileOne).reduceOption(_ && _).getOrElse(lit(true))
+
+  def apply(df: DataFrame, preds: Seq[Pred]): DataFrame = df.filter(compile(preds))
+}
+
+/** Declarative projection: rename (load_from/dump_to, reference:
+  * engine/payload/ac/dog_licenses.py:18-24), cast (marshmallow field
+  * types, reference: engine/wprdc_etl/pipeline/schema.py:3-9), constant
+  * defaults (dump_only+default, reference:
+  * engine/payload/wprdc/pa_vaccination_stats.py:36), column-order
+  * preservation (`Meta.ordered`, dog_licenses.py:26-27). */
+object Projection {
+  final case class Field(
+      from: String, // source column ("" for synthesized)
+      to: String, // output name
+      cast: Option[DataType] = None,
+      default: Option[Any] = None)
+
+  def apply(df: DataFrame, fields: Seq[Field]): DataFrame =
+    df.select(fields.map { f =>
+      val base =
+        if (f.from.nonEmpty) col(f.from)
+        else lit(f.default.orNull)
+      val withDefault =
+        if (f.from.nonEmpty && f.default.isDefined)
+          coalesce(base, lit(f.default.get))
+        else base
+      f.cast.fold(withDefault)(withDefault.cast).as(f.to)
+    }: _*)
+
+  /** Header normalization, as the reference does on extract (lowercase,
+    * strip, spaces/hyphens → underscores; reference:
+    * engine/wprdc_etl/pipeline/extractors.py:141-155). */
+  def normalizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c =>
+      c.trim.toLowerCase.replaceAll("[ -]+", "_")): _*)
+
+  /** Drop rows whose values are all null (`ignore_empty_rows`,
+    * reference: pipeline.py:203-204). */
+  def dropEmptyRows(df: DataFrame): DataFrame =
+    df.filter(!df.columns.map(col(_).isNull).reduce(_ && _))
+}
