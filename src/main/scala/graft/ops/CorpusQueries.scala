@@ -1,0 +1,347 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data corpus operators over the `documents` table: text
+  * analysis (token stats, quality scoring, language-ID, fingerprinting)
+  * and deduplication (exact, exact n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * The reference's closest analogs are its record-standardization and
+  * record-linkage passes (reference:
+  * engine/payload/house_cat/_deduplicate.py:24-85 regex standardization,
+  * 789-854 field-level merge; engine/payload/asset_map/_facet_hound.py:73-107
+  * name/address canonicalizers) — all single-threaded per-row Python. Here
+  * every operator is a distributed Catalyst plan built from codegen'd
+  * built-ins (split/transform/slice/xxhash64/aggregate); no UDFs.
+  *
+  * Oracle-parity design (the driver hash-compares against DuckDB):
+  *   - all similarity scores are computed over INTEGERS (shared-shingle
+  *     counts, set sizes) with a single final IEEE double division —
+  *     bit-identical across engines, no float summation order anywhere;
+  *   - thresholds are applied as integer inequalities (jac >= 0.5 as
+  *     `3*shared >= na+nb`), never on rounded floats;
+  *   - MinHash/LSH and SimHash are *candidate generators* whose candidates
+  *     are verified with exact Jaccard before emission, so their output
+  *     equals the exact-pairs oracle whenever recall is 1 — which holds on
+  *     any corpus whose duplicate pairs are far above the threshold (here:
+  *     planted dups >= 0.97 vs background <= 0.02; 16 bands of 4 rows give
+  *     recall 1 - (1-0.97^4)^16 ≈ 1-1e-18 at 0.97).
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  // ------------------------------------------------------------- helpers
+
+  /** Whitespace tokens of the lowercased text. */
+  private def wordsCol: Column = split(lower(col("text")), " ")
+
+  /** Distinct 5-word shingles (the near-dup feature set). Short docs
+    * (<5 words) contribute their whole text as one shingle. */
+  private def shinglesCol(ws: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - 4)),
+      i => concat_ws(" ", slice(ws, i, lit(5)))))
+
+  /** (doc_id, sh) — one row per distinct shingle per doc. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(shinglesCol(wordsCol)).as("sh"))
+
+  /** Word -> deterministic 32-bit int, computable identically in DuckDB
+    * as ('0x' || substr(md5(w),1,8))::BIGINT. */
+  private def wordInt(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)
+
+  /** Exact Jaccard >= 0.5 over the given candidate pair set (ida < idb).
+    * `cand` must have columns (ida, idb). Integer arithmetic + one final
+    * division — identical to the DuckDB oracle expression. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("ida"), col("sh"))
+    val b = sh.select(col("doc_id").as("idb2"), col("sh").as("shb"))
+    cand
+      .join(a, "ida")
+      .join(b, col("idb") === col("idb2") && col("sh") === col("shb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(cnt.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .filter(col("shared") * 3 >= col("na") + col("nb"))
+      .select(col("ida"), col("idb"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jac"))
+  }
+
+  /** The SQL twin of [[verifyJaccard]] fed by all pairs — the shared
+    * oracle for q25/q26/q27. */
+  private val exactPairsSql =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM documents),
+       i AS (SELECT doc_id, ws, unnest(range(1, greatest(1, len(ws)-4) + 1)) AS i FROM w),
+       s AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') sh FROM i),
+       c AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+       p AS (SELECT a.doc_id ida, b.doc_id idb, count(*) shared
+             FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT ida, idb, shared::DOUBLE / (ca.n + cb.n - shared) AS jac
+       FROM p JOIN c ca ON ca.doc_id = ida JOIN c cb ON cb.doc_id = idb
+       WHERE shared * 3 >= ca.n + cb.n"""
+
+  // -------------------------------------------------- q20 token counting
+
+  /** Per-document token statistics: whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs | digit runs | single punctuation), aggregated
+    * per source. */
+  private val q20: Q = (s, d) =>
+    docs(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).as("ws_tok"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("re_tok"),
+        length(col("text")).as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("re_tok")).as("re_tokens"),
+        sum(col("chars")).as("total_chars"),
+        (sum(col("chars")).cast(DoubleType) / sum(col("ws_tok")).cast(DoubleType))
+          .as("chars_per_token"))
+  private val q20Sql =
+    """SELECT source, COUNT(*) AS docs,
+       SUM(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS re_tokens,
+       SUM(length(text))::BIGINT AS total_chars,
+       SUM(length(text))::DOUBLE / SUM(len(string_split(text, ' '))) AS chars_per_token
+       FROM documents GROUP BY source"""
+
+  // ------------------------------------------------- q21 quality scoring
+
+  /** Quality gate for training data: token count, stopword hits, digit
+    * ratio — the keep decision is pure integer arithmetic. */
+  private val q21: Q = (s, d) => {
+    val ws = wordsCol
+    val stops = Seq("the", "a", "of", "to", "and", "in", "is")
+    val perDoc = docs(s, d).select(
+      col("doc_id"),
+      size(ws).as("n_tok"),
+      size(filter(ws, w => w.isin(stops.map(lit): _*))).as("stop_cnt"),
+      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).as("digit_cnt"),
+      length(col("text")).as("chars"))
+    perDoc.select(
+      col("doc_id"), col("n_tok"),
+      (col("stop_cnt").cast(DoubleType) / col("n_tok").cast(DoubleType))
+        .as("stop_ratio"),
+      (col("digit_cnt").cast(DoubleType) / col("chars").cast(DoubleType))
+        .as("digit_ratio"),
+      (col("n_tok") >= 8 && col("n_tok") <= 2000 &&
+        col("stop_cnt") * 20 >= col("n_tok")).as("keep"))
+  }
+  private val q21Sql =
+    """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok,
+       len(list_filter(string_split(lower(text), ' '),
+           w -> w IN ('the','a','of','to','and','in','is')))::DOUBLE
+         / len(string_split(lower(text), ' ')) AS stop_ratio,
+       len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) AS digit_ratio,
+       (len(string_split(lower(text), ' ')) BETWEEN 8 AND 2000
+        AND len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','a','of','to','and','in','is'))) * 20
+            >= len(string_split(lower(text), ' '))) AS keep
+       FROM documents"""
+
+  // ------------------------------------------------------ q22 language ID
+
+  /** Stopword-profile language ID (n-gram heuristic): count hits against
+    * four language profiles, argmax with fixed precedence, then the
+    * confusion matrix vs the declared `lang` column. */
+  private val q22: Q = (s, d) => {
+    val ws = wordsCol
+    def hits(set: Seq[String]): Column =
+      size(filter(ws, w => w.isin(set.map(lit): _*)))
+    val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "nicht", "ist"))
+    val es = hits(Seq("el", "la", "los", "de", "que", "es"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "une"))
+    val detected =
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    docs(s, d)
+      .select(col("lang"), detected.as("detected"))
+      .groupBy(col("lang"), col("detected"))
+      .agg(count(lit(1)).as("n"))
+  }
+  private val q22Sql =
+    """WITH h AS (SELECT lang,
+         len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is'))) en,
+         len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','das','und','nicht','ist'))) de,
+         len(list_filter(string_split(lower(text),' '), w -> w IN ('el','la','los','de','que','es'))) es,
+         len(list_filter(string_split(lower(text),' '), w -> w IN ('le','la','les','et','est','une'))) fr
+       FROM documents)
+       SELECT lang,
+         CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+              WHEN de >= es AND de >= fr THEN 'de'
+              WHEN es >= fr THEN 'es' ELSE 'fr' END AS detected,
+         COUNT(*) AS n
+       FROM h GROUP BY 1, 2"""
+
+  // ---------------------------------------------- q23 doc fingerprinting
+
+  /** Three fingerprints per doc: md5 of the normalized text (exact-dup
+    * key), md5 of the sorted distinct vocabulary (bag-of-words key, robust
+    * to word order), and a base-31 rolling hash over per-word 32-bit ints
+    * (order-sensitive polynomial fingerprint, mod 2^31-1). */
+  private val q23: Q = (s, d) => {
+    val ws = wordsCol
+    val m = lit(2147483647L)
+    val rolling = aggregate(
+      transform(slice(ws, lit(2), greatest(size(ws) - 1, lit(0))), wordInt(_)),
+      wordInt(element_at(ws, 1)),
+      (h, x) => (h * 31 + x) % m)
+    docs(s, d).select(
+      col("doc_id"),
+      md5(lower(col("text"))).as("fp_exact"),
+      md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp_vocab"),
+      rolling.as("fp_rolling"))
+  }
+  private val q23Sql =
+    """SELECT doc_id, md5(lower(text)) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' ')) AS fp_vocab,
+       list_reduce(list_transform(string_split(lower(text),' '),
+           w -> ('0x' || substr(md5(w),1,8))::BIGINT),
+         (h, x) -> (h*31 + x) % 2147483647) AS fp_rolling
+       FROM documents"""
+
+  // ------------------------------------------------------ q24 exact dedup
+
+  /** Exact dedup by content hash: canonical doc (min doc_id) per distinct
+    * text + how many copies it has. The scale path is a hash groupBy — one
+    * shuffle of (hash, id), never of the text payload. */
+  private val q24: Q = (s, d) =>
+    docs(s, d)
+      .select(md5(lower(col("text"))).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("copies"))
+  private val q24Sql =
+    """SELECT md5(lower(text)) AS fp, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS copies FROM documents GROUP BY 1"""
+
+  // --------------------------------------- q25 exact n-gram Jaccard pairs
+
+  /** Exact near-dup pairs: 5-gram shingle Jaccard >= 0.5, computed via a
+    * shingle-inverted-index self-join (each shared shingle contributes one
+    * joined row; pair counts = intersection sizes). This is the exact
+    * baseline the approximate variants (q26/q27) are verified against. */
+  private val q25: Q = (s, d) => {
+    val sh = shingleRows(s, d)
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(cnt.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .filter(col("shared") * 3 >= col("na") + col("nb"))
+      .select(col("ida"), col("idb"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jac"))
+  }
+
+  // ------------------------------------------------- q26 MinHash + LSH
+
+  private val MinhashK = 64 // signature length
+  private val Bands = 16 // 16 bands x 4 rows
+
+  /** MinHash+LSH near-dup detection: 64-permutation MinHash signatures
+    * (min of xxhash64(shingle, seed_j) per doc — 64 partial-aggregating
+    * mins in ONE hash-aggregate pass, no window, no sort), banded into
+    * 16 buckets of 4, candidate pairs from same-bucket collisions, then
+    * exact-Jaccard verification of candidates only.
+    *
+    * Scale shape: the all-pairs O(n²) of q25 collapses to
+    * O(n·bands + candidates); at 10^9 docs only same-band-bucket docs are
+    * ever paired. Candidate verification touches |candidates| pairs, which
+    * the band threshold (~(1/bands)^(1/rows) ≈ 0.5) keeps near the true
+    * pair count. */
+  private val q26: Q = (s, d) => {
+    val sh = shingleRows(s, d)
+    val sigAggs = (0 until MinhashK).map(j =>
+      min(xxhash64(col("sh"), lit(j))).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(j => col(s"m$j")): _*).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * 4 + 1, 4)).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    verifyJaccard(cand, sh)
+  }
+
+  // ----------------------------------------------------- q27 SimHash
+
+  /** SimHash near-dup detection: 64-bit signature from per-shingle
+    * xxhash64 bit votes (one hash-aggregate computes all 64 bit sums),
+    * packed into 8 byte-chunks; by pigeonhole any pair within Hamming
+    * distance 7 shares an identical chunk, so the candidate join is on
+    * (chunk_idx, chunk_value). Candidates are then exact-Jaccard verified.
+    * Same oracle as q25/q26 — three generators, one exact answer. */
+  private val q27: Q = (s, d) => {
+    val sh = shingleRows(s, d).withColumn("h", xxhash64(col("sh")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val chunks = (0 until 8).map { c =>
+      (0 until 8).map(j =>
+        when(col(s"b${c * 8 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"c$c")
+    }
+    val chunked = sig.select(col("doc_id") +: chunks: _*)
+      .select(col("doc_id"),
+        explode(array((0 until 8).map(c =>
+          struct(lit(c).as("ci"), col(s"c$c").as("cv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.ci"), col("e.cv"))
+    val cand = chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    verifyJaccard(cand, sh)
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q20_text_token_stats" -> q20,
+    "q21_text_quality" -> q21,
+    "q22_text_lang_id" -> q22,
+    "q23_text_fingerprint" -> q23,
+    "q24_dedup_exact" -> q24,
+    "q25_dedup_ngram_jaccard" -> q25,
+    "q26_dedup_minhash_lsh" -> q26,
+    "q27_dedup_simhash" -> q27)
+
+  val oracles: Map[String, String] = Map(
+    "q20_text_token_stats" -> q20Sql,
+    "q21_text_quality" -> q21Sql,
+    "q22_text_lang_id" -> q22Sql,
+    "q23_text_fingerprint" -> q23Sql,
+    "q24_dedup_exact" -> q24Sql,
+    "q25_dedup_ngram_jaccard" -> exactPairsSql,
+    "q26_dedup_minhash_lsh" -> exactPairsSql,
+    "q27_dedup_simhash" -> exactPairsSql)
+}

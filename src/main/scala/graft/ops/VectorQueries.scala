@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label): embedding-cosine near-dup pairs, brute-force
+  * cosine top-k (the exactness baseline), and a random-hyperplane-LSH
+  * bucketed ANN variant (the scale path).
+  *
+  * Cross-engine determinism: embeddings are quantized to integers
+  * (floor(x*1000 + 0.5), i.e. fixed-point milli-units — the same trick as
+  * int8 quantization in production ANN systems). Dot products and squared
+  * norms are then EXACT integer sums; cosine is a single IEEE double
+  * division of exact operands, so Spark and DuckDB produce bit-identical
+  * scores and identical rank orders. No float-summation-order hazards.
+  *
+  * The reference has no vector operators at all (its closest is the
+  * haversine-ish distance at reference:
+  * engine/payload/asset_map/_facet_hound.py:109-121); this pack is part of
+  * the training-data pipeline surface the engine adds on top.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Fixed-point quantization: array<float> -> array<long> milli-units. */
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * 1000 + 0.5).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** vec_id, q (quantized), nn (integer squared norm). */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("nn", dot(col("q"), col("q")))
+
+  private def cosine: Column =
+    col("dot").cast(DoubleType) /
+      sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType))
+
+  private val oracleQuantCte =
+    """WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) q
+       FROM embeddings),
+       n AS (SELECT vec_id, q,
+         list_aggregate(list_transform(q, x -> x*x), 'sum') nn FROM e)"""
+
+  // ------------------------------------- q28 embedding-cosine near-dup
+
+  /** All pairs with cosine >= 0.45 — embedding near-duplicate detection.
+    * All-pairs is the exactness baseline; the LSH bucketing of q30 is the
+    * 10^9-vector path (same scores, pruned candidate set). */
+  private val q28: Q = (s, d) => {
+    val v = quantized(s, d)
+    val a = v.select(col("vec_id").as("ia"), col("q").as("qa"), col("nn").as("na"))
+    val b = v.select(col("vec_id").as("ib"), col("q").as("qb"), col("nn").as("nb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("dot", dot(col("qa"), col("qb")))
+      .withColumn("sim", cosine)
+      // integer-exact threshold: dot/sqrt(na*nb) >= 0.45
+      //   <=> dot > 0 and 400*dot^2 >= 81*na*nb  (0.45^2 = 81/400)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400 >= col("na") * col("nb") * 81)
+      .select(col("ia"), col("ib"), col("sim"))
+  }
+  private val q28Sql = oracleQuantCte +
+    """
+       , p AS (
+         SELECT a.vec_id ia, b.vec_id ib,
+           list_aggregate(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]), 'sum') dot,
+           a.nn na, b.nn nb
+         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT ia, ib, dot::DOUBLE / sqrt(na::DOUBLE * nb::DOUBLE) AS sim
+       FROM p WHERE dot > 0 AND dot * dot * 400 >= 81 * na * nb"""
+
+  // ------------------------------------------- q29 brute-force kNN top-k
+
+  private val NQueries = 16
+  private val TopK = 5
+
+  /** Exact cosine top-5 for the query set (vec_id < 16), self excluded.
+    * Deterministic total order: (sim DESC, neighbor id ASC) on exact
+    * doubles. The top-k is a per-query window over the candidate scores —
+    * at scale this is rank-pruned per partition (partial top-k before the
+    * shuffle via Spark's TakeOrderedAndProject when k is small). */
+  private val q29: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = quantized(s, d)
+    val qs = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("na"))
+    val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
+      col("nn").as("nb"))
+    val scored = qs.join(cands, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot(col("qq"), col("qc")))
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+  private val q29Sql = oracleQuantCte +
+    s"""
+       , scored AS (
+         SELECT a.vec_id query_id, b.vec_id neighbor_id,
+           list_aggregate(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]), 'sum')::DOUBLE
+             / sqrt(a.nn::DOUBLE * b.nn::DOUBLE) AS sim
+         FROM n a JOIN n b ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         FROM scored)
+       WHERE rank <= $TopK"""
+
+  // ----------------------------------------------------- q30 IVF ANN
+
+  private val IvfCells = 16
+  private val IvfProbes = 3
+  private val KmeansIters = 2
+
+  /** Approximate top-5 per query via an IVF (inverted-file) index: a
+    * k-means coarse quantizer (k=16 cells, 2 Lloyd iterations, seeded
+    * with the first k vectors) partitions the corpus into cells; each
+    * query scores only the vectors in its `nprobe`=3 nearest cells.
+    *
+    * Scale shape: the index build is the O(n·k) assignment (a broadcast
+    * join of n vectors against k centroids — centroids are tiny and
+    * always broadcast); the search is a bucket-equi-join on cell id
+    * (shuffle on cell, never a cross join), touching ~n·nprobe/k of the
+    * corpus per query. k scales as ~sqrt(n) at 10^9 vectors.
+    *
+    * Determinism without an oracle's help: centroids are computed in
+    * exact integer fixed-point (sum of quantized coords is an exact long
+    * in any partition order; centroid = (1000·sum)/count integer
+    * division), and distances/scores are exact integer arithmetic — so
+    * the output is bit-stable across runs, partitionings, and cluster
+    * sizes even though no SQL oracle exists (driver: rows-only check;
+    * CorpusSpec measures recall vs the q29 brute-force baseline). */
+  private val q30: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = quantized(s, d).persist()
+    val dim = emb(s, d).select(size(col("embedding"))).first().getInt(0)
+    // q scaled to match centroid fixed-point (×1000)
+    val scaled = v.withColumn("qs", transform(col("q"), _ * 1000))
+
+    // --- index build: seeded k-means in integer fixed-point
+    var centroids: DataFrame = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").cast(IntegerType).as("cell"),
+        transform(col("q"), _ * 1000).as("c"))
+    var assigned: DataFrame = null
+    for (_ <- 0 until KmeansIters) {
+      val dist = aggregate(
+        zip_with(col("qs"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cell").asc)
+      assigned = scaled.join(broadcast(centroids), lit(true))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("nn"), col("qs"), col("cell"))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      centroids = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cell"), array((0 until dim).map(i =>
+          expr(s"(s$i * 1000) div cnt")): _*).as("c"))
+    }
+
+    // --- search: probe the nprobe nearest cells per query
+    val qdist = aggregate(
+      zip_with(col("qs"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0L), _ + _)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    val probed = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("na"), col("qs"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("dist", qdist)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("query_id"), col("qq"), col("na"), col("cell"))
+    val cands = assigned.select(col("vec_id").as("neighbor_id"),
+      col("q").as("qc"), col("nn").as("nb"), col("cell"))
+    val scored = probed.join(cands, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot(col("qq"), col("qc")))
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q28_dedup_embedding_cosine" -> q28,
+    "q29_knn_brute_cosine" -> q29,
+    "q30_knn_ann_ivf" -> q30)
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_embedding_cosine" -> q28Sql,
+    "q29_knn_brute_cosine" -> q29Sql)
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** The training-data pack: dedup family agreement, ANN recall, and the
+  * multimodal stub plumbing. Runs on the driver-provided sf0.001 tables. */
+class CorpusSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntryPairs(name).map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def SparkEntryPairs(name: String): Seq[Row] =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .select("ida", "idb").collect().toSeq
+
+  test("minhash-LSH and simhash candidates verify to the exact Jaccard pairs") {
+    val exact = pairs("q25_dedup_ngram_jaccard")
+    assert(exact.nonEmpty, "corpus should contain planted near-duplicates")
+    assert(pairs("q26_dedup_minhash_lsh") == exact)
+    assert(pairs("q27_dedup_simhash") == exact)
+  }
+
+  test("exact-dup canonicalization covers every document exactly once") {
+    val df = graft.SparkEntry.queries("q24_dedup_exact")(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("copies"))
+      .first().getLong(0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("IVF ANN recall@5 vs brute force is usable (> 0.5 on test corpus)") {
+    def topk(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topk("q29_knn_brute_cosine")
+    val approx = topk("q30_knn_ann_ivf")
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(f"recall@5 = $recall%.3f (${approx.size} approx rows)")
+    assert(recall > 0.5)
+  }
+
+  test("multimodal stub decode agrees with the expression-level frame query") {
+    import org.apache.spark.sql.functions.col
+    val viaQuery = graft.SparkEntry
+      .queries("q32_multimodal_frame_sample")(spark, sf)
+      .select(col("doc_id"), col("frame_idx"), col("frame_hex"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaStub = MultimodalStub.decodeAll(MultimodalQueries.assets(spark, sf))
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_hex)).toSet
+    assert(viaStub == viaQuery)
+  }
+
+  test("fingerprints: exact-dup fp equality iff identical text") {
+    val fp = graft.SparkEntry.queries("q23_text_fingerprint")(spark, sf)
+    assert(fp.select("fp_exact").distinct().count() ==
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").distinct().count())
+  }
+}
