@@ -12,7 +12,11 @@ final case class PipelineConfig(
     merge: MergeConfig = MergeConfig(),
     /** `upsert` = MERGE; `insert` = blind append (reference upload methods,
       * reference: engine/wprdc_etl/pipeline/loaders.py:370-379). */
-    method: String = "upsert")
+    method: String = "upsert",
+    /** Read the v2 envelope (open `extras` map + op="S" schema-registry
+      * events, see [[SchemaRegistry]]). v1 feeds skip the per-batch
+      * registry scan entirely. */
+    envelopeV2: Boolean = false)
 
 /** The always-on ingest loop (SURVEY.md §7.1 item 5): a Structured
   * Streaming query that tails a file-based change feed (a directory of
@@ -32,7 +36,7 @@ object CdcPipeline {
   def readChangeFeed(spark: SparkSession, feedDir: String,
       cfg: PipelineConfig): DataFrame =
     spark.readStream
-      .schema(Schemas.changeEvent)
+      .schema(if (cfg.envelopeV2) Schemas.changeEventV2 else Schemas.changeEvent)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(feedDir)
 

@@ -58,13 +58,36 @@ object MergeApply {
 
   private val KEY = Schemas.keyCols
 
-  /** Normalize a raw change-event frame to the on-disk layout:
-    * user columns + `__lsn` + `__op` (I and U both become upsert `U`). */
+  /** Normalize a raw change-event frame to the on-disk layout: user
+    * columns + `__lsn` + `__op` (I and U both become upsert `U`). Columns
+    * the table gained through schema-registry evolution are not top-level
+    * envelope fields — they are projected out of the open `extras` map
+    * (cast from string to the registered type); a feed without `extras`
+    * yields nulls for them. */
   def normalize(batch: DataFrame, userSchema: StructType): DataFrame = {
-    val cols = userSchema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val present = batch.columns.toSet
+    val cols = userSchema.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else if (present.contains("extras"))
+        element_at(col("extras"), f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
     batch.select(cols ++ Seq(
       col("lsn").cast(LongType).as("__lsn"),
       when(col("op") === "D", lit("D")).otherwise(lit("U")).as("__op")): _*)
+  }
+
+  /** Extract schema-registry events (op = "S") from a v2 batch and apply
+    * them to the table in LSN order (idempotently — safe under
+    * redelivery). Returns the data-only remainder of the batch. Feeds
+    * without the `extras` envelope column skip the scan entirely, so the
+    * v1 hot path is untouched. */
+  def applySchemaEvents(table: LakeTable, batch: DataFrame): DataFrame = {
+    if (!batch.columns.contains("extras")) return batch
+    val events = batch.filter(col("op") === "S")
+      .select(col("lsn"), col("text")).collect().sortBy(_.getLong(0))
+    events.foreach(r => SchemaRegistry(table, r.getString(1)))
+    if (events.isEmpty) batch else batch.filter(col("op") =!= "S")
   }
 
   /** LWW: one row per key, the max-__lsn one. */
@@ -87,15 +110,19 @@ object MergeApply {
   def merge(table: LakeTable, batch: DataFrame, epochId: Long,
       cfg: MergeConfig = MergeConfig()): MergeResult = {
     val t0 = System.nanoTime()
-    val snap = table.snapshot
-    if (snap.isCommitted(epochId)) {
-      return MergeResult(applied = false, snap.version, 0L, 0L, Nil,
+    val snap0 = table.snapshot
+    if (snap0.isCommitted(epochId)) {
+      return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
+    // registry events evolve the schema first (their own snapshot
+    // commits, idempotent), then the data merges under the new schema
+    val dataBatch = applySchemaEvents(table, batch)
+    val snap = table.snapshot
     val spark = table.spark
     val nB = snap.nBuckets
 
-    val deduped = dedupLww(normalize(batch, snap.userSchema), cfg)
+    val deduped = dedupLww(normalize(dataBatch, snap.userSchema), cfg)
       .withColumn("__bucket", LakeTable.bucketExpr(nB))
       .persist()
     try {
@@ -151,11 +178,13 @@ object MergeApply {
   def append(table: LakeTable, batch: DataFrame, epochId: Long,
       cfg: MergeConfig = MergeConfig()): MergeResult = {
     val t0 = System.nanoTime()
-    val snap = table.snapshot
-    if (snap.isCommitted(epochId))
-      return MergeResult(applied = false, snap.version, 0L, 0L, Nil,
+    val snap0 = table.snapshot
+    if (snap0.isCommitted(epochId))
+      return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
-    val deduped = dedupLww(normalize(batch, snap.userSchema), cfg)
+    val dataBatch = applySchemaEvents(table, batch)
+    val snap = table.snapshot
+    val deduped = dedupLww(normalize(dataBatch, snap.userSchema), cfg)
       .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
     val newFiles = writeBuckets(table, deduped, 1, snap)
     val rows = newFiles.map(_.rows).sum

@@ -55,6 +55,13 @@ object Schemas {
     StructField("op", StringType, nullable = false) +:
     transcript.fields.toSeq)
 
+  /** v2 envelope: adds `extras` — an open map carrying values for columns
+    * added by schema-registry events (op = "S", registry JSON in `text`;
+    * see graft.cdc.SchemaRegistry). v1 parquet feeds read as extras=null,
+    * so the two envelope generations interoperate. */
+  val changeEventV2: StructType = StructType(changeEvent.fields.toSeq :+
+    StructField("extras", MapType(StringType, StringType), nullable = true))
+
   /** Payload (non-key, non-envelope) columns carried by the change feed. */
   val payloadCols: Seq[String] = transcript.fieldNames.toSeq.diff(keyCols)
 }

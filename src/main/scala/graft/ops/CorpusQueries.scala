@@ -47,10 +47,14 @@ object CorpusQueries {
       sequence(lit(1), greatest(lit(1), size(ws) - 4)),
       i => concat_ws(" ", slice(ws, i, lit(5)))))
 
-  /** (doc_id, sh) — one row per distinct shingle per doc. */
+  /** (doc_id, sh) — one row per distinct shingle per doc. Persisted:
+    * every consumer (signature build, candidate self-join, exact-Jaccard
+    * verification) reuses it; without the persist the self-joins would
+    * re-evaluate the scan+explode subtree once per side. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), explode(shinglesCol(wordsCol)).as("sh"))
+      .persist()
 
   /** Word -> deterministic 32-bit int, computable identically in DuckDB
     * as ('0x' || substr(md5(w),1,8))::BIGINT. */
@@ -281,6 +285,7 @@ object CorpusQueries {
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * 4 + 1, 4)).as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
+      .persist() // self-joined below: avoid rebuilding the 64-agg signature pass per side
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -314,6 +319,7 @@ object CorpusQueries {
         explode(array((0 until 8).map(c =>
           struct(lit(c).as("ci"), col(s"c$c").as("cv"))): _*)).as("e"))
       .select(col("doc_id"), col("e.ci"), col("e.cv"))
+      .persist() // self-joined below: avoid rebuilding the 64-bit-vote pass per side
     val cand = chunked.as("x")
       .join(chunked.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&

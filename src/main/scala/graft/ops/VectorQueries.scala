@@ -149,29 +149,40 @@ object VectorQueries {
     // q scaled to match centroid fixed-point (×1000)
     val scaled = v.withColumn("qs", transform(col("q"), _ * 1000))
 
-    // --- index build: seeded k-means in integer fixed-point
-    var centroids: DataFrame = v.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").cast(IntegerType).as("cell"),
-        transform(col("q"), _ * 1000).as("c"))
-    var assigned: DataFrame = null
-    for (_ <- 0 until KmeansIters) {
+    // --- index build: seeded k-means in integer fixed-point. Centroids
+    // are collected to the driver each iteration (k x dim longs — tiny)
+    // so the lineage stays flat: each assignment pass scans the corpus
+    // exactly once against a literal centroid table, instead of
+    // re-deriving previous iterations through a deep lazy plan.
+    import s.implicits._
+    var centroids: Seq[(Int, Seq[Long])] =
+      v.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").cast(IntegerType),
+          transform(col("q"), _ * 1000))
+        .as[(Int, Seq[Long])].collect().toSeq
+    def centroidDF = centroids.toDF("cell", "c")
+    def assign(src: DataFrame): DataFrame = {
       val dist = aggregate(
         zip_with(col("qs"), col("c"), (x, y) => (x - y) * (x - y)),
         lit(0L), _ + _)
       val wc = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist").asc, col("cell").asc)
-      assigned = scaled.join(broadcast(centroids), lit(true))
+      src.join(broadcast(centroidDF), lit(true))
         .withColumn("dist", dist)
         .withColumn("rn", row_number().over(wc))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("q"), col("nn"), col("qs"), col("cell"))
+    }
+    for (_ <- 0 until KmeansIters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      centroids = assigned.groupBy(col("cell"))
+      centroids = assign(scaled).groupBy(col("cell"))
         .agg(count(lit(1)).as("cnt"), sums: _*)
         .select(col("cell"), array((0 until dim).map(i =>
           expr(s"(s$i * 1000) div cnt")): _*).as("c"))
+        .as[(Int, Seq[Long])].collect().toSeq
     }
+    val assigned = assign(scaled).persist()
 
     // --- search: probe the nprobe nearest cells per query
     val qdist = aggregate(
@@ -182,7 +193,7 @@ object VectorQueries {
     val probed = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("na"), col("qs"))
-      .join(broadcast(centroids), lit(true))
+      .join(broadcast(centroidDF), lit(true))
       .withColumn("dist", qdist)
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= IvfProbes)

@@ -1,0 +1,127 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+import graft.model.Schemas
+
+/** Schema evolution driven by registry events in the change stream
+  * (north rule): add-column and type-widening events (`op = "S"`) applied
+  * mid-stream through the lake table's evolution API, with new column
+  * values carried in the open `extras` envelope map. Mirrors — without
+  * the destructive clear — the reference's `migrate_schema` +
+  * data-dictionary restore (reference: engine/etl_util.py:630-664,
+  * 87-115). */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def v2(rows: Seq[(Long, String, String, Int, String, String,
+      Map[String, String])]): DataFrame =
+    rows.map { case (lsn, op, c, t, text, role, ex) =>
+      (lsn, op, c, t, role, text, null: String, ts,
+        if (ex == null) null else ex)
+    }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "extras")
+
+  test("add-column registry event: new rows typed, old rows null, docs kept") {
+    val table = LakeTable.createTable(spark, tmpDir("evo-add"),
+      Schemas.transcript, nBuckets = 4)
+    MergeApply.merge(table, v2(Seq(
+      (1L, "I", "c1", 0, "hello", "user", null),
+      (2L, "I", "c1", 1, "world", "assistant", null))), 0L)
+
+    val b2 = v2(Seq(
+      (10L, "S", null, 0, """{"add":{"name":"score","type":"int","doc":"model quality score"}}""", null, null),
+      (11L, "I", "c2", 0, "scored turn", "user", Map("score" -> "42")),
+      (12L, "U", "c1", 1, "world v2", "assistant", Map("score" -> "7"))))
+    MergeApply.merge(table, b2, 1L)
+
+    val snap = table.snapshot
+    assert(snap.userSchema.fieldNames.contains("score"))
+    assert(snap.userSchema("score").dataType == IntegerType)
+    assert(snap.columnDocs.get("score").contains("model quality score"))
+    val got = table.read().select("conv_id", "turn_idx", "text", "score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getInt(3))).toSet
+    assert(got == Set(
+      ("c1", 0, "hello", null), // pre-evolution row: null-projected
+      ("c1", 1, "world v2", 7),
+      ("c2", 0, "scored turn", 42)))
+  }
+
+  test("widening registry event: int -> long mid-stream, old files upcast") {
+    val table = LakeTable.createTable(spark, tmpDir("evo-widen"),
+      Schemas.transcript, nBuckets = 4)
+    MergeApply.merge(table, v2(Seq(
+      (1L, "S", null, 0, """{"add":{"name":"score","type":"int"}}""", null, null),
+      (2L, "I", "c1", 0, "a", "user", Map("score" -> "5")))), 0L)
+    MergeApply.merge(table, v2(Seq(
+      (10L, "S", null, 0, """{"widen":{"name":"score","type":"long"}}""", null, null),
+      (11L, "I", "c2", 0, "b", "user", Map("score" -> "9999999999")))), 1L)
+
+    assert(table.snapshot.userSchema("score").dataType == LongType)
+    val got = table.read().select("conv_id", "score").as[(String, Long)]
+      .collect().toMap
+    assert(got == Map("c1" -> 5L, "c2" -> 9999999999L))
+  }
+
+  test("registry application is idempotent under epoch redelivery") {
+    val table = LakeTable.createTable(spark, tmpDir("evo-idem"),
+      Schemas.transcript, nBuckets = 2)
+    val b = v2(Seq(
+      (1L, "S", null, 0, """{"add":{"name":"meta","type":"string"}}""", null, null),
+      (2L, "I", "c1", 0, "x", "user", Map("meta" -> "m1"))))
+    assert(MergeApply.merge(table, b, 0L).applied)
+    val v = table.snapshot.version
+    assert(!MergeApply.merge(table, b, 0L).applied) // same epoch: no-op
+    assert(table.snapshot.version == v)
+    // redelivered registry event in a NEW epoch: schema no-op, data LWW no-op
+    MergeApply.merge(table, b, 1L)
+    assert(table.snapshot.userSchema.fieldNames.count(_ == "meta") == 1)
+    assert(table.read().count() == 1)
+  }
+
+  test("streaming pipeline applies registry events mid-feed from checkpoint") {
+    val feed = tmpDir("evo-feed")
+    def writeBatch(name: String, df: DataFrame): Unit = {
+      val tmp = s"$feed/.tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(conf)
+      val part = fs.listStatus(p)
+        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$feed/$name.parquet"))
+      fs.delete(p, true)
+    }
+    writeBatch("b0", v2(Seq(
+      (1L, "I", "c1", 0, "t1", "user", null),
+      (2L, "I", "c2", 0, "t2", "user", null))))
+    writeBatch("b1", v2(Seq(
+      (10L, "S", null, 0, """{"add":{"name":"score","type":"int"}}""", null, null),
+      (11L, "U", "c1", 0, "t1v2", "user", Map("score" -> "3")))))
+
+    val table = LakeTable.createTable(spark, tmpDir("evo-lt"),
+      Schemas.transcript, nBuckets = 4)
+    val cfg = PipelineConfig(checkpointDir = tmpDir("evo-ckpt"),
+      maxFilesPerTrigger = 1, envelopeV2 = true)
+    CdcPipeline.replayAvailable(spark, feed, table, cfg)
+    assert(table.snapshot.userSchema.fieldNames.contains("score"))
+
+    // a third batch arrives later; resume from checkpoint, values typed
+    writeBatch("b2", v2(Seq(
+      (20L, "I", "c3", 0, "t3", "user", Map("score" -> "8")))))
+    CdcPipeline.replayAvailable(spark, feed, table, cfg)
+    val got = table.read().select("conv_id", "text", "score")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(got == Set(("c1", "t1v2", 3), ("c2", "t2", -1), ("c3", "t3", 8)))
+  }
+}
