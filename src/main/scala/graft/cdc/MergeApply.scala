@@ -22,9 +22,37 @@ final case class MergeConfig(
     /** Target max rows per output file; buckets whose merged size exceeds
       * this are salted into multiple write tasks (skew defense). */
     maxRowsPerFile: Long = 4L * 1000 * 1000,
-    /** Use a window (sort) for LWW instead of the max_by hash aggregate.
-      * Kept for A/B verification; the aggregate is the scale path. */
-    useWindowDedup: Boolean = false)
+    /** Physical write mode:
+      *  - "mor" (default, merge-on-read): an epoch writes ONLY its batch
+      *    as sorted per-bucket delta files — O(batch) bytes per epoch —
+      *    and readers resolve LWW across a bucket's files; buckets whose
+      *    delta count exceeds [[maxDeltaFilesPerBucket]] are compacted
+      *    back to a single base file. This is the update-heavy-CDC shape
+      *    (Hudi MoR / Iceberg v2 deletes): copy-on-write rewrites the
+      *    whole touched bucket every epoch — O(table) write
+      *    amplification when batches scatter across buckets.
+      *  - "cow" (copy-on-write): each epoch fully rewrites touched
+      *    buckets; reads are zero-cost (one version per key on disk). */
+    writeMode: String = "mor",
+    /** MoR compaction trigger: max files per bucket before that bucket is
+      * folded back to a single base file. */
+    maxDeltaFilesPerBucket: Int = 8,
+    /** LWW dedup strategy — all three are semantically identical
+      * (MergeSpec asserts it); they differ in shuffle shape:
+      *  - "bucket" (default, the scale path): ONE shuffle of
+      *    current∪batch to (__bucket, __salt), sort within partition,
+      *    lag-window dedup under that same partitioning, files written
+      *    directly from the shuffled partitions. Valid because a key
+      *    group (conv_id, turn_idx) can never span buckets — bucket is a
+      *    function of conv_id alone.
+      *  - "aggregate": max_by hash aggregate keyed on (conv_id,
+      *    turn_idx); map-side partial aggregation collapses
+      *    duplicate-heavy feeds before the shuffle, but the write needs
+      *    a second shuffle back to bucket layout.
+      *  - "window": textbook row_number() over (partition by key order
+      *    by lsn desc) — shuffles by key AND sorts, plus the write
+      *    shuffle. Kept for A/B verification. */
+    dedup: String = "bucket")
 
 /** The MERGE kernel (SURVEY.md §4 item 1, §7.1 item 4): applies one
   * micro-batch of change events to a [[LakeTable]] as an idempotent,
@@ -90,9 +118,10 @@ object MergeApply {
     if (events.isEmpty) batch else batch.filter(col("op") =!= "S")
   }
 
-  /** LWW: one row per key, the max-__lsn one. */
+  /** LWW by key shuffle: one row per key, the max-__lsn one ("aggregate"
+    * and "window" strategies; see [[MergeConfig.dedup]]). */
   def dedupLww(df: DataFrame, cfg: MergeConfig): DataFrame = {
-    if (cfg.useWindowDedup) {
+    if (cfg.dedup == "window") {
       val w = Window.partitionBy(KEY.map(col): _*).orderBy(col("__lsn").desc)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
@@ -102,6 +131,25 @@ object MergeApply {
         .agg(max_by(struct(payload.map(col): _*), col("__lsn")).as("__r"))
         .select(col("__r.*"))
     }
+  }
+
+  /** LWW under bucket partitioning — the single-shuffle scale path. Input
+    * must carry `__bucket`; output is hash-partitioned by
+    * (__bucket, __salt) and each partition is sorted, so the subsequent
+    * `partitionBy("__bucket")` write needs no further exchange. `salt`
+    * splits hot buckets by hash(turn_idx) — a key group still maps to
+    * exactly one (bucket, salt) pair, so dedup stays correct. */
+  def dedupLwwBucketed(df: DataFrame, salt: Int): DataFrame = {
+    val saltCol =
+      if (salt <= 1) lit(0) else pmod(hash(col("turn_idx")), lit(salt))
+    val w = Window.partitionBy(col("__bucket"), col("__salt"))
+      .orderBy(col("conv_id").asc, col("turn_idx").asc, col("__lsn").desc)
+    val k = struct(col("conv_id"), col("turn_idx"))
+    df.withColumn("__salt", saltCol)
+      .repartition(col("__bucket"), col("__salt"))
+      .withColumn("__prev", lag(k, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= k)
+      .drop("__prev", "__salt")
   }
 
   /** Apply one batch. `batch` must have the change-event envelope columns
@@ -122,15 +170,37 @@ object MergeApply {
     val spark = table.spark
     val nB = snap.nBuckets
 
-    val deduped = dedupLww(normalize(dataBatch, snap.userSchema), cfg)
+    val timing = sys.env.contains("GRAFT_MERGE_TIMING")
+    var tPhase = System.nanoTime()
+    def lap(name: String): Unit = if (timing) {
+      System.err.println(f"[merge-timing] epoch=$epochId $name ${(System.nanoTime() - tPhase) / 1e9}%.2f s")
+      tPhase = System.nanoTime()
+    }
+
+    val useBucket = cfg.dedup == "bucket"
+    val batchNorm = normalize(dataBatch, snap.userSchema)
       .withColumn("__bucket", LakeTable.bucketExpr(nB))
-      .persist()
+
+    if (cfg.writeMode == "mor")
+      return mergeMor(table, batchNorm, epochId, cfg, snap, t0, lap)
+
+    // bucket strategy: no pre-dedup of the batch — intra-batch duplicates
+    // collapse in the single bucket-level pass below (stats then count
+    // delivered events, which is what lineage should record anyway).
+    // Also no persist: the batch is consumed exactly twice (stats + the
+    // merge shuffle) and a second columnar parquet scan is cheaper than
+    // materializing a row cache (measured: caching 2M-row batches cost
+    // seconds of GC-driven driver stall per epoch).
+    val deduped =
+      if (useBucket) batchNorm
+      else dedupLww(batchNorm, cfg).persist()
     try {
       // one job: per-bucket batch stats (buckets touched + sizes + lineage)
       val stats = deduped.groupBy(col("__bucket"))
         .agg(count(lit(1)).as("n"), max(col("__lsn")).as("maxLsn"),
           max(col("ts")).as("maxTs"))
         .collect()
+      lap("dedup+stats")
       if (stats.isEmpty) {
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
           snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
@@ -156,9 +226,14 @@ object MergeApply {
 
       val current = table.readRaw(Some(buckets))
         .withColumn("__bucket", LakeTable.bucketExpr(nB))
-      val merged = dedupLww(current.unionByName(deduped), cfg)
+      val unioned = current.unionByName(deduped)
+      val merged =
+        if (useBucket) dedupLwwBucketed(unioned, salt)
+        else dedupLww(unioned, cfg)
 
-      val newFiles = writeBuckets(table, merged, salt, snap)
+      val newFiles = writeBuckets(table, merged, salt, snap,
+        prePartitioned = useBucket)
+      lap("cow-write")
       val entry = LineageEntry(epochId, snap.version + 1,
         batchRows, batchRows, buckets.toSeq.sorted, newFiles.size,
         snap.files.count(f => !buckets.contains(f.bucket)), maxLsn, maxTs,
@@ -166,7 +241,72 @@ object MergeApply {
       table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
       MergeResult(applied = true, snap.version + 1, batchRows, batchRows,
         buckets.toSeq.sorted, (System.nanoTime() - t0) / 1000000L)
-    } finally deduped.unpersist()
+    } finally if (!useBucket) deduped.unpersist()
+  }
+
+  /** Merge-on-read apply: ONE Spark action per epoch — LWW-dedup the
+    * batch under bucket partitioning and write it as per-bucket delta
+    * files; nothing existing is read or rewritten. Batch statistics for
+    * lineage ride on the same action via `observe` (no separate stats
+    * job — per-epoch driver constants were measured to cap local scaling
+    * long before CPU did). Buckets whose file count then exceeds the
+    * compaction threshold are folded back to base files. */
+  private def mergeMor(table: LakeTable, batchNorm: DataFrame, epochId: Long,
+      cfg: MergeConfig, snap: Snapshot, t0: Long,
+      lap: String => Unit): MergeResult = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = batchNorm.observe(obs,
+      count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
+      max(col("ts")).as("maxTs"))
+    val deltaFiles = writeBuckets(table,
+      dedupLwwBucketed(observed, 1), salt = 1, snap,
+      prePartitioned = true, kind = "delta")
+    lap("mor-delta-write")
+    val m = obs.get
+    val batchRows = m("rows").asInstanceOf[Long]
+    val maxLsn = Option(m("maxLsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val maxTs = Option(m("maxTs")).map(_.toString).getOrElse("")
+    val buckets = deltaFiles.map(_.bucket).distinct.sorted
+    val entry = LineageEntry(epochId, snap.version + 1, batchRows, batchRows,
+      buckets, deltaFiles.size, snap.files.size, maxLsn, maxTs,
+      (System.nanoTime() - t0) / 1000000L)
+    val committed = table.commit(snap, deltaFiles, Set.empty, Some(epochId),
+      Some(entry))
+
+    // amortized compaction: fold over-threshold buckets back to base
+    val perBucket = committed.files.groupBy(_.bucket)
+    val toCompact = perBucket.collect {
+      case (b, fs) if fs.size > cfg.maxDeltaFilesPerBucket => b
+    }.toSet
+    if (toCompact.nonEmpty) {
+      compactBuckets(table, toCompact, cfg)
+      lap(s"mor-compact(${toCompact.size})")
+    }
+    MergeResult(applied = true, table.snapshot.version, batchRows, batchRows,
+      buckets, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** Fold all files of the given buckets into one base file per bucket
+    * (per-bucket LWW; tombstones are retained — a tombstone may still
+    * out-LSN a late update from a not-yet-seen epoch). Commits its own
+    * snapshot (no epoch id: compaction is state-neutral). */
+  def compactBuckets(table: LakeTable, buckets: Set[Int],
+      cfg: MergeConfig = MergeConfig()): Snapshot = {
+    val snap = table.snapshot
+    val data = table.readRaw(Some(buckets))
+      .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
+    val perBucketRows = snap.files.filter(f => buckets.contains(f.bucket))
+      .groupBy(_.bucket).map { case (_, fs) => fs.map(_.rows).sum }
+    val worst = if (perBucketRows.isEmpty) 0L else perBucketRows.max
+    val salt = math.max(1L,
+      (worst + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
+    val files = writeBuckets(table, dedupLwwBucketed(data, salt), salt, snap,
+      prePartitioned = true, kind = "base")
+    val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
+      buckets.toSeq.sorted, files.size,
+      snap.files.count(f => !buckets.contains(f.bucket)), -1L, "compaction",
+      0L)
+    table.commit(snap, files, buckets, None, Some(entry))
   }
 
   /** Insert-only fast path (≈ the reference's Express-Loader bulk append,
@@ -184,9 +324,13 @@ object MergeApply {
         (System.nanoTime() - t0) / 1000000L)
     val dataBatch = applySchemaEvents(table, batch)
     val snap = table.snapshot
-    val deduped = dedupLww(normalize(dataBatch, snap.userSchema), cfg)
+    val norm = normalize(dataBatch, snap.userSchema)
       .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
-    val newFiles = writeBuckets(table, deduped, 1, snap)
+    val useBucket = cfg.dedup == "bucket"
+    val deduped =
+      if (useBucket) dedupLwwBucketed(norm, 1) else dedupLww(norm, cfg)
+    val newFiles = writeBuckets(table, deduped, 1, snap,
+      prePartitioned = useBucket)
     val rows = newFiles.map(_.rows).sum
     val entry = LineageEntry(epochId, snap.version + 1, rows, rows,
       newFiles.map(_.bucket).distinct.sorted, newFiles.size, snap.files.size,
@@ -202,38 +346,56 @@ object MergeApply {
     * `salt`-way intra-bucket write parallelism. Returns the manifest
     * entries (rows per file read from parquet footers — metadata only). */
   private def writeBuckets(table: LakeTable, df: DataFrame, salt: Int,
-      snap: Snapshot): Seq[DataFileEntry] = {
+      snap: Snapshot, prePartitioned: Boolean = false,
+      kind: String = "base"): Seq[DataFileEntry] = {
     val spark = table.spark
     val outDir = s"${table.dir}/data/commit-${snap.version + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
     val writeDf =
-      if (salt <= 1) df.repartition(col("__bucket"))
+      if (prePartitioned) df // bucket dedup already exchanged to (__bucket, __salt)
+      else if (salt <= 1) df.repartition(col("__bucket"))
       else df.repartition(col("__bucket"),
         pmod(hash(col("turn_idx")), lit(salt)))
+    val tW = System.nanoTime()
     writeDf.write
       .partitionBy("__bucket")
       .mode("overwrite")
       .parquet(outDir)
-    listDataFiles(spark, outDir, snap.currentSchemaVersion)
+    val tL = System.nanoTime()
+    val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, kind)
+    if (sys.env.contains("GRAFT_MERGE_TIMING"))
+      System.err.println(f"[merge-timing]   write ${(tL - tW) / 1e9}%.2f s, list-footers ${(System.nanoTime() - tL) / 1e9}%.2f s")
+    files
   }
 
   /** Enumerate part files under a partitionBy(__bucket) output dir and read
-    * row counts from parquet footers (no data scan). */
+    * row counts from parquet footers (no data scan). Footer reads run on a
+    * bounded thread pool: a commit can register hundreds of files and a
+    * serial driver loop would become the constant term that caps scaling
+    * (observed: ~0.3 s/batch serial at 32 buckets). */
   def listDataFiles(spark: SparkSession, outDir: String,
-      schemaVersion: Int): Seq[DataFileEntry] = {
+      schemaVersion: Int, kind: String = "base"): Seq[DataFileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(outDir)
     val fs = root.getFileSystem(conf)
     val bucketDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("__bucket="))
-    bucketDirs.toSeq.flatMap { bd =>
+    val files = bucketDirs.toSeq.flatMap { bd =>
       val bucket = bd.getPath.getName.stripPrefix("__bucket=").toInt
       fs.listStatus(bd.getPath).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map { f =>
-          val rows = parquetRowCount(conf, f.getPath)
-          DataFileEntry(f.getPath.toString, bucket, rows, schemaVersion)
-        }
+        .map(f => (f.getPath, bucket))
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      files.map { case (p, bucket) =>
+        pool.submit(new java.util.concurrent.Callable[DataFileEntry] {
+          def call(): DataFileEntry =
+            DataFileEntry(p.toString, bucket, parquetRowCount(conf, p),
+              schemaVersion, kind)
+        })
+      }.map(_.get())
+    } finally pool.shutdown()
   }
 
   private def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,

@@ -11,7 +11,7 @@ import graft.model.Schemas
   * lineage + throughput. Doubles as the bench kernel.
   *
   * Usage: runMain graft.cdc.ReplayMain <workDir> <nEvents> <nBatches>
-  *        [cores] [nBuckets] [check]
+  *        [cores] [nBuckets] [check] [filesPerBatch]
   */
 object ReplayMain {
   def main(args: Array[String]): Unit = {
@@ -21,16 +21,33 @@ object ReplayMain {
     val cores = args.lift(3).map(_.toInt).getOrElse(8)
     val nBuckets = args.lift(4).map(_.toInt).getOrElse(32)
     val check = args.lift(5).forall(_.toBoolean)
+    val filesPerBatch = args.lift(6).map(_.toInt).getOrElse(8)
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-replay")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // 4x cores: keeps per-task sorts memory-resident and smooths task
+      // skew from bucket->partition hash collisions
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_STAGE_LOG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val ms = for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b
+            System.err.println(s"[stage] id=${i.stageId} tasks=${i.numTasks} " +
+              s"wall=${ms.getOrElse(-1L)}ms name=${i.name.takeWhile(_ != '\n').take(60)}")
+          }
+        })
     try {
       val cfg = GenConfig(nEvents = nEvents,
         nConvs = math.max(4L, nEvents / 50), maxTurns = 40)
@@ -38,16 +55,17 @@ object ReplayMain {
       val tableDir = s"$workDir/table"
       val ckpt = s"$workDir/ckpt"
 
-      println(s"[replay] generating $nEvents events into $nBatches batch files …")
+      println(s"[replay] generating $nEvents events into $nBatches batches x $filesPerBatch files …")
       val tGen = System.nanoTime()
-      ChangeLogGen.writeBatches(spark, cfg, feed, nBatches)
+      ChangeLogGen.writeBatches(spark, cfg, feed, nBatches, filesPerBatch)
       println(f"[replay] feed written in ${(System.nanoTime() - tGen) / 1e9}%.1f s")
 
       val existing = LakeTable.load(spark, tableDir)
       val table =
         if (existing.exists) { println(s"[replay] resuming existing table at $tableDir (v${existing.snapshot.version})"); existing }
         else LakeTable.createTable(spark, tableDir, Schemas.transcript, nBuckets)
-      val pcfg = PipelineConfig(checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      val pcfg = PipelineConfig(checkpointDir = ckpt,
+        maxFilesPerTrigger = filesPerBatch)
       val t0 = System.nanoTime()
       CdcPipeline.replayAvailable(spark, feed, table, pcfg)
       val sec = (System.nanoTime() - t0) / 1e9

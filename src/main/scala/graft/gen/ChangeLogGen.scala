@@ -83,14 +83,16 @@ object ChangeLogGen {
     }
   }
 
-  /** Bijective scramble of [0, n) — a 2-round Feistel-ish LCG walk — giving
-    * the delivery order. deliverySlot -> lsn. */
+  /** Bijective scramble of [0, n): affine permutation (a·slot + b) mod n.
+    * Bijectivity REQUIRES gcd(a, n) = 1, so the multiplier is adjusted
+    * (by +2 steps, staying odd) until coprime with n — a fixed multiplier
+    * silently loses/duplicates lsns for n sharing one of its factors
+    * (caught by GenPropertySpec). deliverySlot -> lsn. */
   def slotToLsn(cfg: GenConfig, slot: Long, n: Long): Long = {
-    // affine permutation: (a*slot + b) mod n with gcd(a, n)=1
-    val a = 0x5DEECE66DL | 1L
+    var a = 0x5DEECE66DL | 1L
+    while (math.BigInt(a).gcd(math.BigInt(n)) != 1) a += 2
     val b = mix64(cfg.seed ^ 0x9E37L) & Long.MaxValue
-    val x = (math.BigInt(a) * slot + b).mod(math.BigInt(n)).toLong
-    x
+    (math.BigInt(a) * slot + b).mod(math.BigInt(n)).toLong
   }
 
   /** LSN delivered at a given delivery slot: normally the scrambled slot,
@@ -150,7 +152,10 @@ object ChangeLogGen {
     spark.range(lo, hi, 1).as[Long]
       .mapPartitions(_.map(slot => eventAt(cfg, deliveredLsn(cfg, slot))))
       .toDF()
-      .coalesce(1)
+      // repartition(1), NOT coalesce(1): coalesce would collapse the whole
+      // generation into one task; repartition keeps it parallel and only
+      // funnels the write
+      .repartition(1)
       .write.mode("overwrite").parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
@@ -161,15 +166,28 @@ object ChangeLogGen {
     fs.delete(tmpPath, true)
   }
 
-  /** Write the log as `nBatches` flat parquet files under `dir`, one file
-    * per delivery batch (the micro-batch feed for streaming replay). */
+  /** Write the log as `nBatches` delivery batches under `dir`, each
+    * batch as `filesPerBatch` flat parquet files (a real binlog feed is
+    * partitioned — e.g. Kafka topic partitions — so a micro-batch arrives
+    * as several independently-scannable slices; replay with
+    * `maxFilesPerTrigger = filesPerBatch` to group one batch per
+    * trigger). The feed bytes are identical regardless of the cluster
+    * size that later reads them. */
   def writeBatches(spark: SparkSession, cfg: GenConfig, dir: String,
-      nBatches: Int): Unit = {
+      nBatches: Int, filesPerBatch: Int = 1): Unit = {
     val per = math.max(1L, cfg.nEvents / nBatches)
     (0 until nBatches).foreach { b =>
       val lo = b * per
       val hi = if (b == nBatches - 1) cfg.nEvents else math.min(cfg.nEvents, lo + per)
-      if (lo < hi) writeBatchFile(spark, cfg, dir, f"batch_$b%05d", lo, hi)
+      if (lo < hi) {
+        val sub = math.max(1L, (hi - lo) / filesPerBatch)
+        (0 until filesPerBatch).foreach { p =>
+          val plo = lo + p * sub
+          val phi = if (p == filesPerBatch - 1) hi else math.min(hi, plo + sub)
+          if (plo < phi)
+            writeBatchFile(spark, cfg, dir, f"batch_$b%05d_p$p%02d", plo, phi)
+        }
+      }
     }
   }
 }

@@ -11,12 +11,17 @@ import org.json4s.jackson.Serialization
 /** One data file registered in a snapshot. `bucket` is the hash-bucket of
   * `conv_id` the file belongs to (all rows in the file share it) — the unit
   * of copy-on-write pruning. `schemaVersion` names the schema the file was
-  * written under (schema evolution never rewrites old files). */
+  * written under (schema evolution never rewrites old files). `kind` is
+  * "base" (one version per key within the bucket) or "delta" (a
+  * merge-on-read increment: the key's winning version is resolved at read
+  * time by LWW over all of the bucket's files, until compaction folds the
+  * deltas back into a base file). */
 final case class DataFileEntry(
     path: String,
     bucket: Int,
     rows: Long,
-    schemaVersion: Int)
+    schemaVersion: Int,
+    kind: String = "base")
 
 /** Per-commit lineage record (north rule: "per-partition lineage rows —
   * source offset range, rows applied, watermark"). The reference's analog
@@ -215,10 +220,26 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     }
   }
 
-  /** User-facing read: tombstones filtered, meta columns dropped. */
+  /** LWW-resolve a raw frame that may hold several versions per key
+    * (merge-on-read deltas): keep the max-__lsn row per (conv_id,
+    * turn_idx). */
+  private def lwwResolve(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"), col("turn_idx"))
+      .orderBy(col("__lsn").desc)
+    raw.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** User-facing read: merge-on-read resolution (skipped when the
+    * snapshot holds no delta files), tombstones filtered, meta columns
+    * dropped. */
   def read(asOf: Option[Long] = None): DataFrame = {
     val snap = asOf.map(snapshotAt).getOrElse(snapshot)
-    readRaw(None, asOf)
+    val raw = readRaw(None, asOf)
+    val resolved =
+      if (snap.files.exists(_.kind == "delta")) lwwResolve(raw) else raw
+    resolved
       .filter(col("__op") =!= lit("D"))
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
   }

@@ -31,14 +31,20 @@ object VectorQueries {
   private def quant(c: Column): Column =
     transform(c, x => floor(x.cast(DoubleType) * 1000 + 0.5).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+  /** Exact integer dot product of two quantized vector columns (by
+    * name) — the custom codegen'd Catalyst expression
+    * [[graft.functions.DotProductLong]]; the zip_with/aggregate
+    * formulation allocates a scratch array per evaluated pair, which
+    * dominates all-pairs similarity joins. */
+  private def dot(a: String, b: String): Column =
+    graft.functions.GraftFunctions.dotLong(a, b)
 
   /** vec_id, q (quantized), nn (integer squared norm). */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     emb(s, d).select(col("vec_id"), quant(col("embedding")).as("q"))
-      .withColumn("nn", dot(col("q"), col("q")))
+      .withColumn("nn", dot("q", "q"))
+  }
 
   private def cosine: Column =
     col("dot").cast(DoubleType) /
@@ -61,7 +67,7 @@ object VectorQueries {
     val a = v.select(col("vec_id").as("ia"), col("q").as("qa"), col("nn").as("na"))
     val b = v.select(col("vec_id").as("ib"), col("q").as("qb"), col("nn").as("nb"))
     a.join(b, col("ia") < col("ib"))
-      .withColumn("dot", dot(col("qa"), col("qb")))
+      .withColumn("dot", dot("qa", "qb"))
       .withColumn("sim", cosine)
       // integer-exact threshold: dot/sqrt(na*nb) >= 0.45
       //   <=> dot > 0 and 400*dot^2 >= 81*na*nb  (0.45^2 = 81/400)
@@ -97,7 +103,7 @@ object VectorQueries {
     val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
       col("nn").as("nb"))
     val scored = qs.join(cands, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", dot(col("qq"), col("qc")))
+      .withColumn("dot", dot("qq", "qc"))
       .withColumn("sim", cosine)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -202,7 +208,7 @@ object VectorQueries {
       col("q").as("qc"), col("nn").as("nb"), col("cell"))
     val scored = probed.join(cands, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", dot(col("qq"), col("qc")))
+      .withColumn("dot", dot("qq", "qc"))
       .withColumn("sim", cosine)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

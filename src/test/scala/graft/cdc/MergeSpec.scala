@@ -83,27 +83,36 @@ class MergeSpec extends SparkSpec {
     assert(table.read().select("text").as[String].collect().toSeq == Seq("v40"))
   }
 
-  test("window dedup and max_by dedup agree") {
-    val dir1 = tmpDir("lake-w")
-    val dir2 = tmpDir("lake-a")
+  test("all write modes and dedup strategies agree with the oracle") {
     val small = cfg.copy(nEvents = 5000L)
     val log = ChangeLogGen.changeLogDF(spark, small)
-    val t1 = LakeTable.createTable(spark, dir1, Schemas.transcript, 4)
-    val t2 = LakeTable.createTable(spark, dir2, Schemas.transcript, 4)
-    MergeApply.merge(t1, log, 0L, MergeConfig(useWindowDedup = true))
-    MergeApply.merge(t2, log, 0L, MergeConfig(useWindowDedup = false))
-    assert(finalState(t1) == finalState(t2))
+    val configs = Seq(
+      "mor" -> MergeConfig(writeMode = "mor"),
+      "cow-bucket" -> MergeConfig(writeMode = "cow", dedup = "bucket"),
+      "cow-window" -> MergeConfig(writeMode = "cow", dedup = "window"),
+      "cow-agg" -> MergeConfig(writeMode = "cow", dedup = "aggregate"))
+    val states = configs.map { case (name, mc) =>
+      val t = LakeTable.createTable(spark, tmpDir(s"lake-$name"),
+        Schemas.transcript, 4)
+      // two batches so every path also exercises cross-batch LWW
+      MergeApply.merge(t, log.limit(3000), 0L, mc)
+      MergeApply.merge(t, log, 1L, mc)
+      finalState(t)
+    }
+    assert(states.distinct.size == 1)
+    assert(states.head == ChangeLogGen.oracleFinalState(small))
   }
 
-  test("bucket pruning: untouched buckets carry over by reference") {
+  test("bucket pruning: untouched buckets carry over by reference (cow)") {
     val dir = tmpDir("lake-prune")
+    val cow = MergeConfig(writeMode = "cow")
     val table = LakeTable.createTable(spark, dir, Schemas.transcript, nBuckets = 16)
-    MergeApply.merge(table, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    MergeApply.merge(table, ChangeLogGen.changeLogDF(spark, cfg), 0L, cow)
     val before = table.snapshot.files.map(f => f.path -> f.bucket).toMap
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val one = Seq((999999L, "I", "conv_0000000001", 0, "user", "solo", null: String, ts))
       .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
-    MergeApply.merge(table, one, 1L)
+    MergeApply.merge(table, one, 1L, cow)
     val after = table.snapshot
     val touched = after.lineage.last.bucketsTouched.toSet
     assert(touched.size == 1)
