@@ -53,27 +53,40 @@ object Bench {
     s
   }
 
-  /** One full replay (generate feed + streaming MERGE of all batches)
-    * on a fresh session at the given core count; returns events/sec. */
-  private def replayRate(cores: Int, events: Long, batches: Int): Double = {
-    val work = benchTmp("graft-bench-cdc")
-    val spark = session(cores, s"$work/local")
+  private val FilesPerBatch = 8
+
+  /** Generate the seeded feed once; every measured run — at either
+    * parallelism level — replays the SAME bytes. */
+  private def genFeed(work: String, events: Long, batches: Int): String = {
+    val spark = session(32, s"$work/gen-local")
     try {
-      val filesPerBatch = 8
       val cfg = GenConfig(nEvents = events,
         nConvs = math.max(4L, events / 50), maxTurns = 40)
-      ChangeLogGen.writeBatches(spark, cfg, s"$work/feed", batches, filesPerBatch)
-      val table = LakeTable.createTable(spark, s"$work/table",
+      ChangeLogGen.writeBatches(spark, cfg, s"$work/feed", batches, FilesPerBatch)
+      s"$work/feed"
+    } finally spark.stop()
+  }
+
+  /** One full streaming replay of the shared feed on a fresh session at
+    * the given core count (fresh table + checkpoint per run); returns
+    * events/sec. */
+  private def replayRate(cores: Int, events: Long, feed: String,
+      work: String, run: Int): Double = {
+    val spark = session(cores, s"$work/local-$cores-$run")
+    try {
+      val table = LakeTable.createTable(spark, s"$work/table-$cores-$run",
         Schemas.transcript, nBuckets = 32)
       val t0 = System.nanoTime()
-      CdcPipeline.replayAvailable(spark, s"$work/feed", table,
-        PipelineConfig(checkpointDir = s"$work/ckpt",
-          maxFilesPerTrigger = filesPerBatch))
-      events / ((System.nanoTime() - t0) / 1e9)
-    } finally {
-      spark.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-    }
+      CdcPipeline.replayAvailable(spark, feed, table,
+        PipelineConfig(checkpointDir = s"$work/ckpt-$cores-$run",
+          maxFilesPerTrigger = FilesPerBatch))
+      val rate = events / ((System.nanoTime() - t0) / 1e9)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$work/table-$cores-$run"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$work/ckpt-$cores-$run"))
+      rate
+    } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -110,13 +123,30 @@ object Bench {
     // `reps` runs; a warmup replay absorbs JIT compilation.
     val cdcJson = if (cdcEvents > 0) {
       val batches = 4
-      val reps = 2
+      val reps = 3
       val (n1, n4) = (2, 8)
-      replayRate(n4, math.min(cdcEvents, 2000000L), batches) // JIT warmup, discarded
-      val r1 = (1 to reps).map(_ => replayRate(n1, cdcEvents, batches))
-      val r4 = (1 to reps).map(_ => replayRate(n4, cdcEvents, batches))
-      val eff = r4.max / (4.0 * r1.max)
-      f""","cdc":{"events":$cdcEvents,"batches":$batches,"cores_n":$n1,"cores_4n":$n4,"eps_n":${r1.max}%.1f,"eps_4n":${r4.max}%.1f,"scaling_efficiency":$eff%.3f,"runs_n":[${r1.map(v => f"$v%.1f").mkString(",")}],"runs_4n":[${r4.map(v => f"$v%.1f").mkString(",")}]}"""
+      val work = benchTmp("graft-bench-cdc")
+      try {
+        val feed = genFeed(work, cdcEvents, batches)
+        replayRate(n4, cdcEvents, feed, work, 0) // JIT warmup, discarded
+        // interleave levels so slow machine phases hit both equally
+        val r1 = collection.mutable.Buffer[Double]()
+        val r4 = collection.mutable.Buffer[Double]()
+        (1 to reps).foreach { i =>
+          r1 += replayRate(n1, cdcEvents, feed, work, i)
+          r4 += replayRate(n4, cdcEvents, feed, work, i)
+        }
+        def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        // efficiency is a RATIO of two noisy measurements (±15-20% on
+        // this shared-host VM, raw runs disclosed below): the median is
+        // the robust estimator — a single lucky-fast N-core run would
+        // deflate a best-of ratio, a lucky 4N run inflate it. Both are
+        // reported.
+        val effMed = median(r4.toSeq) / (4.0 * median(r1.toSeq))
+        val effBest = r4.max / (4.0 * r1.max)
+        f""","cdc":{"events":$cdcEvents,"batches":$batches,"cores_n":$n1,"cores_4n":$n4,"eps_n_median":${median(r1.toSeq)}%.1f,"eps_4n_median":${median(r4.toSeq)}%.1f,"scaling_efficiency":$effMed%.3f,"eps_n_best":${r1.max}%.1f,"eps_4n_best":${r4.max}%.1f,"scaling_efficiency_best_of":$effBest%.3f,"runs_n":[${r1.map(v => f"$v%.1f").mkString(",")}],"runs_4n":[${r4.map(v => f"$v%.1f").mkString(",")}]}"""
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(work))
     } else ""
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -258,8 +258,12 @@ object MergeApply {
     val observed = batchNorm.observe(obs,
       count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
       max(col("ts")).as("maxTs"))
+    // no dedup, no sort: a delta file may hold several versions of a key
+    // (even intra-batch) — the read path LWW-resolves and compaction
+    // folds, both by __lsn, so deferring is exactly as correct and the
+    // epoch's critical path is scan -> shuffle-to-bucket -> write
     val deltaFiles = writeBuckets(table,
-      dedupLwwBucketed(observed, 1), salt = 1, snap,
+      observed.repartition(col("__bucket")), salt = 1, snap,
       prePartitioned = true, kind = "delta")
     lap("mor-delta-write")
     val m = obs.get

@@ -191,7 +191,25 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         schemaUpdate.map { case (v, s) => v.toString -> s.json }.toMap,
       columnDocs = base.columnDocs ++ newColumnDocs)
     writeSnapshot(snap)
+    lineage.foreach(writeLineageMirror(_, snap.version))
     snap
+  }
+
+  /** Append the commit's lineage row to the `_lineage` mirror table as a
+    * single JSON-lines file named by snapshot version — idempotent under
+    * replay (same version -> same name, create-if-absent). */
+  private def writeLineageMirror(entry: LineageEntry, version: Long): Unit = {
+    implicit val fmt: Formats = DefaultFormats
+    val dir = new Path(tablePath, "_lineage")
+    val p = new Path(dir, f"v$version%012d.json")
+    try {
+      fs.mkdirs(dir)
+      val out = fs.create(p, false)
+      try out.write(
+        (Serialization.write(entry.copy(version = version)) + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* already written */ }
   }
 
   // ----------------------------------------------------------------- read
@@ -251,6 +269,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     spark.createDataset(snapshot.lineage).toDF()
   }
 
+  /** The lineage MIRROR table: one JSON-lines row per commit under
+    * `_lineage/`, written by [[commit]] at zero per-epoch Spark-job cost
+    * (north rule: per-batch lineage rows + metrics emitted to a lineage
+    * table). Unlike the in-snapshot log — which ages out at
+    * [[LakeTable.maxLineageInSnapshot]] — the mirror is append-only and
+    * complete, and queryable like any table. */
+  def lineageTable: DataFrame =
+    spark.read.schema(LakeTable.lineageSchema)
+      .json(new Path(tablePath, "_lineage").toString)
+
   // ------------------------------------------------------------------ DDL
 
   /** Delete all rows, keep schema + column docs (≈ wipe_data,
@@ -309,6 +337,17 @@ object LakeTable {
     * deployment would also mirror them to a lineage table — see
     * graft.cdc.CdcPipeline). */
   val maxLineageInSnapshot = 10000
+
+  /** Explicit schema for the `_lineage` mirror (JSON-lines) so reads
+    * never pay schema inference. */
+  val lineageSchema: StructType = StructType(Seq(
+    StructField("epochId", LongType), StructField("version", LongType),
+    StructField("rowsInBatch", LongType), StructField("rowsApplied", LongType),
+    StructField("bucketsTouched", ArrayType(IntegerType)),
+    StructField("filesRewritten", IntegerType),
+    StructField("filesCarried", IntegerType),
+    StructField("maxLsn", LongType), StructField("watermarkTs", StringType),
+    StructField("durationMs", LongType)))
 
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),

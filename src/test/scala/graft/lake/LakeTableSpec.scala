@@ -100,4 +100,19 @@ class LakeTableSpec extends SparkSpec {
     val manifestRows = t.snapshot.files.map(_.rows).sum
     assert(manifestRows == t.readRaw().count())
   }
+
+  test("lineage mirror table carries one queryable row per data commit") {
+    val dir = tmpDir("lt-lineagemirror")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(1000), 0L)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(2000), 1L)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(2000), 1L) // replay: no-op
+    val lin = t.lineageTable.orderBy("version").collect()
+    assert(lin.length == 2)
+    assert(lin.map(_.getAs[Long]("epochId")).toSeq == Seq(0L, 1L))
+    assert(lin.forall(_.getAs[Long]("rowsApplied") > 0))
+    assert(lin.forall(_.getAs[Long]("durationMs") >= 0))
+    // mirror agrees with the in-snapshot log
+    assert(t.lineage.map(_.epochId) == lin.map(_.getAs[Long]("epochId")).toSeq)
+  }
 }
