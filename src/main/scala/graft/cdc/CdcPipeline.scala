@@ -64,4 +64,32 @@ object CdcPipeline {
     try q.awaitTermination() finally if (q.isActive) q.stop()
     table.snapshot.version
   }
+
+  /** Destination fan-out: one change feed applied to several sinks, each
+    * with its own upload method (the reference's
+    * `locators_by_destination` multi-sink dispatch, reference:
+    * engine/etl_util.py:671, 779-784). One streaming query, one source
+    * scan; each destination's epoch guard makes partial-failure restarts
+    * safe per-table (a table that committed epoch e skips it on
+    * redelivery while the others catch up). */
+  def startFanOut(spark: SparkSession, feedDir: String,
+      dests: Seq[(LakeTable, String)], cfg: PipelineConfig): StreamingQuery =
+    readChangeFeed(spark, feedDir, cfg).writeStream
+      .queryName(s"cdc-fanout-${feedDir.hashCode.toHexString}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        dests.foreach { case (table, method) =>
+          if (method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
+          else MergeApply.merge(table, batch, epochId, cfg.merge)
+        }
+        ()
+      }
+      .start()
+
+  def replayFanOutAvailable(spark: SparkSession, feedDir: String,
+      dests: Seq[(LakeTable, String)], cfg: PipelineConfig): Unit = {
+    val q = startFanOut(spark, feedDir, dests, cfg)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
 }

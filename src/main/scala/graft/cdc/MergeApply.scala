@@ -333,8 +333,13 @@ object MergeApply {
     val useBucket = cfg.dedup == "bucket"
     val deduped =
       if (useBucket) dedupLwwBucketed(norm, 1) else dedupLww(norm, cfg)
+    // registered as deltas: append guarantees nothing about key overlap
+    // with existing files, so readers must LWW-resolve (and compaction
+    // may fold) — identical to the reference's insert method being
+    // correct only "because date-gap logic makes it idempotent per-day"
+    // (reference: engine/payload/united_way/211.py:286-293)
     val newFiles = writeBuckets(table, deduped, 1, snap,
-      prePartitioned = useBucket)
+      prePartitioned = useBucket, kind = "delta")
     val rows = newFiles.map(_.rows).sum
     val entry = LineageEntry(epochId, snap.version + 1, rows, rows,
       newFiles.map(_.bucket).distinct.sorted, newFiles.size, snap.files.size,

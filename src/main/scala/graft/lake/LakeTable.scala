@@ -240,13 +240,22 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
   /** LWW-resolve a raw frame that may hold several versions per key
     * (merge-on-read deltas): keep the max-__lsn row per (conv_id,
-    * turn_idx). */
-  private def lwwResolve(raw: DataFrame): DataFrame = {
+    * turn_idx). Shuffle shape: ONE exchange to the table's bucket
+    * layout, sort within partition, lag-window under the bucket
+    * partitioning — a key group can never span buckets, and bucket-sized
+    * window partitions avoid the millions of tiny per-key groups a
+    * key-partitioned window would create at scale. */
+  private def lwwResolve(raw: DataFrame, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{lag, struct}
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("conv_id"), col("turn_idx"))
-      .orderBy(col("__lsn").desc)
-    raw.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .partitionBy(col("__b"))
+      .orderBy(col("conv_id").asc, col("turn_idx").asc, col("__lsn").desc)
+    val k = struct(col("conv_id"), col("turn_idx"))
+    raw.withColumn("__b", LakeTable.bucketExpr(nBuckets))
+      .repartition(col("__b"))
+      .withColumn("__prev", lag(k, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= k)
+      .drop("__b", "__prev")
   }
 
   /** User-facing read: merge-on-read resolution (skipped when the
@@ -256,7 +265,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val snap = asOf.map(snapshotAt).getOrElse(snapshot)
     val raw = readRaw(None, asOf)
     val resolved =
-      if (snap.files.exists(_.kind == "delta")) lwwResolve(raw) else raw
+      if (snap.files.exists(_.kind == "delta")) lwwResolve(raw, snap.nBuckets)
+      else raw
     resolved
       .filter(col("__op") =!= lit("D"))
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)

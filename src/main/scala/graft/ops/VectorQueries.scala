@@ -102,7 +102,9 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("na"))
     val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
       col("nn").as("nb"))
-    val scored = qs.join(cands, col("query_id") =!= col("neighbor_id"))
+    // stream the corpus, broadcast the tiny query set (left to itself
+    // Spark builds the corpus side — fatal at 10^9 vectors)
+    val scored = cands.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dot("qq", "qc"))
       .withColumn("sim", cosine)
     val w = Window.partitionBy(col("query_id"))

@@ -66,6 +66,25 @@ class StreamSpec extends SparkSpec {
     assert(finalState(table) == oracle)
   }
 
+  test("destination fan-out: one feed, two sinks, both correct") {
+    val feed = tmpDir("feed-fan")
+    val noDel = cfg.copy(deleteFraction = 0.0) // insert sink can't retract
+    ChangeLogGen.writeBatches(spark, noDel, feed, nBatches = 3)
+    val upsertT = LakeTable.createTable(spark, tmpDir("lt-fan-upsert"),
+      Schemas.transcript, 4)
+    val insertT = LakeTable.createTable(spark, tmpDir("lt-fan-insert"),
+      Schemas.transcript, 4)
+    CdcPipeline.replayFanOutAvailable(spark, feed,
+      Seq(upsertT -> "upsert", insertT -> "insert"),
+      PipelineConfig(checkpointDir = tmpDir("ckpt-fan"), maxFilesPerTrigger = 1))
+    val oracle = ChangeLogGen.oracleFinalState(noDel)
+    assert(finalState(upsertT) == oracle)
+    // insert sink appended every delivered event; LWW read resolves to
+    // the same final state (no deletes in this feed)
+    assert(insertT.snapshot.files.nonEmpty)
+    assert(finalState(insertT) == oracle)
+  }
+
   test("crash after commit, before ack: restart skips the committed epoch") {
     val feed = tmpDir("feed3")
     ChangeLogGen.writeBatches(spark, cfg, feed, nBatches = 6)
