@@ -145,8 +145,17 @@ object MergeApply {
     val w = Window.partitionBy(col("__bucket"), col("__salt"))
       .orderBy(col("conv_id").asc, col("turn_idx").asc, col("__lsn").desc)
     val k = struct(col("conv_id"), col("turn_idx"))
-    df.withColumn("__salt", saltCol)
-      .repartition(col("__bucket"), col("__salt"))
+    // explicit partition count when salted: an AQE-coalesced exchange
+    // would re-merge the salt cells and undo the per-file size bound
+    // (AQE coalesces by bytes, which is fine for normal writes, but the
+    // salt exists precisely to cap the worst single write task)
+    val shufP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted =
+      if (salt <= 1) df.withColumn("__salt", saltCol)
+        .repartition(col("__bucket"), col("__salt"))
+      else df.withColumn("__salt", saltCol)
+        .repartition(math.max(shufP, salt), col("__bucket"), col("__salt"))
+    parted
       .withColumn("__prev", lag(k, 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= k)
       .drop("__prev", "__salt")
@@ -196,9 +205,14 @@ object MergeApply {
       else dedupLww(batchNorm, cfg).persist()
     try {
       // one job: per-bucket batch stats (buckets touched + sizes + lineage)
+      val prevWm = snap.lineage.reverseIterator
+        .find(e => e.epochId >= 0 && e.watermarkTs.nonEmpty).map(_.watermarkTs)
+      val lateCol = prevWm.map(w =>
+        count(when(col("ts") < lit(w).cast(TimestampType), 1)))
+        .getOrElse(lit(0L)).as("late")
       val stats = deduped.groupBy(col("__bucket"))
         .agg(count(lit(1)).as("n"), max(col("__lsn")).as("maxLsn"),
-          max(col("ts")).as("maxTs"))
+          max(col("ts")).as("maxTs"), lateCol)
         .collect()
       lap("dedup+stats")
       if (stats.isEmpty) {
@@ -213,6 +227,7 @@ object MergeApply {
       val maxLsn = stats.map(_.getLong(2)).max
       val tsVals = stats.flatMap(r => Option(r.get(3))).map(_.toString)
       val maxTs = if (tsVals.isEmpty) "" else tsVals.max
+      val late = stats.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum
 
       val currentPerBucket: Map[Int, Long] = snap.files
         .filter(f => buckets.contains(f.bucket))
@@ -237,7 +252,7 @@ object MergeApply {
       val entry = LineageEntry(epochId, snap.version + 1,
         batchRows, batchRows, buckets.toSeq.sorted, newFiles.size,
         snap.files.count(f => !buckets.contains(f.bucket)), maxLsn, maxTs,
-        (System.nanoTime() - t0) / 1000000L)
+        (System.nanoTime() - t0) / 1000000L, lateEvents = late)
       table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
       MergeResult(applied = true, snap.version + 1, batchRows, batchRows,
         buckets.toSeq.sorted, (System.nanoTime() - t0) / 1000000L)
@@ -254,10 +269,17 @@ object MergeApply {
   private def mergeMor(table: LakeTable, batchNorm: DataFrame, epochId: Long,
       cfg: MergeConfig, snap: Snapshot, t0: Long,
       lap: String => Unit): MergeResult = {
+    // previous commit's event-time high-watermark -> late-data metric
+    // (rides on the same observe; no extra job). Compaction entries
+    // (epochId = -1) carry no watermark and are skipped.
+    val prevWm = snap.lineage.reverseIterator
+      .find(e => e.epochId >= 0 && e.watermarkTs.nonEmpty).map(_.watermarkTs)
     val obs = org.apache.spark.sql.Observation()
-    val observed = batchNorm.observe(obs,
-      count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
-      max(col("ts")).as("maxTs"))
+    val aggs = Seq(count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
+      max(col("ts")).as("maxTs")) ++
+      prevWm.map(w => count(when(col("ts") < lit(w).cast(TimestampType),
+        1)).as("late"))
+    val observed = batchNorm.observe(obs, aggs.head, aggs.tail: _*)
     // no dedup, no sort: a delta file may hold several versions of a key
     // (even intra-batch) — the read path LWW-resolves and compaction
     // folds, both by __lsn, so deferring is exactly as correct and the
@@ -270,10 +292,12 @@ object MergeApply {
     val batchRows = m("rows").asInstanceOf[Long]
     val maxLsn = Option(m("maxLsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
     val maxTs = Option(m("maxTs")).map(_.toString).getOrElse("")
+    val late = m.get("late").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
     val buckets = deltaFiles.map(_.bucket).distinct.sorted
     val entry = LineageEntry(epochId, snap.version + 1, batchRows, batchRows,
       buckets, deltaFiles.size, snap.files.size, maxLsn, maxTs,
-      (System.nanoTime() - t0) / 1000000L)
+      (System.nanoTime() - t0) / 1000000L, lateEvents = late)
     val committed = table.commit(snap, deltaFiles, Set.empty, Some(epochId),
       Some(entry))
 
@@ -308,7 +332,7 @@ object MergeApply {
       prePartitioned = true, kind = "base")
     val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
       buckets.toSeq.sorted, files.size,
-      snap.files.count(f => !buckets.contains(f.bucket)), -1L, "compaction",
+      snap.files.count(f => !buckets.contains(f.bucket)), -1L, "",
       0L)
     table.commit(snap, files, buckets, None, Some(entry))
   }

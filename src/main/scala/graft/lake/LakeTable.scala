@@ -37,7 +37,12 @@ final case class LineageEntry(
     filesCarried: Int,
     maxLsn: Long,
     watermarkTs: String,
-    durationMs: Long)
+    durationMs: Long,
+    /** Events in this batch whose `ts` was below the previous commit's
+      * watermark — the late-data signal a deployment would alarm on
+      * (watermark semantics without discarding: CDC must apply late
+      * events; LWW ordering is by LSN, not ts). */
+    lateEvents: Long = 0L)
 
 /** An immutable snapshot of the table: schema history, file manifest,
   * committed-epoch map (exactly-once guard) and lineage log. Serialized as
@@ -330,6 +335,33 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       newColumnDocs = Option(doc).map(name -> _).toMap)
   }
 
+  /** Expire old snapshots and delete data files no snapshot references
+    * anymore — the maintenance operation every snapshot-log table needs
+    * at scale (COW/compaction replace files in the manifest but leave
+    * the bytes for time travel; unbounded retention is unbounded
+    * storage). Keeps the newest `keepSnapshots` versions (plus CURRENT);
+    * any data file referenced only by older versions is deleted, then
+    * the old `vN.json` files themselves. The `_lineage` mirror is never
+    * touched (it is the permanent audit log). Returns
+    * (snapshotsExpired, dataFilesDeleted). */
+  def vacuum(keepSnapshots: Int = 1): (Int, Int) = {
+    require(keepSnapshots >= 1, "must keep at least the current snapshot")
+    val cur = snapshot
+    val all = fs.listStatus(snapsPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+    val keep = all.filter(v => v > cur.version - keepSnapshots || v == cur.version)
+    val expire = all.filterNot(keep.contains)
+    val live: Set[String] =
+      keep.map(snapshotAt).flatMap(_.files.map(_.path)).toSet
+    val dead = expire.map(snapshotAt).flatMap(_.files.map(_.path)).toSet -- live
+    dead.foreach(p => fs.delete(new Path(p), false))
+    expire.foreach(v => fs.delete(new Path(snapsPath, f"v$v%012d.json"), false))
+    (expire.size, dead.size)
+  }
+
   /** Type widening (int→long, float→double, …). Old files upcast at read. */
   def widenColumn(name: String, dt: DataType): Snapshot = {
     val base = snapshot
@@ -357,7 +389,7 @@ object LakeTable {
     StructField("filesRewritten", IntegerType),
     StructField("filesCarried", IntegerType),
     StructField("maxLsn", LongType), StructField("watermarkTs", StringType),
-    StructField("durationMs", LongType)))
+    StructField("durationMs", LongType), StructField("lateEvents", LongType)))
 
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spec.Projection
+
+/** Tabular file extractors — the Spark-first re-expression of the
+  * reference's extractor stack (reference:
+  * engine/wprdc_etl/pipeline/extractors.py):
+  *
+  *  - `CSVExtractor` (extractors.py:222-232): configurable delimiter,
+  *    header row → `spark.read.csv` options (distributed, pushdown-able).
+  *  - header → schema-header normalization (extractors.py:141-155):
+  *    lowercase, strip, spaces/hyphens → underscores.
+  *  - `''` → null on every value (`handle_line`, extractors.py:157-162).
+  *  - embedded repeated-header dedupe (`IsHeaderException`,
+  *    exceptions.py:4-11; rows skipped at pipeline.py:385-386): some
+  *    sources concatenate files and re-emit the header mid-stream; those
+  *    rows are dropped by predicate, not by raising per-row.
+  *  - truncated-tail tolerance (`retry_without_last_line`,
+  *    pipeline.py:396-402) → CSV `mode=DROPMALFORMED` (row-level, exact —
+  *    the reference can only drop the last buffered line).
+  *  - `JSONExtractor` (extractors.py:164-220): a flat array of objects,
+  *    "doesn't have any nested data structures" — `spark.read.json` with
+  *    `multiLine` (headers = key union, richer than the reference's
+  *    first-object-only headers).
+  *
+  * All of this runs inside the scan (codegen'd, column-pruned); nothing is
+  * record-at-a-time.
+  */
+object Extractors {
+
+  final case class CsvOptions(
+      delimiter: String = ",",
+      header: Boolean = true,
+      normalizeHeaders: Boolean = true,
+      emptyAsNull: Boolean = true,
+      dropEmbeddedHeaders: Boolean = true,
+      dropMalformed: Boolean = false,
+      encoding: String = "UTF-8")
+
+  def csv(spark: SparkSession, path: String,
+      opts: CsvOptions = CsvOptions()): DataFrame = {
+    val base = spark.read
+      .option("sep", opts.delimiter)
+      .option("header", opts.header.toString)
+      .option("encoding", opts.encoding)
+      .option("mode", if (opts.dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
+      .option("inferSchema", "false") // declared-schema world; caller casts
+    // '' -> null at the parser (extractors.py:158: `'' -> None`)
+    val reader = if (opts.emptyAsNull) base.option("nullValue", "") else base
+    val raw = reader.csv(path)
+    val originalNames = raw.columns.toSeq
+    // a repeated embedded header row has every value equal to its own
+    // (pre-normalization) column name; null-safe AND-fold
+    val noEmbedded =
+      if (opts.dropEmbeddedHeaders && opts.header && originalNames.nonEmpty)
+        raw.filter(!originalNames.map(n => col(s"`$n`") <=> lit(n))
+          .reduce(_ && _))
+      else raw
+    if (opts.normalizeHeaders) Projection.normalizeHeaders(noEmbedded)
+    else noEmbedded
+  }
+
+  /** Flat JSON array/lines of objects (extractors.py:164-220). `multiLine`
+    * handles the single-big-array layout the reference reads with
+    * `json.load`; line-delimited JSON works with it off. */
+  def json(spark: SparkSession, path: String, multiLine: Boolean = true,
+      normalizeHeaders: Boolean = true): DataFrame = {
+    val raw = spark.read.option("multiLine", multiLine.toString).json(path)
+    if (normalizeHeaders) Projection.normalizeHeaders(raw) else raw
+  }
+}

@@ -122,6 +122,32 @@ class MergeSpec extends SparkSpec {
     assert(carried.nonEmpty)
   }
 
+  test("hot-key skew: one conv holding ~50% of events stays correct " +
+      "with bounded files (salted write)") {
+    // SURVEY §5: the skew test the north rule demands. hotFraction=0.5
+    // routes half the feed at a single conv_id -> one hash bucket.
+    val skewed = GenConfig(nEvents = 20000L, nConvs = 300L, maxTurns = 20,
+      hotFraction = 0.5)
+    val log = ChangeLogGen.changeLogDF(spark, skewed)
+    // tiny maxRowsPerFile forces the deterministic salt to kick in
+    val mc = MergeConfig(writeMode = "cow", maxRowsPerFile = 500L)
+    val t = LakeTable.createTable(spark, tmpDir("lake-skew"),
+      Schemas.transcript, 8)
+    MergeApply.merge(t, log, 0L, mc)
+    assert(finalState(t) == ChangeLogGen.oracleFinalState(skewed))
+    val files = t.snapshot.files
+    val hotBucket = files.groupBy(_.bucket).maxBy(_._2.map(_.rows).sum)
+    // the hot bucket was split across multiple salted files, each bounded
+    assert(hotBucket._2.size > 1)
+    assert(files.forall(_.rows <= 500L))
+    // MoR mode handles the same skew (delta files are per-shuffle-task
+    // sized; resolution is bucket-partitioned)
+    val tm = LakeTable.createTable(spark, tmpDir("lake-skew-mor"),
+      Schemas.transcript, 8)
+    MergeApply.merge(tm, log, 0L, MergeConfig(writeMode = "mor"))
+    assert(finalState(tm) == ChangeLogGen.oracleFinalState(skewed))
+  }
+
   test("lineage rows recorded per commit") {
     val dir = tmpDir("lake-lin")
     val table = LakeTable.createTable(spark, dir, Schemas.transcript, nBuckets = 4)

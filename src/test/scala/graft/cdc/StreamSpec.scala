@@ -66,6 +66,47 @@ class StreamSpec extends SparkSpec {
     assert(finalState(table) == oracle)
   }
 
+  test("progress listener observes batches; no alerts on success") {
+    val feed = tmpDir("feed-listener")
+    ChangeLogGen.writeBatches(spark, cfg, feed, nBatches = 2)
+    val l = ProgressListener.attach(spark)
+    try {
+      val table = LakeTable.createTable(spark, tmpDir("lt-listener"),
+        Schemas.transcript, 4)
+      CdcPipeline.replayAvailable(spark, feed, table,
+        PipelineConfig(checkpointDir = tmpDir("ckpt-listener"),
+          maxFilesPerTrigger = 4))
+      // the shared session may run other suites' queries concurrently;
+      // count only this query's batches. Delivery is async — drain.
+      val qn = s"cdc-ingest-${table.dir.hashCode.toHexString}"
+      def mine = l.batchStats.filter(_.queryName == qn)
+      val deadline = System.currentTimeMillis() + 10000
+      while (mine.map(_.numInputRows).sum < cfg.nEvents &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(mine.map(_.numInputRows).sum == cfg.nEvents)
+      assert(l.alerts.isEmpty)
+      assert(!l.stalenessAlert(maxSilentMs = 60000))
+    } finally ProgressListener.remove(spark, l)
+  }
+
+  test("lineage records late events below the previous watermark") {
+    val feed = tmpDir("feed-late")
+    ChangeLogGen.writeBatches(spark, cfg, feed, nBatches = 4)
+    val table = LakeTable.createTable(spark, tmpDir("lt-late"),
+      Schemas.transcript, nBuckets = 8)
+    CdcPipeline.replayAvailable(spark, feed, table,
+      PipelineConfig(checkpointDir = tmpDir("ckpt-late"), maxFilesPerTrigger = 1))
+    val lin = table.lineage.filter(_.epochId >= 0)
+    // generator timestamps are pseudo-random within a window, so epochs
+    // after the first must contain events older than the prior watermark
+    assert(lin.head.lateEvents == 0L) // no watermark before the first epoch
+    assert(lin.tail.exists(_.lateEvents > 0L))
+    // the mirror table exposes the same metric column
+    val mirrored = table.lineageTable.filter("epochId >= 0")
+      .selectExpr("sum(lateEvents)").head().getLong(0)
+    assert(mirrored == lin.map(_.lateEvents).sum)
+  }
+
   test("destination fan-out: one feed, two sinks, both correct") {
     val feed = tmpDir("feed-fan")
     val noDel = cfg.copy(deleteFraction = 0.0) // insert sink can't retract

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
-import graft.cdc.MergeApply
+import graft.cdc.{MergeApply, MergeConfig}
 import graft.gen.{ChangeLogGen, GenConfig}
 import graft.model.Schemas
 
@@ -99,6 +99,44 @@ class LakeTableSpec extends SparkSpec {
     val t = freshTable()
     val manifestRows = t.snapshot.files.map(_.rows).sum
     assert(manifestRows == t.readRaw().count())
+  }
+
+  test("vacuum expires old snapshots and deletes unreferenced files") {
+    val dir = tmpDir("lt-vacuum")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    val cow = MergeConfig(writeMode = "cow")
+    // 3 COW merges over the same keys -> each replaces the previous files
+    (0 to 2).foreach { e =>
+      MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(2000),
+        e.toLong, cow)
+    }
+    val preCount = t.read().count()
+    val vOld = t.snapshot.version - 2
+    assert(t.read(asOf = Some(vOld)).count() >= 0) // time travel works pre-vacuum
+    val allDataFiles = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      def walk(p: java.io.File): Seq[java.io.File] =
+        if (p.isDirectory) p.listFiles().toSeq.flatMap(walk) else Seq(p)
+      walk(new java.io.File(s"$dir/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    val live = t.snapshot.files.map(_.path).toSet
+    assert(allDataFiles.size > live.size) // replaced bytes still on disk
+    val (expired, deleted) = t.vacuum(keepSnapshots = 1)
+    assert(expired > 0 && deleted > 0)
+    // current state untouched; all remaining bytes are referenced
+    assert(t.read().count() == preCount)
+    val afterFiles = {
+      def walk(p: java.io.File): Seq[java.io.File] =
+        if (p.isDirectory) p.listFiles().toSeq.flatMap(walk) else Seq(p)
+      walk(new java.io.File(s"$dir/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(afterFiles.map("file:" + _.getAbsolutePath).toSet
+      .subsetOf(live.map(p => if (p.startsWith("file:")) p else "file:" + p)))
+    // expired versions are gone
+    intercept[Exception] { t.snapshotAt(vOld) }
+    // lineage mirror (audit log) survives vacuum
+    assert(t.lineageTable.count() >= 3)
   }
 
   test("lineage mirror table carries one queryable row per data commit") {
