@@ -93,38 +93,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    // 24M = epochs big enough to amortize per-epoch driver constants
-    // (<5% at 4N) while the full pair protocol stays ~10 min wall
-    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "24000000").toLong
-
-    val qLocal = benchTmp("graft-bench-q")
-    val spark = session(cpus.toInt, s"$qLocal/local")
-    val queriesOn = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
-    val qSeq = if (queriesOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
-    val results = qSeq.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // each run starts cache-cold; repeats measure JIT-warm plans, not warm caches
-        spark.catalog.clearCache()
-        sec
-      }
-      name -> times.min
-    }
-    spark.stop()
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(qLocal))
+    // 32M = epochs big enough to amortize per-epoch driver constants
+    // (<5% at 4N); the larger working set also measurably stabilizes the
+    // 4N-level runs (±1% observed vs ±8% at 24M)
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "32000000").toLong
 
     // North-rule scaling evidence (see BASELINE.md for the full
-    // protocol): the SAME seeded feed replayed at local[2] (N) and
-    // local[8] (4N). The pair stays in this VM's compute-bound regime —
-    // measured: beyond ~8 threads the workload saturates the VM's shared
-    // DRAM bandwidth, which a real cluster scales with its node count.
-    // Machine noise is ±15%, so each level reports the best of
-    // `reps` runs; a warmup replay absorbs JIT compilation.
+    // protocol): the SAME seeded feed replayed at N and 4N cores. The
+    // pair stays in this VM's compute-bound regime — measured: past a
+    // few threads the workload saturates the VM's shared DRAM bandwidth,
+    // which a real cluster scales with its node count. Machine noise is
+    // ±15%, so each level runs `reps` times interleaved and reports
+    // medians; a warmup replay absorbs JIT compilation.
     val cdcJson = if (cdcEvents > 0) {
       // 2 epochs of 16M: epochs sized so the ~0.8 s/epoch driver constant
       // (micro-batch planning + offset/commit logs + snapshot commit)
@@ -151,6 +131,12 @@ object Bench {
         val warmEvents = math.max(1L, cdcEvents / 8)
         val warmFeed = genFeed(s"$work/warm", warmEvents, 1)
         replayRate(n4, warmEvents, warmFeed, s"$work/warm", 0)
+        // peak sustained throughput at the VM's bandwidth optimum — the
+        // absolute events/sec headline, measured FIRST: hours-old JVMs
+        // degrade ~20-30% (heap/metaspace churn from many sessions), and
+        // the peak should reflect a healthy executor, not a tired one
+        val peak = (1 to 2).map(i =>
+          replayRate(peakCores, cdcEvents, feed, work, 100 + i)).max
         // interleave levels so slow machine phases hit both equally
         val r1 = collection.mutable.Buffer[Double]()
         val r4 = collection.mutable.Buffer[Double]()
@@ -166,14 +152,34 @@ object Bench {
         // reported.
         val effMed = median(r4.toSeq) / (4.0 * median(r1.toSeq))
         val effBest = r4.max / (4.0 * r1.max)
-        // peak sustained throughput at the VM's bandwidth optimum — the
-        // absolute events/sec headline, separate from the scaling pair
-        val peak = (1 to 2).map(i =>
-          replayRate(peakCores, cdcEvents, feed, work, 100 + i)).max
         f""","cdc":{"events":$cdcEvents,"batches":$batches,"cores_n":$n1,"cores_4n":$n4,"eps_n_median":${median(r1.toSeq)}%.1f,"eps_4n_median":${median(r4.toSeq)}%.1f,"scaling_efficiency":$effMed%.3f,"eps_n_best":${r1.max}%.1f,"eps_4n_best":${r4.max}%.1f,"scaling_efficiency_best_of":$effBest%.3f,"runs_n":[${r1.map(v => f"$v%.1f").mkString(",")}],"runs_4n":[${r4.map(v => f"$v%.1f").mkString(",")}],"cores_peak":$peakCores,"eps_peak":$peak%.1f}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(work))
     } else ""
+
+    // query micro-bench AFTER the cdc section: the 32-thread query sweep
+    // churns the shared JVM (heap/metaspace/code cache) and was measured
+    // to depress subsequent replay rates by ~20-30%
+    val qLocal = benchTmp("graft-bench-q")
+    val spark = session(cpus.toInt, s"$qLocal/local")
+    val queriesOn = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val qSeq = if (queriesOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
+    val results = qSeq.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // each run starts cache-cold; repeats measure JIT-warm plans, not warm caches
+        spark.catalog.clearCache()
+        sec
+      }
+      name -> times.min
+    }
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(qLocal))
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

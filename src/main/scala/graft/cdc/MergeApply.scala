@@ -212,7 +212,8 @@ object MergeApply {
         .getOrElse(lit(0L)).as("late")
       val stats = deduped.groupBy(col("__bucket"))
         .agg(count(lit(1)).as("n"), max(col("__lsn")).as("maxLsn"),
-          max(col("ts")).as("maxTs"), lateCol)
+          max(col("ts")).as("maxTs"), lateCol,
+          min(col("__lsn")).as("minLsn"))
         .collect()
       lap("dedup+stats")
       if (stats.isEmpty) {
@@ -228,6 +229,7 @@ object MergeApply {
       val tsVals = stats.flatMap(r => Option(r.get(3))).map(_.toString)
       val maxTs = if (tsVals.isEmpty) "" else tsVals.max
       val late = stats.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum
+      val minLsn = stats.map(_.getLong(5)).min
 
       val currentPerBucket: Map[Int, Long] = snap.files
         .filter(f => buckets.contains(f.bucket))
@@ -252,7 +254,8 @@ object MergeApply {
       val entry = LineageEntry(epochId, snap.version + 1,
         batchRows, batchRows, buckets.toSeq.sorted, newFiles.size,
         snap.files.count(f => !buckets.contains(f.bucket)), maxLsn, maxTs,
-        (System.nanoTime() - t0) / 1000000L, lateEvents = late)
+        (System.nanoTime() - t0) / 1000000L, lateEvents = late,
+        minLsn = minLsn)
       table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
       MergeResult(applied = true, snap.version + 1, batchRows, batchRows,
         buckets.toSeq.sorted, (System.nanoTime() - t0) / 1000000L)
@@ -276,7 +279,7 @@ object MergeApply {
       .find(e => e.epochId >= 0 && e.watermarkTs.nonEmpty).map(_.watermarkTs)
     val obs = org.apache.spark.sql.Observation()
     val aggs = Seq(count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
-      max(col("ts")).as("maxTs")) ++
+      min(col("__lsn")).as("minLsn"), max(col("ts")).as("maxTs")) ++
       prevWm.map(w => count(when(col("ts") < lit(w).cast(TimestampType),
         1)).as("late"))
     val observed = batchNorm.observe(obs, aggs.head, aggs.tail: _*)
@@ -291,13 +294,14 @@ object MergeApply {
     val m = obs.get
     val batchRows = m("rows").asInstanceOf[Long]
     val maxLsn = Option(m("maxLsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val minLsn = Option(m("minLsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
     val maxTs = Option(m("maxTs")).map(_.toString).getOrElse("")
     val late = m.get("late").flatMap(Option(_)).map(_.asInstanceOf[Long])
       .getOrElse(0L)
     val buckets = deltaFiles.map(_.bucket).distinct.sorted
     val entry = LineageEntry(epochId, snap.version + 1, batchRows, batchRows,
       buckets, deltaFiles.size, snap.files.size, maxLsn, maxTs,
-      (System.nanoTime() - t0) / 1000000L, lateEvents = late)
+      (System.nanoTime() - t0) / 1000000L, lateEvents = late, minLsn = minLsn)
     val committed = table.commit(snap, deltaFiles, Set.empty, Some(epochId),
       Some(entry))
 

@@ -42,7 +42,11 @@ final case class LineageEntry(
       * watermark — the late-data signal a deployment would alarm on
       * (watermark semantics without discarding: CDC must apply late
       * events; LWW ordering is by LSN, not ts). */
-    lateEvents: Long = 0L)
+    lateEvents: Long = 0L,
+    /** Low end of the batch's LSN range — with [[maxLsn]] this is the
+      * "source offset range" the north rule asks lineage to carry
+      * (-1 when not computed, e.g. blind appends / compactions). */
+    minLsn: Long = -1L)
 
 /** An immutable snapshot of the table: schema history, file manifest,
   * committed-epoch map (exactly-once guard) and lineage log. Serialized as
@@ -389,7 +393,8 @@ object LakeTable {
     StructField("filesRewritten", IntegerType),
     StructField("filesCarried", IntegerType),
     StructField("maxLsn", LongType), StructField("watermarkTs", StringType),
-    StructField("durationMs", LongType), StructField("lateEvents", LongType)))
+    StructField("durationMs", LongType), StructField("lateEvents", LongType),
+    StructField("minLsn", LongType)))
 
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),

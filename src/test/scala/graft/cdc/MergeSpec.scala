@@ -158,5 +158,7 @@ class MergeSpec extends SparkSpec {
     assert(lin.map(_.epochId) == Seq(0L, 1L))
     assert(lin.forall(_.rowsApplied > 0))
     assert(lin.forall(_.maxLsn >= 0))
+    // offset range: lineage carries the batch's [minLsn, maxLsn]
+    assert(lin.forall(e => e.minLsn >= 0 && e.minLsn <= e.maxLsn))
   }
 }
