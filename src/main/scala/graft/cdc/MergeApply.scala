@@ -241,7 +241,7 @@ object MergeApply {
       val salt = math.max(1L,
         (worstBucket + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
 
-      val current = table.readRaw(Some(buckets))
+      val current = table.readRawSnap(snap, Some(buckets))
         .withColumn("__bucket", LakeTable.bucketExpr(nB))
       val unioned = current.unionByName(deduped)
       val merged =
@@ -325,7 +325,7 @@ object MergeApply {
   def compactBuckets(table: LakeTable, buckets: Set[Int],
       cfg: MergeConfig = MergeConfig()): Snapshot = {
     val snap = table.snapshot
-    val data = table.readRaw(Some(buckets))
+    val data = table.readRawSnap(snap, Some(buckets))
       .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
     val perBucketRows = snap.files.filter(f => buckets.contains(f.bucket))
       .groupBy(_.bucket).map { case (_, fs) => fs.map(_.rows).sum }

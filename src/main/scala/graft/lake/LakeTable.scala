@@ -23,6 +23,25 @@ final case class DataFileEntry(
     schemaVersion: Int,
     kind: String = "base")
 
+/** A pointer to one immutable manifest file (a JSON list of
+  * [[DataFileEntry]]) plus the bucket-replacement it performs. The live
+  * file set of a snapshot is the in-order fold of its manifests: each
+  * manifest first removes every earlier file in its `replacedBuckets`
+  * (`reset` removes everything — a consolidated manifest), then adds its
+  * own entries. This is the Iceberg manifest-list shape: a commit WRITES
+  * only its delta (one small manifest + a snapshot JSON holding bounded
+  * refs), never the whole table manifest — at 100 TB / millions of files
+  * the round-1 design of inlining `files` into every snapshot JSON made
+  * commit cost O(table); this makes it O(batch) with an amortized
+  * consolidation every [[LakeTable.manifestCompactThreshold]] commits.
+  * `path` is empty for a pure-replacement commit (e.g. truncate) that adds
+  * no files. */
+final case class ManifestRef(
+    path: String,
+    addedFiles: Int,
+    replacedBuckets: Seq[Int] = Nil,
+    reset: Boolean = false)
+
 /** Per-commit lineage record (north rule: "per-partition lineage rows —
   * source offset range, rows applied, watermark"). The reference's analog
   * is the per-run status row (reference:
@@ -48,9 +67,25 @@ final case class LineageEntry(
       * (-1 when not computed, e.g. blind appends / compactions). */
     minLsn: Long = -1L)
 
-/** An immutable snapshot of the table: schema history, file manifest,
-  * committed-epoch map (exactly-once guard) and lineage log. Serialized as
-  * `_snapshots/v%012d.json`; `_snapshots/CURRENT` points at the live one. */
+/** An immutable snapshot of the table: schema history, manifest list,
+  * committed-epoch watermark (exactly-once guard) and recent lineage.
+  * Serialized as `_snapshots/v%012d.json`; `_snapshots/CURRENT` points at
+  * the live one. Everything persisted here is BOUNDED — commit cost must
+  * stay O(delta) at millions of epochs / millions of files:
+  *
+  *  - the file manifest lives in side manifest files ([[ManifestRef]]);
+  *    the snapshot holds at most [[LakeTable.manifestCompactThreshold]]+1
+  *    refs,
+  *  - the committed-epoch set is a high-watermark (`epochWatermark`: every
+  *    epoch ≤ it is committed) plus a bounded out-of-order overflow
+  *    (`recentEpochs`, capped at [[LakeTable.maxRecentEpochs]]),
+  *  - the inline lineage log keeps the newest
+  *    [[LakeTable.maxLineageInSnapshot]] rows; the `_lineage` mirror table
+  *    is the unbounded audit log.
+  *
+  * `files` is the materialized view of the manifest fold — populated by
+  * [[LakeTable.readSnapshot]]/commit for in-memory use, never serialized.
+  */
 final case class Snapshot(
     version: Long,
     nBuckets: Int,
@@ -62,20 +97,27 @@ final case class Snapshot(
     // the reference's "data dictionary" stash/restore
     // (reference: engine/etl_util.py:87-115, 630-664)
     columnDocs: Map[String, String],
-    files: Seq[DataFileEntry],
-    // epochId -> version that committed it (idempotent-commit guard,
-    // mirroring the input-checksum duplicate-run suppression at
-    // reference: engine/wprdc_etl/pipeline/pipeline.py:338-341)
-    committedEpochs: Map[String, Long],
+    manifests: Seq[ManifestRef],
+    // every epochId <= epochWatermark is committed (idempotent-commit
+    // guard, mirroring the input-checksum duplicate-run suppression at
+    // reference: engine/wprdc_etl/pipeline/pipeline.py:338-341). Streaming
+    // epochs are monotone-contiguous, so in steady state recentEpochs is
+    // empty and the guard is one long compare.
+    epochWatermark: Long,
+    // committed epochs above the watermark (out-of-order commits only);
+    // bounded: overflowing entries age into the watermark
+    recentEpochs: Map[String, Long],
     lineage: Seq[LineageEntry],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    // in-memory manifest fold; NEVER serialized (stripped on write)
+    files: Seq[DataFileEntry] = Nil) {
 
   def userSchema: StructType =
     DataType.fromJson(schemas(currentSchemaVersion.toString)).asInstanceOf[StructType]
   def schemaAt(v: Int): StructType =
     DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
   def isCommitted(epochId: Long): Boolean =
-    committedEpochs.contains(epochId.toString)
+    epochId <= epochWatermark || recentEpochs.contains(epochId.toString)
 }
 
 /** A from-scratch snapshot-log lake table (SURVEY.md §7.0/§7.1 item 3):
@@ -89,7 +131,11 @@ final case class Snapshot(
   *     Readers only ever see a fully-written snapshot.
   *   - **Epoch idempotence**: each commit records its `epochId`; replaying
   *     a committed epoch is a no-op (exactly-once sink on top of
-  *     at-least-once delivery).
+  *     at-least-once delivery). The record is a high-watermark + bounded
+  *     recent-set, so the guard does not grow with the epoch count.
+  *   - **O(delta) commits**: a commit writes one manifest file listing the
+  *     files it adds (plus the buckets it replaces) and a small snapshot
+  *     JSON of bounded manifest refs — never the full table manifest.
   *   - **Copy-on-write at bucket granularity**: `conv_id` is hash-bucketed
   *     into `nBuckets`; a merge rewrites only files of touched buckets and
   *     carries the rest over by reference. At 100 TB / 4096 buckets a batch
@@ -110,9 +156,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
   private val tablePath = new Path(dir)
   private val snapsPath = new Path(tablePath, "_snapshots")
+  private val manifestsPath = new Path(snapsPath, "manifests")
   private val currentPtr = new Path(snapsPath, "CURRENT")
   private def fs: FileSystem =
     tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Manifest files are immutable once written → cache by path. Bounded:
+    * cleared wholesale past 256 entries (old manifests die after
+    * consolidation; a long-lived handle would otherwise accumulate). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
 
   // ----------------------------------------------------------------- state
 
@@ -133,7 +186,49 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val in = fs.open(p)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    JsonMethods.parse(s).extract[Snapshot]
+    val snap = JsonMethods.parse(s).extract[Snapshot]
+    snap.copy(files = resolveFiles(snap.manifests))
+  }
+
+  /** Fold the manifest list into the live file set (see [[ManifestRef]]). */
+  private def resolveFiles(manifests: Seq[ManifestRef]): Seq[DataFileEntry] =
+    manifests.foldLeft(Vector.empty[DataFileEntry]) { (acc, m) =>
+      val kept =
+        if (m.reset) Vector.empty[DataFileEntry]
+        else if (m.replacedBuckets.isEmpty) acc
+        else {
+          val rb = m.replacedBuckets.toSet
+          acc.filterNot(f => rb.contains(f.bucket))
+        }
+      kept ++ readManifest(m.path)
+    }
+
+  private def readManifest(path: String): Seq[DataFileEntry] = {
+    if (path.isEmpty) return Nil
+    val cached = manifestCache.get(path)
+    if (cached != null) return cached
+    implicit val fmt: Formats = DefaultFormats
+    val in = fs.open(new Path(path))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val entries = JsonMethods.parse(s).extract[Seq[DataFileEntry]]
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(path, entries)
+    entries
+  }
+
+  /** Write one immutable manifest file; name carries the committing
+    * version + a uuid so racing writers never collide. */
+  private def writeManifest(entries: Seq[DataFileEntry], version: Long): String = {
+    implicit val fmt: Formats = DefaultFormats
+    fs.mkdirs(manifestsPath)
+    val p = new Path(manifestsPath,
+      f"m-$version%012d-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = fs.create(p, false)
+    try out.write(Serialization.write(entries).getBytes("UTF-8"))
+    finally out.close()
+    manifestCache.put(p.toString, entries)
+    p.toString
   }
 
   // --------------------------------------------------------------- create
@@ -149,8 +244,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val snap = Snapshot(
       version = 0L, nBuckets = nBuckets, currentSchemaVersion = 0,
       schemas = Map("0" -> schema.json), columnDocs = columnDocs,
-      files = Nil, committedEpochs = Map.empty, lineage = Nil,
-      properties = properties)
+      manifests = Nil, epochWatermark = -1L, recentEpochs = Map.empty,
+      lineage = Nil, properties = properties)
     writeSnapshot(snap)
     this
   }
@@ -158,13 +253,14 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   // --------------------------------------------------------------- commit
 
   /** Atomically publish a new snapshot. Fails if `snap.version` was already
-    * committed by someone else (optimistic concurrency). */
+    * committed by someone else (optimistic concurrency). The in-memory
+    * `files` view is stripped — only the bounded manifest refs persist. */
   private[graft] def writeSnapshot(snap: Snapshot): Unit = {
     implicit val fmt: Formats = DefaultFormats
     val p = new Path(snapsPath, f"v${snap.version}%012d.json")
     // overwrite=false → atomic create-if-absent (the commit race arbiter)
     val out = fs.create(p, false)
-    try out.write(Serialization.write(snap).getBytes("UTF-8"))
+    try out.write(Serialization.write(snap.copy(files = Nil)).getBytes("UTF-8"))
     finally out.close()
     val tmp = new Path(snapsPath, s".CURRENT.tmp.${snap.version}")
     val t = fs.create(tmp, true)
@@ -175,9 +271,12 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
   }
 
-  /** Commit a new file manifest. `replacedBuckets` files are dropped from
-    * the manifest (their storage is GC-able, not eagerly deleted — old
-    * snapshots remain readable = time travel). */
+  /** Commit a new file manifest delta. `replacedBuckets` files are dropped
+    * from the live set (their storage is GC-able, not eagerly deleted — old
+    * snapshots remain readable = time travel). Writes O(newFiles): one
+    * manifest file + a bounded snapshot JSON; every
+    * [[LakeTable.manifestCompactThreshold]] commits the manifest list is
+    * consolidated into one (amortized O(liveFiles/threshold) per commit). */
   private[graft] def commit(
       base: Snapshot,
       newFiles: Seq[DataFileEntry],
@@ -186,18 +285,56 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       lineage: Option[LineageEntry],
       schemaUpdate: Option[(Int, StructType)] = None,
       newColumnDocs: Map[String, String] = Map.empty): Snapshot = {
+    val v = base.version + 1
     val carried = base.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val liveFiles = carried ++ newFiles
+
+    var manifests = base.manifests
+    if (newFiles.nonEmpty || replacedBuckets.nonEmpty) {
+      val mPath = if (newFiles.nonEmpty) writeManifest(newFiles, v) else ""
+      manifests = manifests :+ ManifestRef(mPath, newFiles.size,
+        replacedBuckets.toSeq.sorted)
+    }
+    if (manifests.size > manifestCompactThreshold) {
+      // consolidate: one reset manifest holding the resolved live set
+      manifests = Seq(ManifestRef(writeManifest(liveFiles, v),
+        liveFiles.size, Nil, reset = true))
+    }
+
+    // advance the committed-epoch watermark; out-of-order epochs park in
+    // the bounded recent-set until contiguity (or the cap) absorbs them
+    val (newWm, newRecent) = epochId match {
+      case None => (base.epochWatermark, base.recentEpochs)
+      case Some(e) =>
+        var recent = base.recentEpochs + (e.toString -> v)
+        var wm = base.epochWatermark
+        while (recent.contains((wm + 1).toString)) {
+          wm += 1; recent -= wm.toString
+        }
+        if (recent.size > maxRecentEpochs) {
+          // age the oldest overflow into the watermark (epoch ids are
+          // monotone per the streaming contract; sparse ids beyond the
+          // cap trade exactness of the guard for boundedness — documented)
+          val sorted = recent.keysIterator.map(_.toLong).toSeq.sorted
+          val drop = sorted.take(recent.size - maxRecentEpochs)
+          wm = math.max(wm, drop.last)
+          recent = recent.filter { case (k, _) => k.toLong > wm }
+        }
+        (wm, recent)
+    }
+
     val snap = base.copy(
-      version = base.version + 1,
-      files = carried ++ newFiles,
-      committedEpochs = base.committedEpochs ++
-        epochId.map(e => e.toString -> (base.version + 1)).toMap,
-      lineage = (base.lineage ++ lineage.map(_.copy(version = base.version + 1)))
+      version = v,
+      manifests = manifests,
+      files = liveFiles,
+      epochWatermark = newWm,
+      recentEpochs = newRecent,
+      lineage = (base.lineage ++ lineage.map(_.copy(version = v)))
         .takeRight(maxLineageInSnapshot),
       currentSchemaVersion =
         schemaUpdate.map(_._1).getOrElse(base.currentSchemaVersion),
       schemas = base.schemas ++
-        schemaUpdate.map { case (v, s) => v.toString -> s.json }.toMap,
+        schemaUpdate.map { case (sv, s) => sv.toString -> s.json }.toMap,
       columnDocs = base.columnDocs ++ newColumnDocs)
     writeSnapshot(snap)
     lineage.foreach(writeLineageMirror(_, snap.version))
@@ -206,30 +343,44 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
   /** Append the commit's lineage row to the `_lineage` mirror table as a
     * single JSON-lines file named by snapshot version — idempotent under
-    * replay (same version -> same name, create-if-absent). */
+    * replay (same version -> same name, create-if-absent). Only the
+    * already-written collision is swallowed; any other IO failure
+    * propagates (the mirror is the permanent audit log — a silent drop
+    * would break its append-only-and-complete contract). */
   private def writeLineageMirror(entry: LineageEntry, version: Long): Unit = {
     implicit val fmt: Formats = DefaultFormats
     val dir = new Path(tablePath, "_lineage")
     val p = new Path(dir, f"v$version%012d.json")
+    fs.mkdirs(dir)
+    if (fs.exists(p)) return // replayed commit: row already mirrored
     try {
-      fs.mkdirs(dir)
       val out = fs.create(p, false)
       try out.write(
         (Serialization.write(entry.copy(version = version)) + "\n")
           .getBytes("UTF-8"))
       finally out.close()
-    } catch { case _: java.io.IOException => () /* already written */ }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+    }
   }
 
   // ----------------------------------------------------------------- read
 
   /** Raw read (meta columns retained, tombstones retained), optionally
-    * pruned to a bucket subset and a snapshot version. Files are read
-    * grouped by schema version and projected to the current user schema
-    * (+meta), so add-column / widening never rewrites data. */
+    * pruned to a bucket subset and a snapshot version. */
   def readRaw(buckets: Option[Set[Int]] = None,
       asOf: Option[Long] = None): DataFrame = {
     val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+    readRawSnap(snap, buckets)
+  }
+
+  /** Raw read pinned to an already-resolved snapshot — the check-then-read
+    * paths (MoR resolution, merge) use this so a commit racing between two
+    * snapshot reads can never mix file lists across versions. Files are
+    * read grouped by schema version and projected to the current user
+    * schema (+meta), so add-column / widening never rewrites data. */
+  private[graft] def readRawSnap(snap: Snapshot,
+      buckets: Option[Set[Int]]): DataFrame = {
     val want = snap.userSchema
     val files = buckets match {
       case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
@@ -267,15 +418,23 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .drop("__b", "__prev")
   }
 
-  /** User-facing read: merge-on-read resolution (skipped when the
-    * snapshot holds no delta files), tombstones filtered, meta columns
-    * dropped. */
+  /** User-facing read: merge-on-read resolution restricted to the buckets
+    * that actually hold delta files — base-only buckets stream straight
+    * from the scan with NO exchange (one stray delta used to trigger a
+    * full-table repartition; at 100 TB that is the difference between
+    * resolving one bucket and shuffling the world). Tombstones filtered,
+    * meta columns dropped. The whole plan is pinned to ONE snapshot. */
   def read(asOf: Option[Long] = None): DataFrame = {
     val snap = asOf.map(snapshotAt).getOrElse(snapshot)
-    val raw = readRaw(None, asOf)
+    val deltaBuckets = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
     val resolved =
-      if (snap.files.exists(_.kind == "delta")) lwwResolve(raw, snap.nBuckets)
-      else raw
+      if (deltaBuckets.isEmpty) readRawSnap(snap, None)
+      else {
+        val hot = lwwResolve(readRawSnap(snap, Some(deltaBuckets)), snap.nBuckets)
+        val coldBuckets = snap.files.map(_.bucket).toSet -- deltaBuckets
+        if (coldBuckets.isEmpty) hot
+        else hot.unionByName(readRawSnap(snap, Some(coldBuckets)))
+      }
     resolved
       .filter(col("__op") =!= lit("D"))
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
@@ -318,6 +477,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val v = base.currentSchemaVersion + 1
     val snap = base.copy(
       version = base.version + 1,
+      manifests = Nil,
       files = Nil,
       currentSchemaVersion = v,
       schemas = base.schemas + (v.toString -> schema.json),
@@ -343,10 +503,12 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * anymore — the maintenance operation every snapshot-log table needs
     * at scale (COW/compaction replace files in the manifest but leave
     * the bytes for time travel; unbounded retention is unbounded
-    * storage). Keeps the newest `keepSnapshots` versions (plus CURRENT);
-    * any data file referenced only by older versions is deleted, then
-    * the old `vN.json` files themselves. The `_lineage` mirror is never
-    * touched (it is the permanent audit log). Returns
+    * storage). Keeps the newest `keepSnapshots` EXISTING versions (plus
+    * CURRENT) — retention counts snapshots actually on disk, not version
+    * numbers, so sparse version sets after a prior vacuum are honored.
+    * Any data file or manifest referenced only by expired versions is
+    * deleted, then the old `vN.json` files themselves. The `_lineage`
+    * mirror is never touched (it is the permanent audit log). Returns
     * (snapshotsExpired, dataFilesDeleted). */
   def vacuum(keepSnapshots: Int = 1): (Int, Int) = {
     require(keepSnapshots >= 1, "must keep at least the current snapshot")
@@ -356,12 +518,20 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
-    val keep = all.filter(v => v > cur.version - keepSnapshots || v == cur.version)
+    val keep = (all.takeRight(keepSnapshots) :+ cur.version).distinct
     val expire = all.filterNot(keep.contains)
-    val live: Set[String] =
-      keep.map(snapshotAt).flatMap(_.files.map(_.path)).toSet
-    val dead = expire.map(snapshotAt).flatMap(_.files.map(_.path)).toSet -- live
+    val keptSnaps = keep.map(snapshotAt)
+    val expSnaps = expire.map(snapshotAt)
+    val live: Set[String] = keptSnaps.flatMap(_.files.map(_.path)).toSet
+    val dead = expSnaps.flatMap(_.files.map(_.path)).toSet -- live
     dead.foreach(p => fs.delete(new Path(p), false))
+    // manifests only expired snapshots reference are dead too
+    val liveManifests = keptSnaps.flatMap(_.manifests.map(_.path)).toSet
+    val deadManifests =
+      expSnaps.flatMap(_.manifests.map(_.path)).toSet -- liveManifests - ""
+    deadManifests.foreach { p =>
+      fs.delete(new Path(p), false); manifestCache.remove(p)
+    }
     expire.foreach(v => fs.delete(new Path(snapsPath, f"v$v%012d.json"), false))
     (expire.size, dead.size)
   }
@@ -379,10 +549,20 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 }
 
 object LakeTable {
-  /** Lineage kept inline in the snapshot; older entries age out (a real
-    * deployment would also mirror them to a lineage table — see
-    * graft.cdc.CdcPipeline). */
-  val maxLineageInSnapshot = 10000
+  /** Lineage kept inline in the snapshot; older entries age out (the
+    * `_lineage` mirror is the complete log). Small on purpose: every
+    * commit reserializes the inline log, so its size is a direct tax on
+    * commit latency. */
+  val maxLineageInSnapshot = 256
+
+  /** Committed-epoch overflow cap: out-of-order epochs above the
+    * watermark are tracked exactly up to this many; beyond it the oldest
+    * age into the watermark. */
+  val maxRecentEpochs = 1024
+
+  /** Manifest refs kept in a snapshot before consolidation folds them
+    * into one reset manifest. */
+  val manifestCompactThreshold = 32
 
   /** Explicit schema for the `_lineage` mirror (JSON-lines) so reads
     * never pay schema inference. */

@@ -54,6 +54,38 @@ class MorSpec extends SparkSpec {
     assert(finalState(table) == before)
   }
 
+  test("MoR read resolves only delta-bearing buckets; base-only buckets scan exchange-free") {
+    import org.apache.spark.sql.functions.col
+    val table = LakeTable.createTable(spark, tmpDir("mor-prune"),
+      Schemas.transcript, nBuckets = 4)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = (0 until 12).map(i =>
+      (i.toLong, "I", s"conv-$i", 0, "user", s"text-$i", null: String, ts))
+    MergeApply.merge(table, base.toDF(
+      "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      0L, MergeConfig(writeMode = "cow"))
+    // one MoR delta updating a single conversation -> one delta bucket
+    val upd = Seq((100L, "U", "conv-3", 0, "user", "updated", null: String, ts))
+    MergeApply.merge(table, upd.toDF(
+      "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      1L, MergeConfig(writeMode = "mor", maxDeltaFilesPerBucket = 100))
+    val deltaBuckets =
+      table.snapshot.files.filter(_.kind == "delta").map(_.bucket).toSet
+    assert(deltaBuckets.size == 1)
+    assert(table.snapshot.files.map(_.bucket).toSet.size > 1)
+    val df = table.read()
+    val got = df.as[TranscriptRow].collect().toSeq.sortBy(_.conv_id)
+    val expect = base.map { case (_, _, c, t0, r, tx, tl, t1) =>
+      TranscriptRow(c, t0, r, if (c == "conv-3") "updated" else tx, tl, t1)
+    }.sortBy(_.conv_id)
+    assert(got == expect)
+    // only the delta-bearing bucket pays the LWW exchange; base-only
+    // buckets union in straight from the scan
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one Exchange, plan:\n$plan")
+  }
+
   test("time travel: pre-compaction snapshots remain readable") {
     val table = LakeTable.createTable(spark, tmpDir("mor-tt"),
       Schemas.transcript, nBuckets = 2)

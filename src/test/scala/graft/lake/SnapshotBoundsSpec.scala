@@ -1,0 +1,103 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.cdc.MergeApply
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.model.Schemas
+
+/** The bounded-metadata contract: commit cost stays O(delta) — not
+  * O(epochs) and not O(table files) — at millions of epochs. Drives the
+  * commit path directly (no Spark jobs) so hundreds of epochs run in
+  * milliseconds. */
+class SnapshotBoundsSpec extends SparkSpec {
+
+  private def entry(i: Int) = LineageEntry(i.toLong, 0L, 1L, 1L, Seq(i % 4),
+    1, 0, i.toLong, "", 0L)
+
+  private def snapshotBytes(t: LakeTable): Long = {
+    val v = t.snapshot.version
+    new java.io.File(f"${t.dir}/_snapshots/v$v%012d.json").length()
+  }
+
+  test("300-epoch replay: snapshot JSON stays bounded and flat, watermark absorbs epochs") {
+    val t = LakeTable.createTable(spark, tmpDir("bounds"), Schemas.transcript, 4)
+    var sizeAt260 = 0L
+    (0 until 300).foreach { i =>
+      t.commit(t.snapshot,
+        Seq(DataFileEntry(s"fake-$i.parquet", i % 4, 1L, 0)),
+        Set.empty, Some(i.toLong), Some(entry(i)))
+      if (i == 260) sizeAt260 = snapshotBytes(t)
+    }
+    val snap = t.snapshot
+    // epoch guard is a watermark, not an ever-growing map
+    assert(snap.epochWatermark == 299L)
+    assert(snap.recentEpochs.isEmpty)
+    // aged-out epochs (no longer in any map) are still no-ops
+    assert(snap.isCommitted(0L) && snap.isCommitted(150L))
+    assert(!snap.isCommitted(300L))
+    // manifest list is consolidated, not accumulated
+    assert(snap.manifests.size <= LakeTable.manifestCompactThreshold + 1)
+    // the materialized view still resolves every live file
+    assert(snap.files.size == 300)
+    assert(snap.files.map(_.path).distinct.size == 300)
+    // inline lineage aged out at the cap; the mirror holds every row
+    assert(snap.lineage.size == LakeTable.maxLineageInSnapshot)
+    assert(t.lineageTable.count() == 300)
+    // snapshot JSON is small and FLAT: past the lineage cap the marginal
+    // growth per commit is ~one manifest ref, not O(epochs)
+    val sizeNow = snapshotBytes(t)
+    assert(sizeNow < 200000, s"snapshot JSON grew to $sizeNow bytes")
+    assert(sizeNow <= (sizeAt260 * 1.25).toLong,
+      s"snapshot not flat: $sizeAt260 -> $sizeNow bytes over 40 commits")
+  }
+
+  test("out-of-order epochs park in the recent-set until contiguity absorbs them") {
+    val t = LakeTable.createTable(spark, tmpDir("bounds-ooo"), Schemas.transcript, 4)
+    Seq(0, 5, 2).foreach(i => t.commit(t.snapshot,
+      Seq(DataFileEntry(s"f-$i", 0, 1L, 0)), Set.empty, Some(i.toLong), None))
+    val mid = t.snapshot
+    assert(mid.epochWatermark == 0L)
+    assert(mid.recentEpochs.keySet == Set("2", "5"))
+    assert(mid.isCommitted(5L) && mid.isCommitted(2L) && !mid.isCommitted(1L)
+      && !mid.isCommitted(3L))
+    Seq(1, 3, 4).foreach(i => t.commit(t.snapshot,
+      Seq(DataFileEntry(s"f-$i", 0, 1L, 0)), Set.empty, Some(i.toLong), None))
+    val end = t.snapshot
+    assert(end.epochWatermark == 5L)
+    assert(end.recentEpochs.isEmpty)
+  }
+
+  test("manifest fold: bucket replacement drops earlier files; consolidation preserves the set") {
+    val t = LakeTable.createTable(spark, tmpDir("bounds-fold"), Schemas.transcript, 4)
+    t.commit(t.snapshot, Seq(DataFileEntry("a", 0, 1L, 0),
+      DataFileEntry("b", 1, 1L, 0)), Set.empty, None, None)
+    t.commit(t.snapshot, Seq(DataFileEntry("c", 0, 1L, 0)), Set(0), None, None)
+    assert(t.snapshot.files.map(_.path).toSet == Set("b", "c"))
+    // pure-replacement commit (truncate shape): no manifest file written
+    t.commit(t.snapshot, Nil, Set(1), None, None)
+    assert(t.snapshot.files.map(_.path).toSet == Set("c"))
+    // push past the consolidation threshold; the fold result is unchanged
+    (0 until LakeTable.manifestCompactThreshold + 2).foreach { i =>
+      t.commit(t.snapshot, Seq(DataFileEntry(s"x-$i", 2, 1L, 0)),
+        Set.empty, None, None)
+    }
+    val snap = t.snapshot
+    assert(snap.manifests.size <= LakeTable.manifestCompactThreshold + 1)
+    assert(snap.manifests.exists(_.reset) || snap.manifests.size <= 3)
+    assert(snap.files.map(_.path).toSet ==
+      (0 until LakeTable.manifestCompactThreshold + 2).map(i => s"x-$i").toSet + "c")
+  }
+
+  test("merge replay of an already-committed epoch is a no-op end-to-end") {
+    val t = LakeTable.createTable(spark, tmpDir("bounds-replay"), Schemas.transcript, 4)
+    val log = ChangeLogGen.changeLogDF(spark,
+      GenConfig(nEvents = 2000L, nConvs = 50L, maxTurns = 8))
+    MergeApply.merge(t, log.limit(1000), 0L)
+    MergeApply.merge(t, log, 1L)
+    val before = t.read().count()
+    val r = MergeApply.merge(t, log.limit(1000), 0L)
+    assert(!r.applied)
+    assert(t.read().count() == before)
+    assert(t.snapshot.epochWatermark == 1L)
+  }
+}
