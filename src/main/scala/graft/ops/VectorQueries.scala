@@ -60,8 +60,10 @@ object VectorQueries {
   // ------------------------------------- q28 embedding-cosine near-dup
 
   /** All pairs with cosine >= 0.45 — embedding near-duplicate detection.
-    * All-pairs is the exactness baseline; the LSH bucketing of q30 is the
-    * 10^9-vector path (same scores, pruned candidate set). */
+    * This is the small-corpus exactness baseline (a broadcast nested-loop
+    * cartesian — fine at oracle scale, fatal at 10^9 vectors); q33 is the
+    * blocked equi-join formulation that computes the identical pair set
+    * at scale. */
   private val q28: Q = (s, d) => {
     val v = quantized(s, d)
     val a = v.select(col("vec_id").as("ia"), col("q").as("qa"), col("nn").as("na"))
@@ -84,6 +86,63 @@ object VectorQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id)
        SELECT ia, ib, dot::DOUBLE / sqrt(na::DOUBLE * nb::DOUBLE) AS sim
        FROM p WHERE dot > 0 AND dot * dot * 400 >= 81 * na * nb"""
+
+  // ------------------------- q33 blocked exact near-dup (the scale path)
+
+  /** Block-pair partitioning factor. At n vectors the join materializes
+    * B(B+1)/2 block-pair groups of ~(n/B)² comparisons each; pick B so a
+    * block (n/B rows × vector width) fits executor memory — B ~ 16-64 at
+    * sf-scale, thousands at 10^9 vectors. */
+  private val NearDupBlocks = 8
+
+  /** Exact embedding near-dup pairs (same semantics + oracle as q28) via
+    * block-partitioned self-join — the 10^9-vector formulation of the
+    * all-pairs comparison. q28's `a.join(b, ia < ib)` plans as a
+    * BroadcastNestedLoopJoin cartesian: the whole corpus broadcast to
+    * every task, unbounded build memory. Here each vector is hashed into
+    * one of B blocks, the B(B+1)/2 unordered block pairs become an
+    * EQUI-join key (shuffle, no broadcast of the corpus, no driver
+    * cartesian), and each block-pair group does its quadratic comparison
+    * locally with bounded memory (two blocks) and an integer early-out
+    * filter before the double division. This is the classic distributed
+    * theta-join blocking: total compare count is unchanged (exactness
+    * requires it) but the work is spread over B(B+1)/2 independent tasks
+    * with replication factor B+1 — the shape that survives a 1000-executor
+    * scale-up.
+    *
+    * Why not LSH here: measured on this corpus, background pair cosine is
+    * ~N(0, 0.125) and the 0.45 threshold sits at θ≈63°, where sign-bit
+    * collision probability is 0.65 vs 0.5 background — no AND-OR band
+    * parameterization reaches recall≈1 (required: must match the exact
+    * oracle) without admitting nearly all pairs as candidates
+    * (e.g. 16 bands × 4 bits: recall 0.96, noise acceptance 0.64). Banded
+    * LSH is the right candidate generator at production thresholds
+    * (≥0.8, θ≤37°) — exactly the regime q26 exploits for shingle Jaccard
+    * ≥0.5 — but at θ=63° the exact blocked join IS the scale path. */
+  private val q33: Q = (s, d) => {
+    import s.implicits._
+    val v = quantized(s, d)
+    val B = NearDupBlocks
+    val blockPairs =
+      (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("ba", "bb")
+    val withBlk = v.withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+    val aSide = withBlk.join(broadcast(blockPairs), col("blk") === col("ba"))
+      .select(col("ba"), col("bb"), col("vec_id").as("ia"),
+        col("q").as("qa"), col("nn").as("na"))
+    val bSide = withBlk.join(broadcast(blockPairs), col("blk") === col("bb"))
+      .select(col("ba"), col("bb"), col("vec_id").as("ib"),
+        col("q").as("qb"), col("nn").as("nb"))
+    aSide.join(bSide, Seq("ba", "bb"))
+      // cross-block pairs appear exactly once (their blocks fix the roles);
+      // same-block groups see both orders -> keep one
+      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
+      .withColumn("dot", dot("qa", "qb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400 >= col("na") * col("nb") * 81)
+      .withColumn("sim", cosine)
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"), col("sim"))
+  }
 
   // ------------------------------------------- q29 brute-force kNN top-k
 
@@ -137,11 +196,15 @@ object VectorQueries {
     * with the first k vectors) partitions the corpus into cells; each
     * query scores only the vectors in its `nprobe`=3 nearest cells.
     *
-    * Scale shape: the index build is the O(n·k) assignment (a broadcast
-    * join of n vectors against k centroids — centroids are tiny and
-    * always broadcast); the search is a bucket-equi-join on cell id
-    * (shuffle on cell, never a cross join), touching ~n·nprobe/k of the
-    * corpus per query. k scales as ~sqrt(n) at 10^9 vectors.
+    * Scale shape: the index build is the O(n·k) assignment computed as a
+    * per-row fold over a k-entry centroid literal — no join, no window,
+    * no shuffle (an n×k cross join + per-vector argmin window would
+    * shuffle n×k rows into billions of single-vector groups at 10^9
+    * vectors); the search is a bucket-equi-join on cell id (shuffle on
+    * cell, never a cross join), touching ~n·nprobe/k of the corpus per
+    * query. k scales as ~sqrt(n) at 10^9 vectors (past literal size,
+    * the centroid table rides a broadcast variable inside the same
+    * fold expression).
     *
     * Determinism without an oracle's help: centroids are computed in
     * exact integer fixed-point (sum of quantized coords is an exact long
@@ -159,28 +222,31 @@ object VectorQueries {
 
     // --- index build: seeded k-means in integer fixed-point. Centroids
     // are collected to the driver each iteration (k x dim longs — tiny)
-    // so the lineage stays flat: each assignment pass scans the corpus
-    // exactly once against a literal centroid table, instead of
-    // re-deriving previous iterations through a deep lazy plan.
+    // and re-enter the plan as ONE array literal, so both assignment and
+    // probing are pure per-row expressions: the nearest/nearest-3 cells
+    // come from a fold over the k candidate cells INSIDE the row — no
+    // n×k cross join, no per-vec_id window (that shape shuffles n×k rows
+    // into billions of single-vector window groups at 10^9 vectors; this
+    // one shuffles nothing at all).
     import s.implicits._
     var centroids: Seq[(Int, Seq[Long])] =
       v.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").cast(IntegerType),
           transform(col("q"), _ * 1000))
         .as[(Int, Seq[Long])].collect().toSeq
-    def centroidDF = centroids.toDF("cell", "c")
-    def assign(src: DataFrame): DataFrame = {
-      val dist = aggregate(
-        zip_with(col("qs"), col("c"), (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _)
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cell").asc)
-      src.join(broadcast(centroidDF), lit(true))
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1)
+    // array<struct<_1:cell, _2:coords>> literal, cell-ascending
+    def centLit = typedLit(centroids.sortBy(_._1))
+    // per-row distances to every cell as struct(dist, cell) — natural
+    // struct ordering sorts by (dist asc, cell asc), the deterministic
+    // tie-break the window formulation used
+    def cellDists = transform(centLit, cen => struct(
+      aggregate(zip_with(col("qs"), cen.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x).as("dist"),
+      cen.getField("_1").as("cell")))
+    def assign(src: DataFrame): DataFrame =
+      src.withColumn("cell",
+          element_at(array_sort(cellDists), 1).getField("cell"))
         .select(col("vec_id"), col("q"), col("nn"), col("qs"), col("cell"))
-    }
     for (_ <- 0 until KmeansIters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i"))
@@ -192,20 +258,14 @@ object VectorQueries {
     }
     val assigned = assign(scaled).persist()
 
-    // --- search: probe the nprobe nearest cells per query
-    val qdist = aggregate(
-      zip_with(col("qs"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0L), _ + _)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("cell").asc)
+    // --- search: probe the nprobe nearest cells per query (same per-row
+    // fold; the nprobe cells are the sorted prefix)
     val probed = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("na"), col("qs"))
-      .join(broadcast(centroidDF), lit(true))
-      .withColumn("dist", qdist)
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= IvfProbes)
-      .select(col("query_id"), col("qq"), col("na"), col("cell"))
+      .withColumn("__p", explode(slice(array_sort(cellDists), 1, IvfProbes)))
+      .select(col("query_id"), col("qq"), col("na"),
+        col("__p.cell").as("cell"))
     val cands = assigned.select(col("vec_id").as("neighbor_id"),
       col("q").as("qc"), col("nn").as("nb"), col("cell"))
     val scored = probed.join(cands, Seq("cell"))
@@ -222,9 +282,13 @@ object VectorQueries {
   val queries: Map[String, Q] = Map(
     "q28_dedup_embedding_cosine" -> q28,
     "q29_knn_brute_cosine" -> q29,
-    "q30_knn_ann_ivf" -> q30)
+    "q30_knn_ann_ivf" -> q30,
+    "q33_dedup_embedding_blocked" -> q33)
 
   val oracles: Map[String, String] = Map(
     "q28_dedup_embedding_cosine" -> q28Sql,
-    "q29_knn_brute_cosine" -> q29Sql)
+    "q29_knn_brute_cosine" -> q29Sql,
+    // q33 computes the identical pair set through the blocked plan —
+    // same exact oracle as q28
+    "q33_dedup_embedding_blocked" -> q28Sql)
 }
