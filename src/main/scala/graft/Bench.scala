@@ -69,7 +69,11 @@ object Bench {
 
   /** One full streaming replay of the shared feed on a fresh session at
     * the given core count (fresh table + checkpoint per run); returns
-    * events/sec. */
+    * events/sec. The timed window ends at a READ-OPTIMIZED table: any
+    * delta files the MoR epochs deferred are compacted before the clock
+    * stops, so the rate charges the full cost of reaching the final
+    * state — not delta-append throughput with the merge bill deferred
+    * past the measurement. */
   private def replayRate(cores: Int, events: Long, feed: String,
       work: String, run: Int): Double = {
     val spark = session(cores, s"$work/local-$cores-$run")
@@ -80,6 +84,10 @@ object Bench {
       CdcPipeline.replayAvailable(spark, feed, table,
         PipelineConfig(checkpointDir = s"$work/ckpt-$cores-$run",
           maxFilesPerTrigger = FilesPerBatch))
+      val deltaBuckets = table.snapshot.files
+        .filter(_.kind == "delta").map(_.bucket).toSet
+      if (deltaBuckets.nonEmpty)
+        graft.cdc.MergeApply.compactBuckets(table, deltaBuckets)
       val rate = events / ((System.nanoTime() - t0) / 1e9)
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$work/table-$cores-$run"))
@@ -165,10 +173,20 @@ object Bench {
     val queriesOn = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val qSeq = if (queriesOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
     val results = qSeq.map { case (name, fn) =>
+      var failed = false
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
+        // consume FULL tuples: hash every column of every row into one
+        // aggregate. A bare count() lets Catalyst prune unreferenced
+        // projections, so expression-heavy queries would be timed nearly
+        // scan-only — this measures what the driver's oracle actually runs.
+        try {
+          import org.apache.spark.sql.functions.{col, expr, xxhash64}
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(df.columns.map(col).toSeq: _*).as("__h"))
+            .agg(expr("bit_xor(__h)")).collect()
+        } catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -176,14 +194,16 @@ object Bench {
         spark.catalog.clearCache()
         sec
       }
-      name -> times.min
+      // a failed query reports a -1 sentinel, never its time-to-failure
+      name -> (if (failed) -1.0 else times.min)
     }
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(qLocal))
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"repeat":$repeat$cdcJson}""")
+    val failedNames = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failedNames.mkString(",")}],"sf":"$sfDir","cpus":$cpus,"repeat":$repeat$cdcJson}""")
   }
 }
