@@ -16,7 +16,18 @@ final case class PipelineConfig(
     /** Read the v2 envelope (open `extras` map + op="S" schema-registry
       * events, see [[SchemaRegistry]]). v1 feeds skip the per-batch
       * registry scan entirely. */
-    envelopeV2: Boolean = false)
+    envelopeV2: Boolean = false,
+    /** Pre-merge batch hook — the reference's per-job custom_processing
+      * seam (reference: engine/etl_util.py:760-767: a job-supplied
+      * function runs over the data before load). Returns the
+      * (possibly transformed) batch; MUST stay a declarative DataFrame
+      * transform so it fuses into the merge plan. */
+    preBatch: (DataFrame, Long) => DataFrame = (b, _) => b,
+    /** Post-merge hook per (table, epoch, result) — the post-load seam
+      * (reference custom post-processing + per-run status row,
+      * engine/wprdc_etl/pipeline/status.py). Runs on the driver after
+      * the epoch commits; exceptions propagate and fail the stream. */
+    postBatch: (LakeTable, Long, MergeResult) => Unit = (_, _, _) => ())
 
 /** The always-on ingest loop (SURVEY.md §7.1 item 5): a Structured
   * Streaming query that tails a file-based change feed (a directory of
@@ -49,9 +60,11 @@ object CdcPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (cfg.method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
-        else MergeApply.merge(table, batch, epochId, cfg.merge)
-        ()
+        val b = cfg.preBatch(batch, epochId)
+        val res =
+          if (cfg.method == "insert") MergeApply.append(table, b, epochId, cfg.merge)
+          else MergeApply.merge(table, b, epochId, cfg.merge)
+        cfg.postBatch(table, epochId, res)
       }
       .start()
   }

@@ -440,6 +440,21 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** The registered event-time column (`watermark.column` table property)
+    * — the reference's per-resource time-field registry
+    * (reference: engine/etl_util.py:314-348). */
+  def watermarkColumn: Option[String] =
+    snapshot.properties.get(graft.spec.TimeField.WatermarkColumn)
+
+  /** Time-gap incremental pull over the registered time column: rows from
+    * the last `days` days relative to the table's own max. Fails fast if
+    * the table declared no `watermark.column`. */
+  def incrementalTail(days: Int): DataFrame = {
+    val c = watermarkColumn.getOrElse(throw new IllegalArgumentException(
+      s"table $dir has no '${graft.spec.TimeField.WatermarkColumn}' property"))
+    graft.spec.TimeField.timeGap(read(), c, days)
+  }
+
   def lineage: Seq[LineageEntry] = snapshot.lineage
 
   def lineageDF: DataFrame = {
@@ -610,6 +625,7 @@ object LakeTable {
   def load(spark: SparkSession, dir: String): LakeTable = new LakeTable(spark, dir)
 
   def createTable(spark: SparkSession, dir: String, schema: StructType,
-      nBuckets: Int, columnDocs: Map[String, String] = Map.empty): LakeTable =
-    new LakeTable(spark, dir).create(schema, nBuckets, columnDocs)
+      nBuckets: Int, columnDocs: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty): LakeTable =
+    new LakeTable(spark, dir).create(schema, nBuckets, columnDocs, properties)
 }

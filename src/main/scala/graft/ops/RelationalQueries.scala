@@ -233,14 +233,10 @@ object RelationalQueries {
   // q14: time-gap incremental window — only rows newer than
   // max(time_field) - 7 days (reference: get_extant_time_range + day-window
   // fetch, engine/time_field_util.py:53-127, 211.py:225-248)
-  private val q14: Q = (s, d) => {
-    val e = t(s, d, "events")
-    val hi = e.agg(max(col("ts")).as("max_ts"))
-    e.crossJoin(hi)
-      .filter(col("ts") > col("max_ts") - expr("INTERVAL 7 DAYS"))
+  private val q14: Q = (s, d) =>
+    graft.spec.TimeField.timeGap(t(s, d, "events"), "ts", 7)
       .groupBy(col("ts").cast(DateType).as("day"))
       .agg(count(lit(1)).as("n"))
-  }
   private val q14Sql =
     """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
        WHERE ts > (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
@@ -305,6 +301,45 @@ object RelationalQueries {
        WHERE NOT (etype IS NULL AND v IS NULL AND event_id IS NULL)
        GROUP BY etype"""
 
+  // q19: multi-format fuzzy date parsing — first-matching-format wins,
+  // unparseable → null (every reference payload job hand-rolls this; see
+  // graft.spec.ScalarOps.fuzzyTimestamp). The three formats + junk rows
+  // are synthesized deterministically from o_orderkey so the oracle can
+  // rebuild the identical raw strings.
+  private val q19: Q = (s, d) => {
+    val raw = t(s, d, "orders").select(col("o_orderkey"),
+      when(pmod(col("o_orderkey"), lit(97)) === 0, lit("not a date"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1,
+          date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm"))
+        .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy")).as("raw_ts"))
+    raw.select(pmod(col("o_orderkey"), lit(3)).as("fmt"),
+        graft.spec.ScalarOps.fuzzyTimestamp(col("raw_ts"), Seq(
+          "yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm", "dd.MM.yyyy"))
+          .as("parsed"))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"), count(col("parsed")).as("parsed_ok"),
+        min(col("parsed")).as("min_ts"), max(col("parsed")).as("max_ts"))
+  }
+  private val q19Sql =
+    """WITH raw AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'not a date'
+                WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y %H:%M')
+                ELSE strftime(o_orderdate, '%d.%m.%Y') END AS raw_ts
+         FROM orders),
+       p AS (
+         SELECT o_orderkey % 3 AS fmt,
+           COALESCE(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+                    try_strptime(raw_ts, '%m/%d/%Y %H:%M'),
+                    try_strptime(raw_ts, '%d.%m.%Y')) AS parsed
+         FROM raw)
+       SELECT fmt, COUNT(*) AS n, COUNT(parsed) AS parsed_ok,
+              MIN(parsed) AS min_ts, MAX(parsed) AS max_ts
+       FROM p GROUP BY fmt"""
+
   val queries: Map[String, Q] = Map(
     "q01_groupby_agg" -> q01,
     "q02_filter_dsl" -> q02,
@@ -323,7 +358,8 @@ object RelationalQueries {
     "q15_densify_months" -> q15,
     "q16_topk" -> q16,
     "q17_uniqueness_check" -> q17,
-    "q18_empty_row_drop" -> q18)
+    "q18_empty_row_drop" -> q18,
+    "q19_fuzzy_dates" -> q19)
 
   val oracles: Map[String, String] = Map(
     "q01_groupby_agg" -> q01Sql,
@@ -343,5 +379,6 @@ object RelationalQueries {
     "q15_densify_months" -> q15Sql,
     "q16_topk" -> q16Sql,
     "q17_uniqueness_check" -> q17Sql,
-    "q18_empty_row_drop" -> q18Sql)
+    "q18_empty_row_drop" -> q18Sql,
+    "q19_fuzzy_dates" -> q19Sql)
 }

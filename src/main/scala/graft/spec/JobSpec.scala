@@ -81,3 +81,38 @@ object Projection {
   def dropEmptyRows(df: DataFrame): DataFrame =
     df.filter(!df.columns.map(col(_).isNull).reduce(_ && _))
 }
+
+/** Scalar cleanup operators beyond single casts. */
+object ScalarOps {
+  /** Multi-format fuzzy timestamp parse: try each pattern in order, first
+    * success wins, all-fail → null. The coalesce-of-try_to_timestamp
+    * chain stays a pure codegen'd per-row expression (no UDF). Nearly
+    * every reference payload job hand-rolls this loop in Python
+    * (reference: engine/payload/pgh/dpw_smart_trash_cans.py:45-53,
+    * engine/payload/pgh/pull_monthly.py:31-39). */
+  def fuzzyTimestamp(c: Column, formats: Seq[String]): Column = {
+    require(formats.nonEmpty, "need at least one format")
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+  }
+}
+
+/** Incremental time-window operators — the reference's per-resource
+  * time-field registry + day-window fetch (reference:
+  * engine/etl_util.py:314-348, engine/time_field_util.py:53-127). The
+  * registered time column travels as the `watermark.column` table
+  * property ([[graft.lake.LakeTable]] snapshot `properties`), so an
+  * incremental puller needs only the table handle. */
+object TimeField {
+  /** Table-property key naming the event-time column. */
+  val WatermarkColumn = "watermark.column"
+
+  /** Rows newer than max(timeCol) - `days` — the time-gap incremental
+    * window. One scan computes the max (tiny 1-row side), the filtered
+    * re-scan prunes on the pushed predicate. */
+  def timeGap(df: DataFrame, timeCol: String, days: Int): DataFrame = {
+    val hi = df.agg(max(col(timeCol)).as("__max_t"))
+    df.crossJoin(hi)
+      .filter(col(timeCol) > col("__max_t") - expr(s"INTERVAL $days DAYS"))
+      .drop("__max_t")
+  }
+}

@@ -32,6 +32,28 @@ class StreamSpec extends SparkSpec {
     assert(table.snapshot.version == v)
   }
 
+  test("pre/post batch hooks: declarative pre-transform fuses in, post sees results") {
+    import org.apache.spark.sql.functions.{col, upper}
+    val feed = tmpDir("feed-hooks")
+    ChangeLogGen.writeBatches(spark, cfg.copy(nEvents = 2000L), feed, nBatches = 2)
+    val table = LakeTable.createTable(spark, tmpDir("lt-hooks"),
+      Schemas.transcript, nBuckets = 4)
+    val seen = collection.mutable.Buffer[(Long, Long)]()
+    val pcfg = PipelineConfig(checkpointDir = tmpDir("ckpt-hooks"),
+      maxFilesPerTrigger = 1,
+      preBatch = (b: DataFrame, _: Long) =>
+        b.withColumn("role", upper(col("role"))),
+      postBatch = (_: LakeTable, e: Long, r: MergeResult) =>
+        seen.synchronized { seen += ((e, r.rowsApplied)); () })
+    CdcPipeline.replayAvailable(spark, feed, table, pcfg)
+    // pre-hook transformed every applied row
+    assert(table.read().filter(col("role") =!= upper(col("role"))).count() == 0)
+    assert(table.read().filter(col("role").rlike("[a-z]")).count() == 0)
+    // post-hook observed each committed epoch with its merge result
+    assert(seen.map(_._1).sorted == Seq(0L, 1L))
+    assert(seen.map(_._2).sum == 2000L)
+  }
+
   test("late-arriving feed files are picked up on resume from checkpoint") {
     val feed = tmpDir("feed2")
     val half = cfg.copy(nEvents = cfg.nEvents / 2)

@@ -139,6 +139,27 @@ class LakeTableSpec extends SparkSpec {
     assert(t.lineageTable.count() >= 3)
   }
 
+  test("watermark.column property drives the time-gap incremental pull") {
+    import graft.spec.TimeField
+    val dir = tmpDir("lt-wm")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4,
+      properties = Map(TimeField.WatermarkColumn -> "ts"))
+    assert(t.watermarkColumn.contains("ts"))
+    def ev(lsn: Long, conv: String, day: Int) =
+      (lsn, "I", conv, 0, "user", "x", null: String,
+        java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00"))
+    MergeApply.merge(t, Seq(ev(1, "old", 1), ev(2, "mid", 20),
+      ev(3, "new", 25)).toDF(
+      "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"), 0L)
+    // max ts = Jan 25; 7-day gap keeps Jan 20 + Jan 25, drops Jan 1
+    val tail = t.incrementalTail(7).select("conv_id").as[String].collect().toSet
+    assert(tail == Set("mid", "new"))
+    // a table without the property fails fast
+    val bare = LakeTable.createTable(spark, tmpDir("lt-nowm"),
+      Schemas.transcript, 4)
+    intercept[IllegalArgumentException] { bare.incrementalTail(7) }
+  }
+
   test("lineage mirror table carries one queryable row per data commit") {
     val dir = tmpDir("lt-lineagemirror")
     val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
