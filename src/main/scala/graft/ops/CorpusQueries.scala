@@ -235,25 +235,64 @@ object CorpusQueries {
 
   // --------------------------------------- q25 exact n-gram Jaccard pairs
 
-  /** Exact near-dup pairs: 5-gram shingle Jaccard >= 0.5, computed via a
-    * shingle-inverted-index self-join (each shared shingle contributes one
-    * joined row; pair counts = intersection sizes). This is the exact
-    * baseline the approximate variants (q26/q27) are verified against. */
-  private val q25: Q = (s, d) => {
-    val sh = shingleRows(s, d)
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
+  /** Document-frequency cutoff for the inverted-index candidate join: a
+    * shingle shared by more than this many documents ("stop shingle" —
+    * boilerplate headers, license blocks) is excluded from candidate
+    * GENERATION, because one such shingle makes its bucket's self-join
+    * quadratic in its DF (a shingle in 1M docs = 5·10^11 joined rows).
+    * Verification always runs over the FULL shingle set, so scores stay
+    * exact; a pair can only be missed if EVERY shingle it shares is
+    * boilerplate-hot — which a true near-dup (sharing ≥1/3 of its mostly
+    * document-specific shingles) does not do. */
+  val HotShingleDfCutoff = 1024L
+
+  /** Candidate pairs from the shingle inverted index, with hot shingles
+    * (df > maxDf) excluded from the index. Dropped shingles are DISCLOSED
+    * on stderr (shingle + its df), never silently capped. */
+  def invertedIndexCandidates(sh: DataFrame,
+      maxDf: Long = HotShingleDfCutoff): DataFrame = {
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    // the hot set is tiny by construction (each entry repeats in > maxDf
+    // docs); collect to disclose and to broadcast the anti-join filter
+    val hotRows = hot.collect()
+    hotRows.foreach(r => System.err.println(
+      s"[corpus] dropping stop-shingle from candidate index " +
+        s"(df=${r.getLong(1)} > $maxDf): '${r.getString(0)}'"))
+    val index =
+      if (hotRows.isEmpty) sh
+      else sh.join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
+    index.as("a")
+      .join(index.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    pairs
-      .join(cnt.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
-      .join(cnt.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
-      .filter(col("shared") * 3 >= col("na") + col("nb"))
-      .select(col("ida"), col("idb"),
-        (col("shared").cast(DoubleType) /
-          (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jac"))
+      .distinct()
+  }
+
+  /** Exact near-dup pairs over an arbitrary documents frame (doc_id,
+    * text): candidates from the DF-cutoff inverted index, scores from the
+    * full shingle set. Public so callers (and the skew test) can tune the
+    * cutoff. */
+  def exactNearDups(docsDf: DataFrame,
+      maxDf: Long = HotShingleDfCutoff): DataFrame = {
+    val sh = docsDf
+      .select(col("doc_id"), explode(shinglesCol(wordsCol)).as("sh"))
+      .persist()
+    try verifyJaccard(invertedIndexCandidates(sh, maxDf), sh)
+      // candidates + verification both consume sh; materialize the result
+      // before unpersisting so the plan doesn't recompute the scan
+      .localCheckpoint(true)
+    finally sh.unpersist()
+  }
+
+  /** Exact near-dup pairs: 5-gram shingle Jaccard >= 0.5, computed via a
+    * shingle-inverted-index self-join with the hot-shingle cutoff
+    * ([[invertedIndexCandidates]]), then exact-Jaccard scoring over the
+    * full shingle set. This is the exact baseline the approximate
+    * variants (q26/q27) are verified against. */
+  private val q25: Q = (s, d) => {
+    val sh = shingleRows(s, d)
+    verifyJaccard(invertedIndexCandidates(sh), sh)
   }
 
   // ------------------------------------------------- q26 MinHash + LSH

@@ -23,6 +23,33 @@ class CorpusSpec extends SparkSpec {
     assert(pairs("q27_dedup_simhash") == exact)
   }
 
+  test("planted stop-shingle: excluded from candidate index, pair set still exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // 40 docs share a 5-word boilerplate phrase (df=42 > cutoff 8) but are
+    // otherwise unique; docs 100/101 are true near-dups
+    val boiler = "terms of service apply here"
+    val uniq = (0 until 40).map(i =>
+      (i.toLong, s"$boiler alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dupText = s"$boiler red orange yellow green blue indigo violet " +
+      "maroon cyan magenta teal olive navy coral"
+    val docs = (uniq :+ (100L, dupText) :+ (101L, dupText + " extra"))
+      .toDF("doc_id", "text")
+    // candidate generation with the cutoff: the 40-doc boilerplate clique
+    // (780 pairs) must NOT appear; the planted pair must
+    val sh = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.expr(
+        "array_distinct(transform(sequence(1, greatest(1, size(split(lower(text),' '))-4)), i -> concat_ws(' ', slice(split(lower(text),' '), i, 5))))")).as("sh"))
+    val cand = CorpusQueries.invertedIndexCandidates(sh, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((100L, 101L)))
+    assert(cand.size < 50, s"boilerplate clique leaked: ${cand.size} candidates")
+    // end-to-end: exactly the planted near-dup pair survives verification
+    val got = CorpusQueries.exactNearDups(docs, maxDf = 8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)))
+  }
+
   test("exact-dup canonicalization covers every document exactly once") {
     val df = graft.SparkEntry.queries("q24_dedup_exact")(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("copies"))
