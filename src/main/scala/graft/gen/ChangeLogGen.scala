@@ -83,16 +83,38 @@ object ChangeLogGen {
     }
   }
 
+  /** Coprime multiplier per modulus, computed once (a per-event gcd loop
+    * was measured as pure allocation churn in the generator hot path). */
+  private val coprimeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
+  private def gcd(a0: Long, b0: Long): Long = {
+    var a = a0; var b = b0
+    while (b != 0) { val t = a % b; a = b; b = t }
+    a
+  }
+
   /** Bijective scramble of [0, n): affine permutation (a·slot + b) mod n.
     * Bijectivity REQUIRES gcd(a, n) = 1, so the multiplier is adjusted
     * (by +2 steps, staying odd) until coprime with n — a fixed multiplier
     * silently loses/duplicates lsns for n sharing one of its factors
-    * (caught by GenPropertySpec). deliverySlot -> lsn. */
+    * (caught by GenPropertySpec). The multiplier is hoisted per modulus
+    * and the arithmetic is primitive-long: the base multiplier is kept
+    * below 2^30 so a·slot + b stays inside signed-64 for any
+    * n < 1.4·10^10 (guarded), covering the 10^10-event bench scale
+    * without 128-bit math. deliverySlot -> lsn. */
   def slotToLsn(cfg: GenConfig, slot: Long, n: Long): Long = {
-    var a = 0x5DEECE66DL | 1L
-    while (math.BigInt(a).gcd(math.BigInt(n)) != 1) a += 2
-    val b = mix64(cfg.seed ^ 0x9E37L) & Long.MaxValue
-    (math.BigInt(a) * slot + b).mod(math.BigInt(n)).toLong
+    require(n < 14000000000L,
+      s"n=$n overflows the primitive affine scramble; needs 128-bit mulmod")
+    var a = coprimeCache.getOrDefault(n, 0L)
+    if (a == 0L) {
+      var c = 0x2545F491L | 1L
+      while (gcd(c, n) != 1) c += 2
+      coprimeCache.put(n, c)
+      a = c
+    }
+    val b = Math.floorMod(mix64(cfg.seed ^ 0x9E37L) & Long.MaxValue, n)
+    Math.floorMod(a * slot + b, n)
   }
 
   /** LSN delivered at a given delivery slot: normally the scrambled slot,
