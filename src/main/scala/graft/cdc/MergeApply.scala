@@ -318,22 +318,60 @@ object MergeApply {
       buckets, (System.nanoTime() - t0) / 1000000L)
   }
 
-  /** Fold all files of the given buckets into one base file per bucket
-    * (per-bucket LWW; tombstones are retained — a tombstone may still
-    * out-LSN a late update from a not-yet-seen epoch). Commits its own
-    * snapshot (no epoch id: compaction is state-neutral). */
+  /** Fold all files of the given buckets back to base files (per-bucket
+    * LWW; tombstones are retained — a tombstone may still out-LSN a late
+    * update from a not-yet-seen epoch). Commits its own snapshot (no
+    * epoch id: compaction is state-neutral).
+    *
+    * Plan shape: one INDEPENDENT job per bucket, submitted concurrently
+    * from a bounded driver pool. A bucket's rows live only in that
+    * bucket's files, so folding it needs no data from anywhere else — a
+    * global scan + repartition(__bucket) + window (the naive plan) would
+    * shuffle the union of all buckets through one exchange and, at low
+    * parallelism, push multi-GB partitions into external sort (measured:
+    * the global fold cost 2-3x the whole streaming replay at 1-4 cores).
+    * Per-bucket jobs keep each unit at ~bucket size (bounded, in-memory
+    * hash agg), overlap scheduling latency across the pool, and write
+    * straight into the `__bucket=N` layout with no exchange wider than
+    * one bucket. This mirrors how production lakehouses compact: file
+    * groups rewritten independently, fanned out over the cluster. */
   def compactBuckets(table: LakeTable, buckets: Set[Int],
       cfg: MergeConfig = MergeConfig()): Snapshot = {
     val snap = table.snapshot
-    val data = table.readRawSnap(snap, Some(buckets))
-      .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
-    val perBucketRows = snap.files.filter(f => buckets.contains(f.bucket))
-      .groupBy(_.bucket).map { case (_, fs) => fs.map(_.rows).sum }
-    val worst = if (perBucketRows.isEmpty) 0L else perBucketRows.max
-    val salt = math.max(1L,
-      (worst + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
-    val files = writeBuckets(table, dedupLwwBucketed(data, salt), salt, snap,
-      prePartitioned = true, kind = "base")
+    val spark = table.spark
+    val outDir = s"${table.dir}/data/compact-${snap.version + 1}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val perBucket: Map[Int, Seq[DataFileEntry]] = snap.files
+      .filter(f => buckets.contains(f.bucket)).groupBy(_.bucket)
+    if (perBucket.isEmpty) return snap
+    val want = LakeTable.withMeta(snap.userSchema)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, perBucket.size))
+    try {
+      perBucket.toSeq.map { case (b, fs) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val raw = fs.groupBy(_.schemaVersion).map { case (sv, g) =>
+              val fileSchema = LakeTable.withMeta(snap.schemaAt(sv))
+              LakeTable.align(
+                spark.read.schema(fileSchema).parquet(g.map(_.path): _*),
+                want)
+            }.reduce(_ unionByName _)
+            val payload = raw.columns.toSeq
+            val folded = raw.groupBy(KEY.map(col): _*)
+              .agg(max_by(struct(payload.map(col): _*), col("__lsn"))
+                .as("__r"))
+              .select(col("__r.*"))
+            val preRows = fs.map(_.rows).sum // upper bound on folded rows
+            val nFiles = math.max(1L,
+              (preRows + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
+            folded.repartition(nFiles)
+              .write.mode("overwrite").parquet(s"$outDir/__bucket=$b")
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, "base")
     val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
       buckets.toSeq.sorted, files.size,
       snap.files.count(f => !buckets.contains(f.bucket)), -1L, "",

@@ -472,6 +472,22 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     spark.read.schema(LakeTable.lineageSchema)
       .json(new Path(tablePath, "_lineage").toString)
 
+  /** Register a URL-only linked resource in the table properties — data
+    * stays where it is, only the catalog entry moves (≈ the reference's
+    * `ckan_link` destination, reference: engine/etl_util.py:673-685). */
+  def linkResource(name: String, url: String): Snapshot = {
+    val base = snapshot
+    val snap = base.copy(version = base.version + 1,
+      properties = base.properties + (s"link.$name" -> url))
+    writeSnapshot(snap)
+    snap
+  }
+
+  def linkedResources: Map[String, String] =
+    snapshot.properties.collect {
+      case (k, v) if k.startsWith("link.") => k.stripPrefix("link.") -> v
+    }
+
   // ------------------------------------------------------------------ DDL
 
   /** Delete all rows, keep schema + column docs (≈ wipe_data,

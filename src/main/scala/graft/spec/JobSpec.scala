@@ -96,6 +96,36 @@ object ScalarOps {
   }
 }
 
+/** Record-linkage merge: union heterogeneous sources on a shared key and
+  * coalesce each field by source priority — the reusable core of the
+  * reference's pairwise linkage merge (reference:
+  * engine/payload/house_cat/_super_link.py:41-75: union N sources, keep
+  * the preferred non-null value per field per id). */
+object Linkage {
+  import org.apache.spark.sql.functions.{min_by, when}
+
+  /** Link `dfs` (each ≤ 1 row per `key`) into one row per key. Columns are
+    * the union of all source columns; each field takes its value from the
+    * EARLIEST source (by position in `dfs`) that has it non-null. One
+    * hash aggregate — no iterative pairwise joins. */
+  def linkSources(dfs: Seq[DataFrame], key: String): DataFrame = {
+    require(dfs.nonEmpty, "need at least one source")
+    val allCols = dfs.flatMap(_.columns).distinct.filterNot(_ == key)
+    val aligned = dfs.zipWithIndex.map { case (df, i) =>
+      val present = df.columns.toSet
+      df.select(col(key) +: (allCols.map(c =>
+        (if (present(c)) col(c) else lit(null)).as(c)) :+
+        lit(i).as("__src")): _*)
+    }
+    val aggs = allCols.map(c =>
+      min_by(col(c), when(col(c).isNotNull, col("__src"))
+        .otherwise(lit(Int.MaxValue))).as(c))
+    aligned.reduce(_ unionByName _)
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
+
 /** Incremental time-window operators — the reference's per-resource
   * time-field registry + day-window fetch (reference:
   * engine/etl_util.py:314-348, engine/time_field_util.py:53-127). The

@@ -160,6 +160,16 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { bare.incrementalTail(7) }
   }
 
+  test("linkResource registers a URL-only catalog entry without data movement") {
+    val t = LakeTable.createTable(spark, tmpDir("lt-link"),
+      Schemas.transcript, 4)
+    val filesBefore = t.snapshot.files
+    t.linkResource("raw_dump", "https://example.org/dump.csv.gz")
+    assert(t.linkedResources ==
+      Map("raw_dump" -> "https://example.org/dump.csv.gz"))
+    assert(t.snapshot.files == filesBefore)
+  }
+
   test("lineage mirror table carries one queryable row per data commit") {
     val dir = tmpDir("lt-lineagemirror")
     val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
