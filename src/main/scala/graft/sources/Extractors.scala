@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.spec.Projection
@@ -76,6 +76,67 @@ object Extractors {
       normalizeHeaders: Boolean = true): DataFrame = {
     val raw = spark.read.option("multiLine", multiLine.toString).json(path)
     if (normalizeHeaders) Projection.normalizeHeaders(raw) else raw
+  }
+
+  /** GeoJSON FeatureCollection → tabular frame — the distributed
+    * re-expression of the reference's streaming GeoJSON→CSV converter
+    * (reference: engine/geojson2csv.py:24-101): feature `properties`
+    * become columns (key union — inference unions keys across features,
+    * richer than the reference's two-pass set scan), `Point` geometries
+    * add `LNG`/`LAT` columns, and `wkt` carries the well-known-text
+    * rendering (pure string formatting from the coordinate arrays —
+    * codegen'd concat/transform, no geometry library). Files mixing
+    * geometry types of different coordinate depth fall back to
+    * `geometry_json` passthrough (lossless; WKT needs a uniform inferred
+    * coordinate schema). */
+  def geoJson(spark: SparkSession, path: String,
+      normalizeHeaders: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val fc = spark.read.option("multiLine", "true").json(path)
+    val feats = fc.select(explode(col("features")).as("f"))
+    val geomType = col("f.geometry.type")
+    // coordinate nesting depth decides the WKT shape (Point=1 …
+    // MultiPolygon=4); mixed-depth files infer to string and depth=0
+    def depthOf(dt: org.apache.spark.sql.types.DataType, d: Int = 0): Int =
+      dt match {
+        case ArrayType(e, _) => depthOf(e, d + 1)
+        case DoubleType | LongType => d
+        case _ => 0
+      }
+    val coordsField = feats.select(col("f.geometry.coordinates")).schema.head
+    val depth = depthOf(coordsField.dataType)
+    def num(c: Column): Column = c.cast(DoubleType).cast("string")
+    def pt(c: Column): Column = // [x, y] -> "x y"
+      concat_ws(" ", num(element_at(c, 1)), num(element_at(c, 2)))
+    def ring(c: Column): Column = // [[x,y],…] -> "x y, x y"
+      concat_ws(", ", transform(c, pt _))
+    def poly(c: Column): Column = // [[[x,y],…],…] -> "(ring), (ring)"
+      concat_ws(", ", transform(c, r => concat(lit("("), ring(r), lit(")"))))
+    val coords = col("f.geometry.coordinates")
+    val wkt = depth match {
+      case 1 => concat(lit("POINT ("), pt(coords), lit(")"))
+      case 2 => when(geomType === "LineString",
+          concat(lit("LINESTRING ("), ring(coords), lit(")")))
+        .when(geomType === "MultiPoint",
+          concat(lit("MULTIPOINT ("), ring(coords), lit(")")))
+      case 3 => when(geomType === "Polygon",
+          concat(lit("POLYGON ("), poly(coords), lit(")")))
+        .when(geomType === "MultiLineString",
+          concat(lit("MULTILINESTRING ("), poly(coords), lit(")")))
+      case 4 => concat(lit("MULTIPOLYGON ("),
+        concat_ws(", ",
+          transform(coords, p => concat(lit("("), poly(p), lit(")")))),
+        lit(")"))
+      case _ => to_json(col("f.geometry")).as("geometry_json")
+    }
+    val lngLat =
+      if (depth == 1)
+        Seq(num(element_at(coords, 1)).cast(DoubleType).as("LNG"),
+          num(element_at(coords, 2)).cast(DoubleType).as("LAT"))
+      else Nil
+    val out = feats.select(col("f.properties.*") +: lngLat :+
+      wkt.as(if (depth == 0) "geometry_json" else "wkt"): _*)
+    if (normalizeHeaders) Projection.normalizeHeaders(out) else out
   }
 
   /** List member names of a ZIP archive (any Hadoop-visible FS). */
