@@ -27,7 +27,13 @@ final case class PipelineConfig(
       * (reference custom post-processing + per-run status row,
       * engine/wprdc_etl/pipeline/status.py). Runs on the driver after
       * the epoch commits; exceptions propagate and fail the stream. */
-    postBatch: (LakeTable, Long, MergeResult) => Unit = (_, _, _) => ())
+    postBatch: (LakeTable, Long, MergeResult) => Unit = (_, _, _) => (),
+    /** `None` = bounded replay (Trigger.AvailableNow: drain the feed,
+      * stop). `Some(intervalMs)` = the always-on tail: micro-batches
+      * fire continuously as feed files land (Trigger.ProcessingTime) —
+      * the deployment mode the north rule's "tails a binlog" describes;
+      * replays in this sandbox use AvailableNow for determinism. */
+    triggerIntervalMs: Option[Long] = None)
 
 /** The always-on ingest loop (SURVEY.md §7.1 item 5): a Structured
   * Streaming query that tails a file-based change feed (a directory of
@@ -58,7 +64,9 @@ object CdcPipeline {
     readChangeFeed(spark, feedDir, cfg).writeStream
       .queryName(s"cdc-ingest-${table.dir.hashCode.toHexString}")
       .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(cfg.triggerIntervalMs
+        .map(ms => Trigger.ProcessingTime(ms))
+        .getOrElse(Trigger.AvailableNow()))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val b = cfg.preBatch(batch, epochId)
         val res =

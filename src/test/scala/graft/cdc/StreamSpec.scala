@@ -54,6 +54,29 @@ class StreamSpec extends SparkSpec {
     assert(seen.map(_._2).sum == 2000L)
   }
 
+  test("always-on mode (ProcessingTime trigger) ingests files as they land") {
+    val feed = tmpDir("feed-live")
+    val small = cfg.copy(nEvents = 2000L)
+    ChangeLogGen.writeBatchFile(spark, small, feed, "first", 0L, 1000L)
+    val table = LakeTable.createTable(spark, tmpDir("lt-live"),
+      Schemas.transcript, nBuckets = 4)
+    val pcfg = PipelineConfig(checkpointDir = tmpDir("ckpt-live"),
+      maxFilesPerTrigger = 1, triggerIntervalMs = Some(50L))
+    val q = CdcPipeline.start(spark, feed, table, pcfg)
+    try {
+      q.processAllAvailable()
+      val v1 = table.snapshot.version
+      assert(table.lineage.exists(_.epochId >= 0))
+      // a new file lands while the query is live — no restart
+      ChangeLogGen.writeBatchFile(spark, small, feed, "second", 1000L, 2000L)
+      q.processAllAvailable()
+      assert(table.snapshot.version > v1)
+      assert(table.lineage.filter(_.epochId >= 0).map(_.rowsApplied).sum == 2000L)
+    } finally q.stop()
+    // final state equals the sequential oracle over both deliveries
+    assert(finalState(table) == ChangeLogGen.oracleFinalState(small))
+  }
+
   test("late-arriving feed files are picked up on resume from checkpoint") {
     val feed = tmpDir("feed2")
     val half = cfg.copy(nEvents = cfg.nEvents / 2)
