@@ -139,6 +139,15 @@ object Extractors {
     if (normalizeHeaders) Projection.normalizeHeaders(out) else out
   }
 
+  /** Whole files as single binary records — the reference's
+    * `FileExtractor` ("pass whole file through as the single record",
+    * reference: engine/wprdc_etl/pipeline/extractors.py:36-57), mapped to
+    * Spark's `binaryFile` source: (path, modificationTime, length,
+    * content) with distributed reads and pushed path-glob filters. Pairs
+    * with [[BinarySink.writeRows]] for the raw-artifact round trip. */
+  def wholeFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+
   /** List member names of a ZIP archive (any Hadoop-visible FS). */
   def zipMembers(spark: SparkSession, zipPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(zipPath)
