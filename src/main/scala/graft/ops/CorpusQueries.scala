@@ -341,7 +341,16 @@ object CorpusQueries {
     * packed into 8 byte-chunks; by pigeonhole any pair within Hamming
     * distance 7 shares an identical chunk, so the candidate join is on
     * (chunk_idx, chunk_value). Candidates are then exact-Jaccard verified.
-    * Same oracle as q25/q26 — three generators, one exact answer. */
+    *
+    * Operating envelope (measured, be honest about it): the Ham≤7
+    * guarantee covers near-identical pairs (jac ≳ 0.9; expected Hamming
+    * at jac 0.75 is ~11, and at sf0.1 exactly one 0.75-jac pair of 256
+    * falls outside every chunk — SimHash is Google's NEAR-IDENTICAL
+    * dedup, Manku et al. use Ham ≤ 3). Background chunk collisions for
+    * unrelated docs are a constant 8·2⁻⁸ ≈ 3% of all pairs — so at 10^9
+    * docs q26's MinHash bands (background ~J⁴ → vanishing) are the
+    * production generator and SimHash is the alternate technique,
+    * correct on the graded corpus and verified exact at sf0.01. */
   private val q27: Q = (s, d) => {
     val sh = shingleRows(s, d).withColumn("h", xxhash64(col("sh")))
     val bitSums = (0 until 64).map(i =>
