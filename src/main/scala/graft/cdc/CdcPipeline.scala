@@ -33,7 +33,15 @@ final case class PipelineConfig(
       * fire continuously as feed files land (Trigger.ProcessingTime) —
       * the deployment mode the north rule's "tails a binlog" describes;
       * replays in this sandbox use AvailableNow for determinism. */
-    triggerIntervalMs: Option[Long] = None)
+    triggerIntervalMs: Option[Long] = None,
+    /** Retention maintenance cadence: every N committed epochs, expire
+      * old snapshots down to `vacuumKeepSnapshots` and delete
+      * unreferenced data/manifest files. 0 disables (time travel over
+      * the full history, unbounded storage — fine for tests, not for an
+      * always-on 10^10-event deployment). Runs on the driver between
+      * epochs; the `_lineage` mirror is never touched. */
+    vacuumEveryEpochs: Int = 0,
+    vacuumKeepSnapshots: Int = 10)
 
 /** The always-on ingest loop (SURVEY.md §7.1 item 5): a Structured
   * Streaming query that tails a file-based change feed (a directory of
@@ -72,6 +80,9 @@ object CdcPipeline {
         val res =
           if (cfg.method == "insert") MergeApply.append(table, b, epochId, cfg.merge)
           else MergeApply.merge(table, b, epochId, cfg.merge)
+        if (cfg.vacuumEveryEpochs > 0 && res.applied &&
+            epochId > 0 && epochId % cfg.vacuumEveryEpochs == 0)
+          table.vacuum(cfg.vacuumKeepSnapshots)
         cfg.postBatch(table, epochId, res)
       }
       .start()

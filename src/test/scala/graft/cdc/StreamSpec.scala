@@ -77,6 +77,24 @@ class StreamSpec extends SparkSpec {
     assert(finalState(table) == ChangeLogGen.oracleFinalState(small))
   }
 
+  test("in-pipeline vacuum cadence bounds retained snapshots, preserves state") {
+    val feed = tmpDir("feed-vac")
+    val small = cfg.copy(nEvents = 4000L)
+    ChangeLogGen.writeBatches(spark, small, feed, nBatches = 8)
+    val table = LakeTable.createTable(spark, tmpDir("lt-vac"),
+      Schemas.transcript, nBuckets = 4)
+    val pcfg = PipelineConfig(checkpointDir = tmpDir("ckpt-vac"),
+      maxFilesPerTrigger = 1, vacuumEveryEpochs = 3, vacuumKeepSnapshots = 2)
+    CdcPipeline.replayAvailable(spark, feed, table, pcfg)
+    // old snapshots were expired along the way
+    val snapFiles = new java.io.File(s"${table.dir}/_snapshots").list()
+      .count(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(snapFiles <= 3 + 2) // keep window + post-vacuum commits
+    // final state still equals the oracle; the audit log is complete
+    assert(finalState(table) == ChangeLogGen.oracleFinalState(small))
+    assert(table.lineageTable.count() >= 8)
+  }
+
   test("late-arriving feed files are picked up on resume from checkpoint") {
     val feed = tmpDir("feed2")
     val half = cfg.copy(nEvents = cfg.nEvents / 2)
