@@ -56,6 +56,36 @@ class SchemaEvolutionSpec extends SparkSpec {
       ("c2", 0, "scored turn", 42)))
   }
 
+  test("compaction folds MoR deltas written under different schema versions") {
+    val table = LakeTable.createTable(spark, tmpDir("evo-compact"),
+      Schemas.transcript, nBuckets = 2)
+    val mor = MergeConfig(writeMode = "mor", maxDeltaFilesPerBucket = 100)
+    // epoch 0 under schema v0; registry event + more deltas under v1
+    MergeApply.merge(table, v2(Seq(
+      (1L, "I", "c1", 0, "old-schema row", "user", null))), 0L, mor)
+    MergeApply.merge(table, v2(Seq(
+      (10L, "S", null, 0, """{"add":{"name":"score","type":"int"}}""", null, null),
+      (11L, "I", "c2", 0, "new-schema row", "user", Map("score" -> "9")),
+      (12L, "U", "c1", 0, "old row updated", "user", Map("score" -> "3")))),
+      1L, mor)
+    assert(table.snapshot.files.map(_.schemaVersion).distinct.size == 2)
+    val before = table.read().select("conv_id", "text", "score").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2))).toSet
+    MergeApply.compactBuckets(table,
+      table.snapshot.files.map(_.bucket).toSet, mor)
+    val snap = table.snapshot
+    // folded to base files, all rewritten under the CURRENT schema
+    assert(snap.files.forall(_.kind == "base"))
+    assert(snap.files.forall(_.schemaVersion == snap.currentSchemaVersion))
+    val after = table.read().select("conv_id", "text", "score").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2))).toSet
+    assert(after == before)
+    assert(after == Set(("c1", "old row updated", 3),
+      ("c2", "new-schema row", 9)))
+  }
+
   test("widening registry event: int -> long mid-stream, old files upcast") {
     val table = LakeTable.createTable(spark, tmpDir("evo-widen"),
       Schemas.transcript, nBuckets = 4)
