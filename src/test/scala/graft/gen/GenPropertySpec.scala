@@ -34,9 +34,9 @@ class GenPropertySpec extends AnyFunSuite {
     }
 
   test("slotToLsn is a bijection on [0, n) for arbitrary n (incl. n sharing factors with the multiplier)") {
-    // 7 divides the default multiplier 0x5DEECE66D|1: without the coprime
-    // adjustment these sizes silently drop/duplicate lsns
-    val sizes = Seq(7L, 49L, 443L, 7L * 443L, 1000L, 4096L, 9999L)
+    // 5² divides the base multiplier 0x2545F491|1: without the coprime
+    // adjustment, n divisible by 5 silently drops/duplicates lsns
+    val sizes = Seq(5L, 25L, 7L, 49L, 443L, 7L * 443L, 1000L, 4096L, 9999L)
     val cfg = GenConfig()
     sizes.foreach { n =>
       val image = (0L until n).map(s => ChangeLogGen.slotToLsn(cfg, s, n))
