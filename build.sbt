@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.get("GRAFT_GC_THREADS").toSeq.flatMap(n => Seq(
   // scaling benches pin GC parallelism to the simulated core count —
   // otherwise a local[2] run gets the whole machine's 32 GC threads and
