@@ -37,6 +37,11 @@ final case class MergeConfig(
     /** MoR compaction trigger: max files per bucket before that bucket is
       * folded back to a single base file. */
     maxDeltaFilesPerBucket: Int = 8,
+    /** Concurrent per-bucket compaction jobs (driver-pool width). Size to
+      * keep the cluster's task slots fed: each job is one bucket's
+      * bounded fold, so a 1000-executor deployment compacting thousands
+      * of buckets wants this well above the local default. */
+    compactParallelism: Int = 8,
     /** LWW dedup strategy — all three are semantically identical
       * (MergeSpec asserts it); they differ in shuffle shape:
       *  - "bucket" (default, the scale path): ONE shuffle of
@@ -351,7 +356,7 @@ object MergeApply {
     if (perBucket.isEmpty) return snap
     val want = LakeTable.withMeta(snap.userSchema)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, perBucket.size))
+      math.min(math.max(1, cfg.compactParallelism), perBucket.size))
     try {
       perBucket.toSeq.map { case (b, fs) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
