@@ -290,15 +290,23 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val liveFiles = carried ++ newFiles
 
     var manifests = base.manifests
+    var unpublished = "" // delta manifest written this commit, pre-publish
     if (newFiles.nonEmpty || replacedBuckets.nonEmpty) {
-      val mPath = if (newFiles.nonEmpty) writeManifest(newFiles, v) else ""
-      manifests = manifests :+ ManifestRef(mPath, newFiles.size,
+      unpublished = if (newFiles.nonEmpty) writeManifest(newFiles, v) else ""
+      manifests = manifests :+ ManifestRef(unpublished, newFiles.size,
         replacedBuckets.toSeq.sorted)
     }
     if (manifests.size > manifestCompactThreshold) {
       // consolidate: one reset manifest holding the resolved live set
       manifests = Seq(ManifestRef(writeManifest(liveFiles, v),
         liveFiles.size, Nil, reset = true))
+      // the just-written delta manifest was never referenced by any
+      // published snapshot — reclaim it now (vacuum only GCs manifests
+      // that expired snapshots reference)
+      if (unpublished.nonEmpty) {
+        fs.delete(new Path(unpublished), false)
+        manifestCache.remove(unpublished)
+      }
     }
 
     // advance the committed-epoch watermark; out-of-order epochs park in
