@@ -65,6 +65,25 @@ object CdcPipeline {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(feedDir)
 
+  /** One epoch against one destination: method dispatch, retention
+    * maintenance, post hook — shared by the single-sink and fan-out
+    * queries so every PipelineConfig seam behaves identically on both. */
+  private def applyEpoch(table: LakeTable, batch: DataFrame, epochId: Long,
+      method: String, cfg: PipelineConfig): Unit = {
+    val res =
+      if (method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
+      else MergeApply.merge(table, batch, epochId, cfg.merge)
+    if (cfg.vacuumEveryEpochs > 0 && res.applied &&
+        epochId > 0 && epochId % cfg.vacuumEveryEpochs == 0)
+      table.vacuum(cfg.vacuumKeepSnapshots)
+    cfg.postBatch(table, epochId, res)
+  }
+
+  private def trigger(cfg: PipelineConfig): Trigger =
+    cfg.triggerIntervalMs
+      .map(ms => Trigger.ProcessingTime(ms))
+      .getOrElse(Trigger.AvailableNow())
+
   /** Start the ingest query. Caller stops it (or uses
     * `processAllAvailable` for a bounded replay). */
   def start(spark: SparkSession, feedDir: String, table: LakeTable,
@@ -72,18 +91,10 @@ object CdcPipeline {
     readChangeFeed(spark, feedDir, cfg).writeStream
       .queryName(s"cdc-ingest-${table.dir.hashCode.toHexString}")
       .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(cfg.triggerIntervalMs
-        .map(ms => Trigger.ProcessingTime(ms))
-        .getOrElse(Trigger.AvailableNow()))
+      .trigger(trigger(cfg))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val b = cfg.preBatch(batch, epochId)
-        val res =
-          if (cfg.method == "insert") MergeApply.append(table, b, epochId, cfg.merge)
-          else MergeApply.merge(table, b, epochId, cfg.merge)
-        if (cfg.vacuumEveryEpochs > 0 && res.applied &&
-            epochId > 0 && epochId % cfg.vacuumEveryEpochs == 0)
-          table.vacuum(cfg.vacuumKeepSnapshots)
-        cfg.postBatch(table, epochId, res)
+        applyEpoch(table, cfg.preBatch(batch, epochId), epochId,
+          cfg.method, cfg)
       }
       .start()
   }
@@ -109,13 +120,12 @@ object CdcPipeline {
     readChangeFeed(spark, feedDir, cfg).writeStream
       .queryName(s"cdc-fanout-${feedDir.hashCode.toHexString}")
       .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger(cfg))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val b = cfg.preBatch(batch, epochId) // once per batch, all sinks
         dests.foreach { case (table, method) =>
-          if (method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
-          else MergeApply.merge(table, batch, epochId, cfg.merge)
+          applyEpoch(table, b, epochId, method, cfg)
         }
-        ()
       }
       .start()
 

@@ -81,8 +81,11 @@ object ReplayMain {
       val rate = nEvents / sec
 
       val snap = table.snapshot
-      println(f"[replay] applied ${snap.lineage.size} epochs in $sec%.2f s → $rate%.0f events/s")
-      snap.lineage.foreach { l =>
+      // the complete epoch count comes from the append-only mirror; the
+      // in-snapshot log is a bounded tail (maxLineageInSnapshot)
+      val totalEpochs = table.lineageTable.count()
+      println(f"[replay] applied $totalEpochs epochs in $sec%.2f s → $rate%.0f events/s")
+      snap.lineage.takeRight(50).foreach { l =>
         println(f"[lineage] epoch=${l.epochId} v=${l.version} rows=${l.rowsApplied} buckets=${l.bucketsTouched.size} files+${l.filesRewritten}/~${l.filesCarried} maxLsn=${l.maxLsn} ${l.durationMs} ms")
       }
       val rows = table.read().count()

@@ -186,7 +186,13 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val in = fs.open(p)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val snap = JsonMethods.parse(s).extract[Snapshot]
+    val snap =
+      try JsonMethods.parse(s).extract[Snapshot]
+      catch {
+        case e: MappingException => throw new IllegalStateException(
+          s"$p is not a format-v2 (manifest-list) snapshot — tables " +
+            "written by the pre-manifest layout must be recreated", e)
+      }
     snap.copy(files = resolveFiles(snap.manifests))
   }
 
@@ -344,7 +350,20 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       schemas = base.schemas ++
         schemaUpdate.map { case (sv, s) => sv.toString -> s.json }.toMap,
       columnDocs = base.columnDocs ++ newColumnDocs)
-    writeSnapshot(snap)
+    try writeSnapshot(snap)
+    catch {
+      case e: Throwable =>
+        // commit lost the optimistic-concurrency race (or failed): the
+        // manifests written this attempt were never published and no
+        // later vacuum would find them — reclaim before rethrowing
+        (manifests.map(_.path).toSet + unpublished - "")
+          .diff(base.manifests.map(_.path).toSet)
+          .foreach { m =>
+            try { fs.delete(new Path(m), false); manifestCache.remove(m) }
+            catch { case _: java.io.IOException => () }
+          }
+        throw e
+    }
     lineage.foreach(writeLineageMirror(_, snap.version))
     snap
   }

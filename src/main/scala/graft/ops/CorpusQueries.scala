@@ -81,15 +81,41 @@ object CorpusQueries {
           (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jac"))
   }
 
-  /** The SQL twin of [[verifyJaccard]] fed by all pairs — the shared
-    * oracle for q25/q26/q27. */
+  /** Document-frequency cutoff for the inverted-index candidate join: a
+    * shingle shared by more than this many documents ("stop shingle" —
+    * boilerplate headers, license blocks) is excluded from candidate
+    * GENERATION, because one such shingle makes its bucket's self-join
+    * quadratic in its DF (a shingle in 1M docs = 5·10^11 joined rows).
+    * Verification always runs over the FULL shingle set, so scores stay
+    * exact; a pair can only be missed if EVERY shingle it shares is
+    * boilerplate-hot — which a true near-dup (sharing ≥1/3 of its mostly
+    * document-specific shingles) does not do. The oracle SQL applies the
+    * SAME cutoff in its candidate phase, so the semantics agree by
+    * construction. NOTE: defined above [[exactPairsSql]] — the oracle
+    * string interpolates it at object init.
+    */
+  val HotShingleDfCutoff = 1024L
+
+  /** The SQL twin of [[verifyJaccard]] fed by the same DF-cutoff
+    * candidate phase q25 runs (pair GENERATION excludes shingles with
+    * df > cutoff; SCORES use the full shingle set) — the shared oracle
+    * for q25/q26/q27. Putting the cutoff in the oracle too makes the
+    * Spark and DuckDB semantics identical BY CONSTRUCTION, so a
+    * boilerplate-only clique can never diverge the two. */
   private val exactPairsSql =
-    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM documents),
        i AS (SELECT doc_id, ws, unnest(range(1, greatest(1, len(ws)-4) + 1)) AS i FROM w),
        s AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') sh FROM i),
        c AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
-       p AS (SELECT a.doc_id ida, b.doc_id idb, count(*) shared
-             FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       cold AS (SELECT s.doc_id, s.sh FROM s
+                JOIN (SELECT sh FROM s GROUP BY sh
+                      HAVING count(*) <= $HotShingleDfCutoff) k USING (sh)),
+       cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
+                FROM cold a JOIN cold b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       p AS (SELECT ida, idb, count(*) shared
+             FROM cand JOIN s a ON a.doc_id = ida
+             JOIN s b ON b.doc_id = idb AND b.sh = a.sh GROUP BY 1, 2)
        SELECT ida, idb, shared::DOUBLE / (ca.n + cb.n - shared) AS jac
        FROM p JOIN c ca ON ca.doc_id = ida JOIN c cb ON cb.doc_id = idb
        WHERE shared * 3 >= ca.n + cb.n"""
@@ -235,16 +261,6 @@ object CorpusQueries {
 
   // --------------------------------------- q25 exact n-gram Jaccard pairs
 
-  /** Document-frequency cutoff for the inverted-index candidate join: a
-    * shingle shared by more than this many documents ("stop shingle" —
-    * boilerplate headers, license blocks) is excluded from candidate
-    * GENERATION, because one such shingle makes its bucket's self-join
-    * quadratic in its DF (a shingle in 1M docs = 5·10^11 joined rows).
-    * Verification always runs over the FULL shingle set, so scores stay
-    * exact; a pair can only be missed if EVERY shingle it shares is
-    * boilerplate-hot — which a true near-dup (sharing ≥1/3 of its mostly
-    * document-specific shingles) does not do. */
-  val HotShingleDfCutoff = 1024L
 
   /** Candidate pairs from the shingle inverted index, with hot shingles
     * (df > maxDf) excluded from the index. Dropped shingles are DISCLOSED

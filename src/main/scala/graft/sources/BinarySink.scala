@@ -34,12 +34,20 @@ object BinarySink {
     if (!wipe) require(!dfs.exists(dst), s"$destPath exists and wipe=false")
     Option(dst.getParent).foreach(dfs.mkdirs)
     val in = sfs.open(src)
-    val out = dfs.create(dst, wipe)
     try {
-      val buf = new Array[Byte](65536)
-      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
-        .foreach(n => out.write(buf, 0, n))
-    } finally { in.close(); out.close() }
+      val out = dfs.create(dst, wipe)
+      var ok = false
+      try {
+        val buf = new Array[Byte](65536)
+        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => out.write(buf, 0, n))
+        ok = true
+      } finally {
+        out.close()
+        // never leave a silently-truncated artifact behind
+        if (!ok) dfs.delete(dst, false)
+      }
+    } finally in.close()
   }
 
   /** Write each row of `df` — columns (`nameCol`: string, `contentCol`:

@@ -57,12 +57,19 @@ object Extractors {
     val withNull = if (opts.emptyAsNull) base.option("nullValue", "") else base
     val reader = opts.schema.fold(withNull)(withNull.schema)
     val raw = reader.csv(path)
-    val originalNames = raw.columns.toSeq
     // a repeated embedded header row has every value equal to its own
-    // (pre-normalization) column name; null-safe AND-fold
+    // (pre-normalization) column name; null-safe AND-fold over STRING
+    // columns only — on a non-string column the comparison coerces the
+    // header literal to null and would degenerate to `col IS NULL`,
+    // silently swallowing legitimate all-null data rows under a declared
+    // numeric schema. (With a typed schema a header row fails parsing
+    // anyway; this filter exists for the all-string default.)
+    val headerNames = raw.schema.fields.toSeq
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
     val noEmbedded =
-      if (opts.dropEmbeddedHeaders && opts.header && originalNames.nonEmpty)
-        raw.filter(!originalNames.map(n => col(s"`$n`") <=> lit(n))
+      if (opts.dropEmbeddedHeaders && opts.header && headerNames.nonEmpty)
+        raw.filter(!headerNames.map(n => col(s"`$n`") <=> lit(n))
           .reduce(_ && _))
       else raw
     if (opts.normalizeHeaders) Projection.normalizeHeaders(noEmbedded)

@@ -55,22 +55,26 @@ object StreamOps {
       conv_id: String, turn_idx: Int, max_seen: Int)
 
   /** Cross-batch per-key state machine: emit every event whose turn_idx
-    * is below the max already seen for its conversation. Genuinely needs
-    * arbitrary state (a per-key high-watermark that must survive across
-    * micro-batches), so this is the `flatMapGroupsWithState` tier —
-    * state is one (int, long) per conversation, partitioned by the
-    * groupBy key exactly like the merge's bucket layout. */
+    * is below the max already seen for its conversation, in delivery
+    * (LSN) order. Genuinely needs arbitrary state (a per-key
+    * high-watermark that must survive across micro-batches), so this is
+    * the `flatMapGroupsWithState` tier — state is one (int, long) per
+    * conversation, partitioned by the groupBy key exactly like the
+    * merge's bucket layout. Rows are (conv_id, turn_idx, lsn); the
+    * group's events are re-ordered by LSN inside the batch because the
+    * shuffle does NOT preserve upstream order (a group's per-batch
+    * volume is bounded, so the in-memory sort is too). */
   def turnRegressions(
-      events: Dataset[(String, Int)]): Dataset[TurnRegression] = {
+      events: Dataset[(String, Int, Long)]): Dataset[TurnRegression] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState[ConvProgress, TurnRegression](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (conv: String, it: Iterator[(String, Int)],
+        (conv: String, it: Iterator[(String, Int, Long)],
             state: GroupState[ConvProgress]) =>
           var st = state.getOption.getOrElse(ConvProgress(-1, 0L))
           val out = scala.collection.mutable.Buffer[TurnRegression]()
-          it.foreach { case (_, turn) =>
+          it.toSeq.sortBy(_._3).foreach { case (_, turn, _) =>
             if (turn < st.maxTurn) out += TurnRegression(conv, turn, st.maxTurn)
             st = ConvProgress(math.max(st.maxTurn, turn), st.events + 1)
           }

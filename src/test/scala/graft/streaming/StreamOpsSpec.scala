@@ -70,16 +70,16 @@ class StreamOpsSpec extends SparkSpec {
 
   test("turn regressions: per-key high-watermark state survives across batches") {
     implicit val sq = spark.sqlContext
-    val in = MemoryStream[(String, Int)]
+    val in = MemoryStream[(String, Int, Long)]
     val q = StreamOps.turnRegressions(in.toDS())
       .writeStream.format("memory").queryName("regr")
       .outputMode(OutputMode.Append()).start()
     try {
-      in.addData(("a", 0), ("a", 3), ("b", 1))
+      in.addData(("a", 0, 10L), ("a", 3, 11L), ("b", 1, 12L))
       q.processAllAvailable()
       assert(spark.table("regr").count() == 0)
       // batch 2: a turn below conv a's max (3) — state crossed the batch
-      in.addData(("a", 1), ("b", 2))
+      in.addData(("a", 1, 20L), ("b", 2, 21L))
       q.processAllAvailable()
       val got = spark.table("regr").as[StreamOps.TurnRegression].collect()
       assert(got.toSeq == Seq(StreamOps.TurnRegression("a", 1, 3)))
