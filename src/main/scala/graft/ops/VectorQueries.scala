@@ -144,6 +144,47 @@ object VectorQueries {
         greatest(col("ia"), col("ib")).as("ib"), col("sim"))
   }
 
+  // ------------------- banded sign-LSH candidates (measured demonstrator)
+
+  /** Random-hyperplane banded LSH candidate pairs over the quantized
+    * embeddings — the q26 band pattern applied to vectors, as a PUBLIC
+    * parameterized operator. Hyperplanes are deterministic (murmur3 of
+    * (plane, dim)), signature bit j = sign(q·h_j), bands of `rowsPerBand`
+    * bits become equi-join keys.
+    *
+    * This exists to MEASURE, not to serve q33: on this corpus the 0.45
+    * threshold sits at θ≈63° where sign-bit agreement is 0.65 vs 0.5
+    * background, and CorpusSpec's demonstrator test records the result —
+    * recall below 1 with a large candidate fraction — which is exactly
+    * why the exact blocked join (q33) is the scale path at this
+    * operating point and banded LSH belongs to the ≥0.8-threshold
+    * regime. */
+  def signLshCandidates(s: SparkSession, d: String, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val v = quantized(s, d)
+    val dim = emb(s, d).select(size(col("embedding"))).first().getInt(0)
+    val nBits = bands * rowsPerBand
+    val planes: Seq[Seq[Long]] = Seq.tabulate(nBits, dim) { (j, i) =>
+      (scala.util.hashing.MurmurHash3.productHash((j, i)) % 1001).toLong
+    }
+    val bits = transform(typedLit(planes), h =>
+      when(aggregate(zip_with(col("q"), h, (x, y) => x * y),
+        lit(0L), (a, x) => a + x) > 0, lit(1L)).otherwise(lit(0L)))
+    val banded = v.withColumn("__bits", bits)
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          aggregate(slice(col("__bits"), b * rowsPerBand + 1, rowsPerBand),
+            lit(0L), (acc, x) => acc * 2 + x).as("bv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.band"), col("e.bv"))
+      .persist()
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+      .distinct()
+  }
+
   // ------------------------------------------- q29 brute-force kNN top-k
 
   private val NQueries = 16

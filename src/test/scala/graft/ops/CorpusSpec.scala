@@ -68,6 +68,27 @@ class CorpusSpec extends SparkSpec {
     assert(vpairs("q33_dedup_embedding_blocked") == exact)
   }
 
+  test("banded sign-LSH at threshold 0.45 is measurably NOT the scale path (why q33 is exact)") {
+    def vpairs(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = vpairs("q28_dedup_embedding_cosine")
+    val cand = VectorQueries.signLshCandidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val allPairs = n * (n - 1) / 2
+    val recall = (exact intersect cand).size.toDouble / exact.size
+    val frac = cand.size.toDouble / allPairs
+    info(f"sign-LSH 16x4: recall $recall%.3f, candidate fraction $frac%.3f " +
+      f"(${cand.size} of $allPairs pairs)")
+    // the measured tradeoff the q33 scaladoc derives analytically: at
+    // θ≈63° the band curve cannot reach oracle recall without admitting
+    // a large constant fraction of ALL pairs as candidates
+    assert(frac > 0.25, "if this became selective, revisit q33's design")
+    assert(recall > 0.7 && recall <= 1.0)
+  }
+
   test("IVF ANN recall@5 vs brute force matches its design point (>= 0.85 on test corpus)") {
     def topk(name: String): Set[(Long, Long)] =
       graft.SparkEntry.queries(name)(spark, sf)
