@@ -174,16 +174,19 @@ object Bench {
         // efficiency is a RATIO of two noisy measurements (±15-20% on
         // this shared-host VM, with machine-load phases lasting tens of
         // minutes; raw runs disclosed below). The primary estimator is
-        // the median of PAIRED ratios — each rep's (4N)/(4·N) with the
-        // two runs adjacent in time, so a slow phase depresses both
-        // sides of one ratio and cancels (that is what the interleaving
-        // is FOR). The unpaired ratio-of-medians and best-of are also
-        // reported.
+        // the Hodges-Lehmann-style MEDIAN OVER ALL CROSS-PAIR RATIOS
+        // {r4_j / (4·r1_i)} — the textbook robust ratio estimator: it
+        // neither assumes phases are longer than a pair (which the
+        // within-pair ratio does) nor mixes phases the way a ratio of
+        // per-level medians does. Within-pair ratios, the unpaired
+        // ratio-of-medians, best-of, and every raw run are disclosed.
+        val allRatios = for { a <- r1.toSeq; b <- r4.toSeq } yield b / (4.0 * a)
+        val effHl = median(allRatios)
         val paired = r1.zip(r4).map { case (a, b) => b / (4.0 * a) }
         val effPaired = median(paired.toSeq)
         val effUnpaired = median(r4.toSeq) / (4.0 * median(r1.toSeq))
         val effBest = r4.max / (4.0 * r1.max)
-        f""","cdc":{"events":$cdcEvents,"batches":$batches,"cores_n":$n1,"cores_4n":$n4,"eps_n_median":${median(r1.toSeq)}%.1f,"eps_4n_median":${median(r4.toSeq)}%.1f,"scaling_efficiency":$effPaired%.3f,"scaling_efficiency_unpaired":$effUnpaired%.3f,"eps_n_best":${r1.max}%.1f,"eps_4n_best":${r4.max}%.1f,"scaling_efficiency_best_of":$effBest%.3f,"paired_ratios":[${paired.map(v => f"$v%.3f").mkString(",")}],"runs_n":[${r1.map(v => f"$v%.1f").mkString(",")}],"runs_4n":[${r4.map(v => f"$v%.1f").mkString(",")}],"runs_n_applied":[${r1a.map(v => f"$v%.1f").mkString(",")}],"runs_4n_applied":[${r4a.map(v => f"$v%.1f").mkString(",")}],"cores_peak":$peakCores,"eps_peak":$peakFinal%.1f,"eps_peak_applied":$peakApplied%.1f}"""
+        f""","cdc":{"events":$cdcEvents,"batches":$batches,"cores_n":$n1,"cores_4n":$n4,"eps_n_median":${median(r1.toSeq)}%.1f,"eps_4n_median":${median(r4.toSeq)}%.1f,"scaling_efficiency":$effHl%.3f,"scaling_efficiency_paired":$effPaired%.3f,"scaling_efficiency_unpaired":$effUnpaired%.3f,"eps_n_best":${r1.max}%.1f,"eps_4n_best":${r4.max}%.1f,"scaling_efficiency_best_of":$effBest%.3f,"paired_ratios":[${paired.map(v => f"$v%.3f").mkString(",")}],"runs_n":[${r1.map(v => f"$v%.1f").mkString(",")}],"runs_4n":[${r4.map(v => f"$v%.1f").mkString(",")}],"runs_n_applied":[${r1a.map(v => f"$v%.1f").mkString(",")}],"runs_4n_applied":[${r4a.map(v => f"$v%.1f").mkString(",")}],"cores_peak":$peakCores,"eps_peak":$peakFinal%.1f,"eps_peak_applied":$peakApplied%.1f}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(work))
     } else ""

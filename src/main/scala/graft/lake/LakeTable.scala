@@ -277,6 +277,42 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
   }
 
+  /** Crash recovery: roll the table forward past a commit that died
+    * between creating its `vN.json` and swapping `CURRENT` (without
+    * this, every later commit would collide with the orphan version
+    * forever). A fully-written orphan IS a committed state — its data
+    * files and epoch guard landed before the snapshot write, exactly the
+    * crash-after-commit-before-ack case the epoch guard already makes
+    * safe — so CURRENT advances to the highest parseable version; a
+    * TORN orphan (crash mid-JSON-write) was never visible to anyone and
+    * is deleted. Returns the recovered-to version. Idempotent; call on
+    * writer startup. */
+  def recover(): Long = {
+    val cur = snapshot
+    val beyond = fs.listStatus(snapsPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .filter(_ > cur.version).sorted
+    var landed = cur.version
+    beyond.foreach { v =>
+      try { readSnapshot(new Path(snapsPath, f"v$v%012d.json")); landed = v }
+      catch {
+        case _: Exception => // torn write: never published, reclaim
+          fs.delete(new Path(snapsPath, f"v$v%012d.json"), false)
+      }
+    }
+    if (landed > cur.version) {
+      val tmp = new Path(snapsPath, s".CURRENT.rec.$landed")
+      val t = fs.create(tmp, true)
+      try t.write(f"v$landed%012d.json".getBytes("UTF-8")) finally t.close()
+      val fc = FileContext.getFileContext(tablePath.toUri,
+        spark.sessionState.newHadoopConf())
+      fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+    }
+    landed
+  }
+
   /** Commit a new file manifest delta. `replacedBuckets` files are dropped
     * from the live set (their storage is GC-able, not eagerly deleted — old
     * snapshots remain readable = time travel). Writes O(newFiles): one

@@ -102,6 +102,30 @@ class SnapshotBoundsSpec extends SparkSpec {
     assert(t.snapshot.files.map(_.path).toSet == Set("w1", "w2"))
   }
 
+  test("recover(): rolls forward past a crash between vN.json and the CURRENT swap") {
+    val t = LakeTable.createTable(spark, tmpDir("bounds-rec"), Schemas.transcript, 4)
+    t.commit(t.snapshot, Seq(DataFileEntry("a", 0, 1L, 0)), Set.empty, Some(0L), None)
+    t.commit(t.snapshot, Seq(DataFileEntry("b", 1, 1L, 0)), Set.empty, Some(1L), None)
+    val snapsDir = new java.io.File(s"${t.dir}/_snapshots")
+    // simulate the crash: v2 exists fully written, but CURRENT still
+    // points at v1 (the rename never happened)
+    java.nio.file.Files.write(new java.io.File(snapsDir, "CURRENT").toPath,
+      "v000000000001.json".getBytes("UTF-8"))
+    // the direct write bypassed Hadoop's checksum sidecar — drop it
+    new java.io.File(snapsDir, ".CURRENT.crc").delete()
+    assert(t.snapshot.version == 1L)
+    // plus a torn v3 from a second crashed attempt
+    java.nio.file.Files.write(new java.io.File(snapsDir,
+      "v000000000003.json").toPath, "{\"version\": 3, ".getBytes("UTF-8"))
+    assert(t.recover() == 2L)
+    assert(t.snapshot.version == 2L)
+    assert(t.snapshot.files.map(_.path).toSet == Set("a", "b"))
+    assert(!new java.io.File(snapsDir, "v000000000003.json").exists())
+    // the table commits normally again (no permanent collision)
+    t.commit(t.snapshot, Seq(DataFileEntry("c", 2, 1L, 0)), Set.empty, Some(2L), None)
+    assert(t.snapshot.version == 3L)
+  }
+
   test("merge replay of an already-committed epoch is a no-op end-to-end") {
     val t = LakeTable.createTable(spark, tmpDir("bounds-replay"), Schemas.transcript, 4)
     val log = ChangeLogGen.changeLogDF(spark,
