@@ -114,7 +114,13 @@ object MergeApply {
     * them to the table in LSN order (idempotently — safe under
     * redelivery). Returns the data-only remainder of the batch. Feeds
     * without the `extras` envelope column skip the scan entirely, so the
-    * v1 hot path is untouched. */
+    * v1 hot path is untouched.
+    *
+    * This EAGER detection pays one dedicated Spark action per v2 batch;
+    * it is used by the bulk [[append]] path, where one extra planning
+    * action is noise against the load itself. The per-epoch [[merge]]
+    * hot path instead piggybacks detection on an action it already runs
+    * (see [[mergeAttempt]]). */
   def applySchemaEvents(table: LakeTable, batch: DataFrame): DataFrame = {
     if (!batch.columns.contains("extras")) return batch
     val events = batch.filter(col("op") === "S")
@@ -122,6 +128,17 @@ object MergeApply {
     events.foreach(r => SchemaRegistry(table, r.getString(1)))
     if (events.isEmpty) batch else batch.filter(col("op") =!= "S")
   }
+
+  /** Read the schema-event probe: (lsn, payload) of every op="S" row the
+    * observed action saw. Collecting registry rows on the driver is
+    * bounded by design — schema changes are a handful of events in
+    * 10^10, the same assumption the eager path's collect makes. */
+  private def probeEvents(obs: Option[org.apache.spark.sql.Observation])
+      : Seq[(Long, String)] =
+    obs.map(_.get("sevents")
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .toSeq.map(r => (r.getLong(0), r.getString(1))))
+      .getOrElse(Nil)
 
   /** LWW by key shuffle: one row per key, the max-__lsn one ("aggregate"
     * and "window" strategies; see [[MergeConfig.dedup]]). */
@@ -177,9 +194,57 @@ object MergeApply {
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
-    // registry events evolve the schema first (their own snapshot
-    // commits, idempotent), then the data merges under the new schema
-    val dataBatch = applySchemaEvents(table, batch)
+    val hasExtras = batch.columns.contains("extras")
+    val attempt =
+      try mergeAttempt(table, batch, epochId, cfg, t0, probe = hasExtras)
+      catch {
+        case e: Throwable if hasExtras =>
+          // the attempted action itself can FAIL under the pre-evolution
+          // schema — e.g. a widen event followed by a value that only
+          // fits the widened type blows up the old-type ANSI cast before
+          // the probe observation resolves. Fall back to eager detection;
+          // a genuine failure (no registry rows) is rethrown.
+          val events = batch.filter(col("op") === "S")
+            .select(col("lsn"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          if (events.isEmpty) throw e
+          Left(events)
+      }
+    attempt match {
+      case Right(r) => r
+      case Left(events) =>
+        // rare path: the probe surfaced schema-registry rows — evolve the
+        // schema in LSN order (idempotent commits of their own), then
+        // redo the attempt under the new schema. Nothing from the first
+        // attempt was committed.
+        events.sortBy(_._1).foreach(e => SchemaRegistry(table, e._2))
+        mergeAttempt(table, batch, epochId, cfg, t0, probe = false)
+          .getOrElse(throw new IllegalStateException(
+            "schema probe fired on the retry attempt"))
+    }
+  }
+
+  /** One merge attempt. When `probe` is set the batch MAY contain
+    * schema-registry rows (op = "S"): rather than paying a dedicated
+    * detection action up front (one extra Spark job per v2 batch, schema
+    * events present or not), their (lsn, payload) ride an `Observation`
+    * on the first action the merge already runs. A non-empty observation
+    * aborts the attempt BEFORE anything commits — any uncommitted delta
+    * files are discarded — and returns the events for [[merge]] to apply
+    * and retry. Schema events are a handful in 10^10, so the common v2
+    * path pays zero extra actions and the rare path pays one redo. */
+  private def mergeAttempt(table: LakeTable, batch: DataFrame, epochId: Long,
+      cfg: MergeConfig, t0: Long, probe: Boolean)
+      : Either[Seq[(Long, String)], MergeResult] = {
+    val hasExtras = batch.columns.contains("extras")
+    val (dataBatch, probeObs) =
+      if (!hasExtras) (batch, None)
+      else if (probe) {
+        val obs = org.apache.spark.sql.Observation()
+        val observed = batch.observe(obs, collect_list(when(
+          col("op") === "S", struct(col("lsn"), col("text")))).as("sevents"))
+        (observed.filter(col("op") =!= "S"), Some(obs))
+      } else (batch.filter(col("op") =!= "S"), None)
     val snap = table.snapshot
     val spark = table.spark
     val nB = snap.nBuckets
@@ -196,7 +261,7 @@ object MergeApply {
       .withColumn("__bucket", LakeTable.bucketExpr(nB))
 
     if (cfg.writeMode == "mor")
-      return mergeMor(table, batchNorm, epochId, cfg, snap, t0, lap)
+      return mergeMor(table, batchNorm, epochId, cfg, snap, t0, lap, probeObs)
 
     // bucket strategy: no pre-dedup of the batch — intra-batch duplicates
     // collapse in the single bucket-level pass below (stats then count
@@ -221,12 +286,16 @@ object MergeApply {
           min(col("__lsn")).as("minLsn"))
         .collect()
       lap("dedup+stats")
+      // probe rides the stats action: in COW the abort costs nothing —
+      // no files have been written yet
+      val sev = probeEvents(probeObs)
+      if (sev.nonEmpty) return Left(sev)
       if (stats.isEmpty) {
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
           snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
         table.commit(snap, Nil, Set.empty, Some(epochId), Some(entry))
-        return MergeResult(applied = true, snap.version + 1, 0L, 0L, Nil,
-          (System.nanoTime() - t0) / 1000000L)
+        return Right(MergeResult(applied = true, snap.version + 1, 0L, 0L,
+          Nil, (System.nanoTime() - t0) / 1000000L))
       }
       val buckets = stats.map(_.getInt(0)).toSet
       val batchRows = stats.map(_.getLong(1)).sum
@@ -262,8 +331,9 @@ object MergeApply {
         (System.nanoTime() - t0) / 1000000L, lateEvents = late,
         minLsn = minLsn)
       table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
-      MergeResult(applied = true, snap.version + 1, batchRows, batchRows,
-        buckets.toSeq.sorted, (System.nanoTime() - t0) / 1000000L)
+      Right(MergeResult(applied = true, snap.version + 1, batchRows,
+        batchRows, buckets.toSeq.sorted,
+        (System.nanoTime() - t0) / 1000000L))
     } finally if (!useBucket) deduped.unpersist()
   }
 
@@ -275,8 +345,9 @@ object MergeApply {
     * long before CPU did). Buckets whose file count then exceeds the
     * compaction threshold are folded back to base files. */
   private def mergeMor(table: LakeTable, batchNorm: DataFrame, epochId: Long,
-      cfg: MergeConfig, snap: Snapshot, t0: Long,
-      lap: String => Unit): MergeResult = {
+      cfg: MergeConfig, snap: Snapshot, t0: Long, lap: String => Unit,
+      probeObs: Option[org.apache.spark.sql.Observation] = None)
+      : Either[Seq[(Long, String)], MergeResult] = {
     // previous commit's event-time high-watermark -> late-data metric
     // (rides on the same observe; no extra job). Compaction entries
     // (epochId = -1) carry no watermark and are skipped.
@@ -296,6 +367,17 @@ object MergeApply {
       observed.repartition(col("__bucket")), salt = 1, snap,
       prePartitioned = true, kind = "delta")
     lap("mor-delta-write")
+    // the schema probe rode the same write action; abort before commit
+    // if registry rows surfaced, discarding the uncommitted delta files
+    val sev = probeEvents(probeObs)
+    if (sev.nonEmpty) {
+      if (deltaFiles.nonEmpty) {
+        val dir = new Path(deltaFiles.head.path).getParent.getParent
+        dir.getFileSystem(table.spark.sessionState.newHadoopConf())
+          .delete(dir, true)
+      }
+      return Left(sev)
+    }
     val m = obs.get
     val batchRows = m("rows").asInstanceOf[Long]
     val maxLsn = Option(m("maxLsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
@@ -319,8 +401,8 @@ object MergeApply {
       compactBuckets(table, toCompact, cfg)
       lap(s"mor-compact(${toCompact.size})")
     }
-    MergeResult(applied = true, table.snapshot.version, batchRows, batchRows,
-      buckets, (System.nanoTime() - t0) / 1000000L)
+    Right(MergeResult(applied = true, table.snapshot.version, batchRows,
+      batchRows, buckets, (System.nanoTime() - t0) / 1000000L))
   }
 
   /** Fold all files of the given buckets back to base files (per-bucket

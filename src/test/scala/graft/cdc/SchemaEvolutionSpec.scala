@@ -118,6 +118,54 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(table.read().count() == 1)
   }
 
+  test("v2 batch without registry rows pays no schema-detection job") {
+    val table = LakeTable.createTable(spark, tmpDir("evo-nojob"),
+      Schemas.transcript, nBuckets = 2)
+    val mor = MergeConfig(writeMode = "mor", maxDeltaFilesPerBucket = 100)
+    MergeApply.merge(table, v2(Seq(
+      (1L, "I", "c1", 0, "a", "user", null))), 0L, mor)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val group = "probe-job-count"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        // scope by job group: the async listener bus can still deliver
+        // straggler events from the warm-up merge above
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+          descs.add(js.stageInfos.map(_.name).mkString("[", "; ", "]"))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off, as in the replay pipeline: with AQE on, the write's
+      // shuffle map stage runs as its own job and the count reads 2
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sparkContext.setJobGroup(group, "v2 merge without S rows")
+      val r = MergeApply.merge(table, v2(Seq(
+        (2L, "I", "c1", 1, "b", "user", Map("x" -> "y")))), 1L, mor)
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      assert(r.applied && r.rowsApplied == 1L)
+      // listener bus is async: poll until the job count is stable
+      var last = -1
+      var stableMs = 0
+      while (stableMs < 500 && last != jobs.get()) {
+        last = jobs.get(); Thread.sleep(100)
+        if (last == jobs.get()) stableMs += 100 else stableMs = 0
+      }
+      // the schema probe rides the delta-write action, so a v2 batch with
+      // no op="S" rows runs exactly ONE job — the eager-detection shape
+      // would have run a second (filter+collect) job
+      assert(jobs.get() == 1,
+        s"expected 1 Spark job, saw ${jobs.get()}: " +
+          descs.toArray.mkString(" | "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming pipeline applies registry events mid-feed from checkpoint") {
     val feed = tmpDir("evo-feed")
     def writeBatch(name: String, df: DataFrame): Unit = {
