@@ -36,15 +36,21 @@ object Bench {
     dir.toString
   }
 
-  private def session(cores: Int, localDir: String): SparkSession = {
+  /** Two workload types, two right configs. The CDC replay runs AQE OFF:
+    * its merge plan is a fixed single shuffle (skew handled by
+    * deterministic salting) and AQE's per-stage materialization only
+    * adds driver latency per epoch. The analytic query sweep runs AQE ON
+    * (the production choice for ad-hoc plans): runtime partition
+    * coalescing + skew-join handling sizes each exchange to the data —
+    * the multi-stage dedup/ANN queries would otherwise run every
+    * exchange at the static partition count regardless of input. */
+  private def session(cores: Int, localDir: String,
+      adaptive: Boolean = false): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       // 4x cores: memory-resident per-task sorts, smooths hash skew
       .config("spark.sql.shuffle.partitions", (cores * 4).toString)
-      // AQE off: the merge plan is a fixed single shuffle (skew is
-      // handled by deterministic salting); AQE's per-stage
-      // materialization only adds driver latency per epoch
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.adaptive.enabled", adaptive.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
@@ -195,7 +201,7 @@ object Bench {
     // churns the shared JVM (heap/metaspace/code cache) and was measured
     // to depress subsequent replay rates by ~20-30%
     val qLocal = benchTmp("graft-bench-q")
-    val spark = session(cpus.toInt, s"$qLocal/local")
+    val spark = session(cpus.toInt, s"$qLocal/local", adaptive = true)
     val queriesOn = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val qSeq = if (queriesOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
     val results = qSeq.map { case (name, fn) =>

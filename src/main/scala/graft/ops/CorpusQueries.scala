@@ -33,7 +33,7 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    Spread(s.read.parquet(s"$d/documents.parquet"))
 
   // ------------------------------------------------------------- helpers
 

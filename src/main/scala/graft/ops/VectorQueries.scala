@@ -25,7 +25,7 @@ object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    Spread(s.read.parquet(s"$d/embeddings.parquet"))
 
   /** Fixed-point quantization: array<float> -> array<long> milli-units. */
   private def quant(c: Column): Column =
