@@ -340,7 +340,65 @@ object RelationalQueries {
               MIN(parsed) AS min_ts, MAX(parsed) AS max_ts
        FROM p GROUP BY fmt"""
 
+  // q34: multi-source record linkage / entity resolution (reference:
+  // engine/payload/house_cat/_deduplicate.py:869-935 pairwise merge on
+  // any shared candidate key; 937-998 curated link table). Three
+  // overlapping "sources" derived from customer: A(ext_ref, acct),
+  // B(ext_ref, name), C(name, mktseg). A↔B share ext_ref, B↔C share
+  // name; A and C share NO key and link only transitively — the chained
+  // resolution the reference runs pairwise, here as candidate-key
+  // equi-joins + distributed connected components + one merge aggregate
+  // (graft.spec.Linkage.resolveEntities).
+  private val q34: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val nullS = lit(null).cast(StringType)
+    val a = c.select(concat(lit("A"), col("c_custkey")).as("rid"),
+      concat(lit("X"), col("c_custkey")).as("ext_ref"), nullS.as("name"),
+      col("c_acctbal").as("acct"), nullS.as("mktseg"))
+    val b = c.select(concat(lit("B"), col("c_custkey")).as("rid"),
+      concat(lit("X"), col("c_custkey")).as("ext_ref"),
+      col("c_name").as("name"), lit(null).cast(DoubleType).as("acct"),
+      nullS.as("mktseg"))
+    val c3 = c.select(concat(lit("C"), col("c_custkey")).as("rid"),
+      nullS.as("ext_ref"), col("c_name").as("name"),
+      lit(null).cast(DoubleType).as("acct"),
+      col("c_mktsegment").as("mktseg"))
+    graft.spec.Linkage.resolveEntities(a.union(b).union(c3), "rid",
+      Seq("ext_ref", "name"))
+  }
+  private val q34Sql =
+    """WITH recs AS (
+         SELECT 'A' || c_custkey AS id, 'X' || c_custkey AS ext_ref,
+                NULL AS name, c_acctbal AS acct, NULL AS mktseg FROM customer
+         UNION ALL
+         SELECT 'B' || c_custkey, 'X' || c_custkey, c_name, NULL, NULL FROM customer
+         UNION ALL
+         SELECT 'C' || c_custkey, NULL, c_name, NULL, c_mktsegment FROM customer),
+       edges AS (
+         SELECT a.id ida, b.id idb FROM recs a
+           JOIN recs b ON a.ext_ref = b.ext_ref AND a.id < b.id
+         UNION
+         SELECT a.id, b.id FROM recs a
+           JOIN recs b ON a.name = b.name AND a.id < b.id),
+       und AS (SELECT ida a, idb b FROM edges UNION SELECT idb, ida FROM edges),
+       comp AS (
+         WITH RECURSIVE r(id, lbl) AS (
+           SELECT id, id FROM recs
+           UNION
+           SELECT u.b, r.lbl FROM r JOIN und u ON u.a = r.id)
+         SELECT id, min(lbl) AS lbl FROM r GROUP BY id)
+       SELECT lbl AS canonical_id, count(*) AS n_members,
+         array_to_string(list_sort(list_distinct(list(ext_ref)
+           FILTER (WHERE ext_ref IS NOT NULL))), '|') AS ext_ref,
+         array_to_string(list_sort(list_distinct(list(name)
+           FILTER (WHERE name IS NOT NULL))), '|') AS name,
+         array_to_string(list_sort(list_distinct(list(mktseg)
+           FILTER (WHERE mktseg IS NOT NULL))), '|') AS mktseg,
+         max(acct) AS acct
+       FROM recs JOIN comp USING (id) GROUP BY lbl"""
+
   val queries: Map[String, Q] = Map(
+    "q34_record_linkage" -> q34,
     "q01_groupby_agg" -> q01,
     "q02_filter_dsl" -> q02,
     "q03_project_rename_cast" -> q03,
@@ -362,6 +420,7 @@ object RelationalQueries {
     "q19_fuzzy_dates" -> q19)
 
   val oracles: Map[String, String] = Map(
+    "q34_record_linkage" -> q34Sql,
     "q01_groupby_agg" -> q01Sql,
     "q02_filter_dsl" -> q02Sql,
     "q03_project_rename_cast" -> q03Sql,

@@ -100,7 +100,21 @@ object ScalarOps {
   * coalesce each field by source priority — the reusable core of the
   * reference's pairwise linkage merge (reference:
   * engine/payload/house_cat/_super_link.py:41-75: union N sources, keep
-  * the preferred non-null value per field per id). */
+  * the preferred non-null value per field per id).
+  *
+  * [[Linkage.resolveEntities]] is the full entity-resolution pipeline the
+  * reference runs pairwise in Python (reference:
+  * engine/payload/house_cat/_deduplicate.py:869-935: merge any two
+  * records sharing a non-null candidate-key value, chained transitively;
+  * 937-998: curated link-table forced merges): candidate-key equi-joins
+  * produce the link graph, connected components (iterative min-label
+  * propagation) assign entities, and one hash aggregate merges each
+  * component's fields. The reference's field rules are order-dependent
+  * (whichever pair merges first wins); ours are total-ordered and
+  * permutation-invariant — required for a distributed engine, where
+  * merge order is nondeterministic: single distinct value → itself,
+  * conflicting strings → sorted `'|'`-join (the reference's conflict
+  * union, _deduplicate.py:844), conflicting non-strings → max. */
 object Linkage {
   import org.apache.spark.sql.functions.{min_by, when}
 
@@ -123,6 +137,108 @@ object Linkage {
     aligned.reduce(_ unionByName _)
       .groupBy(col(key))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Link edges from shared candidate-key values: records a and b are
+    * linked when `a[k] = b[k]` (non-null) for ANY k in `keyCols` — the
+    * reference's "any shared candidate key" rule (_deduplicate.py:869).
+    * One inverted-index equi-join per key, unioned and deduped; a hot key
+    * value with df documents yields df²/2 edges, so boilerplate values
+    * (empty strings, "N/A") must be nulled out upstream — same contract
+    * as the reference's standardization pass (_deduplicate.py:24-85). */
+  def keyEdges(records: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one candidate key")
+    keyCols.map { k =>
+      val kr = records.select(col(idCol).as("__id"), col(k).as("__v"))
+        .filter(col("__v").isNotNull)
+      kr.as("x").join(kr.as("y"),
+          col("x.__v") === col("y.__v") && col("x.__id") < col("y.__id"))
+        .select(col("x.__id").as("ida"), col("y.__id").as("idb"))
+    }.reduce(_ union _).distinct()
+  }
+
+  /** Connected components over undirected `edges` (ida, idb) for `nodes`
+    * (single column `id`): iterative min-label propagation — every node
+    * takes the min of its own and its neighbors' labels until a fixpoint.
+    * O(component diameter) rounds, each ONE shuffle-join + hash aggregate
+    * on the node id (linkage graphs have tiny diameters — entity clusters
+    * are near-cliques — so rounds ≈ 2-4 in practice; `maxIter` guards
+    * pathological chains and non-convergence throws rather than returning
+    * a partial labelling). Returns (id, lbl) with lbl = min id of the
+    * component. The result is localCheckpoint-ed so callers get a flat
+    * plan: without it every downstream action would replay all rounds. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val und = edges.select(col("ida").as("a"), col("idb").as("b"))
+      .union(edges.select(col("idb").as("a"), col("ida").as("b")))
+      .distinct().persist()
+    var cached = nodes.select(col("id"), col("id").as("lbl")).persist()
+    var labels = cached
+    var iter = 0
+    var converged = false
+    try {
+      while (!converged && iter < maxIter) {
+        val prop = und
+          .join(labels.select(col("id").as("bid"), col("lbl")),
+            col("b") === col("bid"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
+        val merged = labels.select(col("id"), col("lbl").as("olbl"))
+          .join(prop, col("id") === col("a"), "left")
+          .select(col("id"), col("olbl"),
+            least(col("olbl"), coalesce(col("nlbl"), col("olbl"))).as("lbl"))
+          .persist()
+        // exists-check, not a full count: any one changed label suffices
+        converged =
+          merged.filter(col("lbl") =!= col("olbl")).limit(1).count() == 0L
+        cached.unpersist()
+        cached = merged
+        labels = merged.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+      labels.localCheckpoint(true)
+    } finally { cached.unpersist(); und.unpersist() }
+  }
+
+  /** Merge each component to one row: canonical_id = min member id (the
+    * component label), n_members, then every non-id field under the
+    * total-ordered conflict rules documented on [[Linkage]]. */
+  def mergeComponents(records: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val fields = records.schema.fields.filterNot(_.name == idCol)
+    val aggs = fields.toSeq.map { f =>
+      f.dataType match {
+        case StringType =>
+          // single value → itself; conflict → sorted '|'-join
+          // (_deduplicate.py:844); all-null → null (collect_set drops
+          // nulls, so guard the empty set)
+          when(size(collect_set(col(f.name))) === 0, lit(null))
+            .otherwise(array_join(array_sort(collect_set(col(f.name))), "|"))
+            .as(f.name)
+        case _ => max(col(f.name)).as(f.name)
+      }
+    }
+    records.join(labels, records(idCol) === labels("id"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), aggs: _*)
+      .withColumnRenamed("lbl", "canonical_id")
+  }
+
+  /** Full entity resolution: candidate-key link graph (+ optional curated
+    * forced-link edges — the reference's unidirectional_links.csv,
+    * _deduplicate.py:937-998) → connected components → field merge. */
+  def resolveEntities(records: DataFrame, idCol: String,
+      keyCols: Seq[String], forcedEdges: Option[DataFrame] = None)
+      : DataFrame = {
+    val edges = forcedEdges.fold(keyEdges(records, idCol, keyCols))(f =>
+      keyEdges(records, idCol, keyCols)
+        .union(f.toDF("ida", "idb")).distinct())
+    val labels =
+      connectedComponents(records.select(col(idCol).as("id")), edges)
+    mergeComponents(records, idCol, labels)
   }
 }
 
