@@ -170,9 +170,15 @@ object Linkage {
     * plan: without it every downstream action would replay all rounds. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 30): DataFrame = {
+    // no distinct: a duplicate edge (two shared keys already deduped by
+    // keyEdges; forced + key edge can coincide) is absorbed by the
+    // min-aggregate below, so deduping here would buy nothing for a
+    // shuffle it costs. Pre-partitioned on the join key: the cached
+    // partitioning is reused every round, so each round only exchanges
+    // the (much smaller) label frame.
     val und = edges.select(col("ida").as("a"), col("idb").as("b"))
       .union(edges.select(col("idb").as("a"), col("ida").as("b")))
-      .distinct().persist()
+      .repartition(col("b")).persist()
     var cached = nodes.select(col("id"), col("id").as("lbl")).persist()
     var labels = cached
     var iter = 0
@@ -188,9 +194,11 @@ object Linkage {
           .select(col("id"), col("olbl"),
             least(col("olbl"), coalesce(col("nlbl"), col("olbl"))).as("lbl"))
           .persist()
-        // exists-check, not a full count: any one changed label suffices
-        converged =
-          merged.filter(col("lbl") =!= col("olbl")).limit(1).count() == 0L
+        // ONE action per round: the changed-count agg fully materializes
+        // the round's cache AND answers the convergence question
+        converged = merged
+          .agg(count(when(col("lbl") =!= col("olbl"), 1)))
+          .collect()(0).getLong(0) == 0L
         cached.unpersist()
         cached = merged
         labels = merged.select(col("id"), col("lbl"))
@@ -233,12 +241,20 @@ object Linkage {
   def resolveEntities(records: DataFrame, idCol: String,
       keyCols: Seq[String], forcedEdges: Option[DataFrame] = None)
       : DataFrame = {
-    val edges = forcedEdges.fold(keyEdges(records, idCol, keyCols))(f =>
-      keyEdges(records, idCol, keyCols)
-        .union(f.toDF("ida", "idb")).distinct())
-    val labels =
-      connectedComponents(records.select(col(idCol).as("id")), edges)
-    mergeComponents(records, idCol, labels)
+    // records feeds many subtrees (both sides of each key's self-join,
+    // the node list, the final merge) — persist for the duration of the
+    // resolution, as any iterative graph algorithm does with its input.
+    // The returned frame is materialized (localCheckpoint) so the cache
+    // can be dropped before returning.
+    val cached = records.persist()
+    try {
+      val edges = forcedEdges.fold(keyEdges(cached, idCol, keyCols))(f =>
+        keyEdges(cached, idCol, keyCols)
+          .union(f.toDF("ida", "idb")).distinct())
+      val labels =
+        connectedComponents(cached.select(col(idCol).as("id")), edges)
+      mergeComponents(cached, idCol, labels).localCheckpoint(true)
+    } finally cached.unpersist()
   }
 }
 
