@@ -198,7 +198,8 @@ object MergeApply {
     val attempt =
       try mergeAttempt(table, batch, epochId, cfg, t0, probe = hasExtras)
       catch {
-        case e: Throwable if hasExtras =>
+        case e: Throwable
+            if hasExtras && scala.util.control.NonFatal(e) =>
           // the attempted action itself can FAIL under the pre-evolution
           // schema — e.g. a widen event followed by a value that only
           // fits the widened type blows up the old-type ANSI cast before

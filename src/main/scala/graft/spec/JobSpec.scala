@@ -159,17 +159,75 @@ object Linkage {
   }
 
   /** Connected components over undirected `edges` (ida, idb) for `nodes`
-    * (single column `id`): iterative min-label propagation — every node
-    * takes the min of its own and its neighbors' labels until a fixpoint.
-    * O(component diameter) rounds, each ONE shuffle-join + hash aggregate
-    * on the node id (linkage graphs have tiny diameters — entity clusters
-    * are near-cliques — so rounds ≈ 2-4 in practice; `maxIter` guards
-    * pathological chains and non-convergence throws rather than returning
-    * a partial labelling). Returns (id, lbl) with lbl = min id of the
-    * component. The result is localCheckpoint-ed so callers get a flat
-    * plan: without it every downstream action would replay all rounds. */
+    * (single column `id`). Returns (id, lbl) with lbl = min member id of
+    * the component — deterministic regardless of edge order or plan.
+    *
+    * Size-adaptive, like broadcast-vs-shuffle join selection: a linkage
+    * graph's EDGE list is tiny relative to the record corpus (only
+    * records sharing a candidate key produce edges), so when the edge
+    * count is within `broadcastEdgeLimit` the components are solved with
+    * a path-compressed union-find on the driver and the (edge-touched
+    * ids → label) map re-enters the plan as one broadcast left-join —
+    * two jobs, no iteration, untouched nodes label themselves. Above the
+    * limit it falls back to distributed min-label propagation: every
+    * node takes the min of its own and its neighbors' labels until a
+    * fixpoint — O(component diameter) rounds, each ONE shuffle-join +
+    * hash aggregate (linkage clusters are near-cliques, so rounds ≈ 2-4;
+    * `maxIter` guards pathological chains, and non-convergence throws
+    * rather than returning a partial labelling). The iterative result is
+    * localCheckpoint-ed so callers get a flat plan: without it every
+    * downstream action would replay all rounds. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+    if (broadcastEdgeLimit > 0 && edges.count() <= broadcastEdgeLimit)
+      return componentsViaUnionFind(nodes, edges)
+    connectedComponentsDistributed(nodes, edges, maxIter)
+  }
+
+  /** Driver union-find fast path of [[connectedComponents]]. */
+  private def componentsViaUnionFind(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val touched = mutable.HashSet.empty[Any]
+    edges.collect().foreach { e =>
+      touched += e.get(0); touched += e.get(1)
+      val (ra, rb) = (find(e.get(0)), find(e.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    // canonical label = MIN member id (ids are Comparable: the
+    // distributed path's least() makes the same demand)
+    val minOf = mutable.HashMap.empty[Any, Any]
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    touched.foreach { id =>
+      val r = find(id)
+      minOf.updateWith(r)(cur => Some(cur.fold(id)(c => if (lt(id, c)) id else c)))
+    }
+    val idType = nodes.schema("id").dataType
+    val spark = nodes.sparkSession
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList
+    touched.foreach(id =>
+      rows.add(org.apache.spark.sql.Row(id, minOf(find(id)))))
+    val mapDf = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("__lbl", idType))))
+    nodes.join(broadcast(mapDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__lbl"), col("id")).as("lbl"))
+  }
+
+  /** Distributed min-label propagation path of [[connectedComponents]]. */
+  private def connectedComponentsDistributed(nodes: DataFrame,
+      edges: DataFrame, maxIter: Int): DataFrame = {
     // no distinct: a duplicate edge (two shared keys already deduped by
     // keyEdges; forced + key edge can coincide) is absorbed by the
     // min-aggregate below, so deduping here would buy nothing for a
@@ -239,8 +297,8 @@ object Linkage {
     * forced-link edges — the reference's unidirectional_links.csv,
     * _deduplicate.py:937-998) → connected components → field merge. */
   def resolveEntities(records: DataFrame, idCol: String,
-      keyCols: Seq[String], forcedEdges: Option[DataFrame] = None)
-      : DataFrame = {
+      keyCols: Seq[String], forcedEdges: Option[DataFrame] = None,
+      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     // records feeds many subtrees (both sides of each key's self-join,
     // the node list, the final merge) — persist for the duration of the
     // resolution, as any iterative graph algorithm does with its input.
@@ -251,8 +309,8 @@ object Linkage {
       val edges = forcedEdges.fold(keyEdges(cached, idCol, keyCols))(f =>
         keyEdges(cached, idCol, keyCols)
           .union(f.toDF("ida", "idb")).distinct())
-      val labels =
-        connectedComponents(cached.select(col(idCol).as("id")), edges)
+      val labels = connectedComponents(cached.select(col(idCol).as("id")),
+        edges, broadcastEdgeLimit = broadcastEdgeLimit)
       mergeComponents(cached, idCol, labels).localCheckpoint(true)
     } finally cached.unpersist()
   }

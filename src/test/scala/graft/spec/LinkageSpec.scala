@@ -47,6 +47,19 @@ class LinkageSpec extends SparkSpec {
     assert(out.select("n_members").as[Long].head() == 6L)
   }
 
+  test("driver union-find and distributed propagation label identically") {
+    val recs = Seq(
+      ("a", "555", null: String, "Ann"),
+      ("b", "555", "x@y.z", null: String),
+      ("c", null: String, "x@y.z", "A."),
+      ("d", "777", null: String, "Solo")).toDF(cols: _*)
+    def run(limit: Long) =
+      Linkage.resolveEntities(recs, "rid", Seq("phone", "email"),
+          broadcastEdgeLimit = limit)
+        .orderBy("canonical_id").collect().toSeq.map(_.toSeq)
+    assert(run(4000000L) == run(0L)) // fast path == iterative path
+  }
+
   test("curated forced-link edges merge records sharing no key") {
     val recs = Seq(
       ("a", "111", null, "Left"),
