@@ -630,6 +630,44 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     (expire.size, dead.size)
   }
 
+  /** Delete commit directories referenced by NO existing snapshot — the
+    * crash orphans [[vacuum]] cannot see (it walks snapshots; an orphan
+    * was never in one): a writer that died between writing its data
+    * files and committing, or a schema-probe retry whose discard was
+    * interrupted. A directory is removed only when (a) none of its
+    * parquet files appear in any snapshot's manifest and (b) it is older
+    * than `graceMs` — young directories may belong to an in-flight
+    * commit (Iceberg's remove_orphan_files makes the same age argument).
+    * Returns directories deleted. */
+  def vacuumOrphans(graceMs: Long = 3600000L): Int = {
+    val live: Set[String] = fs.listStatus(snapsPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .map(snapshotAt).flatMap(_.files.map(_.path)).toSet
+    val dataRoot = new Path(s"$dir/data")
+    if (!fs.exists(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      val it = fs.listFiles(d.getPath, true)
+      var anyLive = false
+      var anyYoung = d.getModificationTime >= cutoff
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          if (live.contains(f.getPath.toString)) anyLive = true
+          if (f.getModificationTime >= cutoff) anyYoung = true
+        }
+      }
+      if (!anyLive && !anyYoung) {
+        fs.delete(d.getPath, true)
+        removed += 1
+      }
+    }
+    removed
+  }
+
   /** Type widening (int→long, float→double, …). Old files upcast at read. */
   def widenColumn(name: String, dt: DataType): Snapshot = {
     val base = snapshot

@@ -139,6 +139,34 @@ class LakeTableSpec extends SparkSpec {
     assert(t.lineageTable.count() >= 3)
   }
 
+  test("vacuumOrphans removes uncommitted crash leftovers, never live data") {
+    val dir = tmpDir("lt-orphans")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    val preCount = t.read().count()
+    // plant an orphan commit dir, as a crash between write and commit
+    // (or an interrupted schema-probe discard) would leave behind
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(t.snapshot.files.head.path)
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$dir/data/commit-99-orphan/__bucket=0/part-orphan.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, orphan, false,
+      spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 7200000L
+    hfs.setTimes(orphan, old, old)
+    hfs.setTimes(orphan.getParent, old, old)
+    hfs.setTimes(orphan.getParent.getParent, old, old)
+    // a YOUNG orphan survives the grace window ...
+    assert(t.vacuumOrphans(graceMs = 24L * 3600000L) == 0)
+    // ... an old one is reclaimed; live data is untouched
+    assert(t.vacuumOrphans(graceMs = 3600000L) == 1)
+    assert(!hfs.exists(orphan.getParent.getParent))
+    assert(t.read().count() == preCount)
+    assert(t.snapshot.files.forall(f =>
+      hfs.exists(new org.apache.hadoop.fs.Path(f.path))))
+  }
+
   test("watermark.column property drives the time-gap incremental pull") {
     import graft.spec.TimeField
     val dir = tmpDir("lt-wm")
