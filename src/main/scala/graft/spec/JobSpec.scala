@@ -174,9 +174,12 @@ object Linkage {
     * fixpoint — O(component diameter) rounds, each ONE shuffle-join +
     * hash aggregate (linkage clusters are near-cliques, so rounds ≈ 2-4;
     * `maxIter` guards pathological chains, and non-convergence throws
-    * rather than returning a partial labelling). The iterative result is
-    * localCheckpoint-ed so callers get a flat plan: without it every
-    * downstream action would replay all rounds. */
+    * rather than returning a partial labelling). Every round is
+    * localCheckpoint-ed: the round's labels feed two subtrees of the
+    * next round, so without per-round lineage truncation the logical
+    * plan doubles each round — Catalyst analysis, not the shuffle,
+    * becomes the bottleneck — and callers also get a flat plan for
+    * free. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 30, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     if (broadcastEdgeLimit > 0 && edges.count() <= broadcastEdgeLimit)
@@ -237,8 +240,9 @@ object Linkage {
     val und = edges.select(col("ida").as("a"), col("idb").as("b"))
       .union(edges.select(col("idb").as("a"), col("ida").as("b")))
       .repartition(col("b")).persist()
-    var cached = nodes.select(col("id"), col("id").as("lbl")).persist()
-    var labels = cached
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var prev: DataFrame = labels
     var iter = 0
     var converged = false
     try {
@@ -247,25 +251,32 @@ object Linkage {
           .join(labels.select(col("id").as("bid"), col("lbl")),
             col("b") === col("bid"))
           .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
+        // LAZY localCheckpoint, materialized by the ONE action below:
+        // the round's labels feed TWO subtrees of the next round (the
+        // propagation join and the carry side), so without per-round
+        // lineage truncation the logical plan DOUBLES every round and
+        // Catalyst analysis — not the shuffle — becomes the bottleneck
+        // (exponential plan, OOM building the explain string by ~r30).
         val merged = labels.select(col("id"), col("lbl").as("olbl"))
           .join(prop, col("id") === col("a"), "left")
           .select(col("id"), col("olbl"),
             least(col("olbl"), coalesce(col("nlbl"), col("olbl"))).as("lbl"))
-          .persist()
-        // ONE action per round: the changed-count agg fully materializes
-        // the round's cache AND answers the convergence question
+          .localCheckpoint(false)
+        // ONE action per round: the changed-count agg materializes the
+        // round's checkpoint AND answers the convergence question
         converged = merged
           .agg(count(when(col("lbl") =!= col("olbl"), 1)))
           .collect()(0).getLong(0) == 0L
-        cached.unpersist()
-        cached = merged
+        // round k-1's blocks are dead once round k is materialized
+        prev.unpersist()
+        prev = merged
         labels = merged.select(col("id"), col("lbl"))
         iter += 1
       }
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-      labels.localCheckpoint(true)
-    } finally { cached.unpersist(); und.unpersist() }
+      labels
+    } finally { und.unpersist() }
   }
 
   /** Merge each component to one row: canonical_id = min member id (the

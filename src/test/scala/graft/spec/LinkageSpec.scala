@@ -74,6 +74,37 @@ class LinkageSpec extends SparkSpec {
     assert(out.head.getString(4) == "Left|Right")
   }
 
+  test("components match a brute-force closure on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 20 + rnd.nextInt(20)
+      val edges = (0 until n).flatMap { _ =>
+        val (a, b) = (rnd.nextInt(n), rnd.nextInt(n))
+        if (a == b) None else Some((s"n${math.min(a, b)}", s"n${math.max(a, b)}"))
+      }.distinct
+      val nodes = (0 until n).map(i => s"n$i")
+      // in-test oracle: repeated relaxation until fixpoint
+      val lbl = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = Ordering[String].min(lbl(a), lbl(b))
+          if (lbl(a) != m) { lbl(a) = m; changed = true }
+          if (lbl(b) != m) { lbl(b) = m; changed = true }
+        }
+      }
+      val nodesDf = nodes.toDF("id")
+      val edgesDf = edges.toDF("ida", "idb")
+      Seq(0L, 1000000L).foreach { limit => // both paths
+        val got = Linkage.connectedComponents(nodesDf, edgesDf,
+            maxIter = 100, broadcastEdgeLimit = limit)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == lbl.toMap, s"limit=$limit n=$n")
+      }
+    }
+  }
+
   test("all-null string field merges to null, not empty string") {
     val recs = Seq(
       ("a", "555", null: String, null: String),
