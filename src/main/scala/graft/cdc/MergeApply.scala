@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.lake.{DataFileEntry, LakeTable, LineageEntry, Snapshot}
+import graft.lake.{BucketLineage, DataFileEntry, LakeTable, LineageEntry, Snapshot}
 import graft.model.Schemas
 
 /** Result of one merge attempt. */
@@ -330,7 +330,12 @@ object MergeApply {
         batchRows, batchRows, buckets.toSeq.sorted, newFiles.size,
         snap.files.count(f => !buckets.contains(f.bucket)), maxLsn, maxTs,
         (System.nanoTime() - t0) / 1000000L, lateEvents = late,
-        minLsn = minLsn)
+        minLsn = minLsn,
+        // from the per-bucket stats pass, NOT the written files: COW
+        // rewrites whole buckets, so file rows include carried-over
+        // rows — the batch's share per bucket is what lineage records
+        partitions = stats.map(r => BucketLineage(r.getInt(0),
+          r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket))
       table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
       Right(MergeResult(applied = true, snap.version + 1, batchRows,
         batchRows, buckets.toSeq.sorted,
@@ -389,7 +394,10 @@ object MergeApply {
     val buckets = deltaFiles.map(_.bucket).distinct.sorted
     val entry = LineageEntry(epochId, snap.version + 1, batchRows, batchRows,
       buckets, deltaFiles.size, snap.files.size, maxLsn, maxTs,
-      (System.nanoTime() - t0) / 1000000L, lateEvents = late, minLsn = minLsn)
+      (System.nanoTime() - t0) / 1000000L, lateEvents = late, minLsn = minLsn,
+      // delta files hold exactly this batch, so the manifest entries ARE
+      // the per-partition applied rows + LSN ranges (footer stats)
+      partitions = partitionsOf(deltaFiles))
     val committed = table.commit(snap, deltaFiles, Set.empty, Some(epochId),
       Some(entry))
 
@@ -500,9 +508,14 @@ object MergeApply {
     val newFiles = writeBuckets(table, deduped, 1, snap,
       prePartitioned = useBucket, kind = "delta")
     val rows = newFiles.map(_.rows).sum
+    val parts = partitionsOf(newFiles)
+    val appMins = parts.map(_.minLsn).filter(_ >= 0)
     val entry = LineageEntry(epochId, snap.version + 1, rows, rows,
       newFiles.map(_.bucket).distinct.sorted, newFiles.size, snap.files.size,
-      -1L, "", (System.nanoTime() - t0) / 1000000L)
+      if (parts.isEmpty) -1L else parts.map(_.maxLsn).max, "",
+      (System.nanoTime() - t0) / 1000000L,
+      minLsn = if (appMins.isEmpty) -1L else appMins.min,
+      partitions = parts)
     table.commit(snap, newFiles, Set.empty, Some(epochId), Some(entry))
     MergeResult(applied = true, snap.version + 1, rows, rows,
       newFiles.map(_.bucket).distinct.sorted,
@@ -558,18 +571,52 @@ object MergeApply {
     try {
       files.map { case (p, bucket) =>
         pool.submit(new java.util.concurrent.Callable[DataFileEntry] {
-          def call(): DataFileEntry =
-            DataFileEntry(p.toString, bucket, parquetRowCount(conf, p),
-              schemaVersion, kind)
+          def call(): DataFileEntry = {
+            val (rows, minLsn, maxLsn) = parquetFooterStats(conf, p)
+            DataFileEntry(p.toString, bucket, rows, schemaVersion, kind,
+              minLsn, maxLsn)
+          }
         })
       }.map(_.get())
     } finally pool.shutdown()
   }
 
-  private def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
-      p: Path): Long = {
+  /** Row count + `__lsn` min/max from the parquet footer — metadata only,
+    * no data scan. The LSN range rides the manifest (file-skipping +
+    * per-partition lineage); (-1, -1) when the footer has no usable stats
+    * (e.g. a column written without statistics). */
+  private def parquetFooterStats(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): (Long, Long, Long) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      var minL = Long.MaxValue
+      var maxL = Long.MinValue
+      var ok = true
+      r.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "__lsn") {
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
+            if (st == null || st.isEmpty) ok = false
+            else {
+              minL = math.min(minL, st.genericGetMin.asInstanceOf[Number].longValue())
+              maxL = math.max(maxL, st.genericGetMax.asInstanceOf[Number].longValue())
+            }
+          }
+        }
+      }
+      if (!ok || minL == Long.MaxValue) (r.getRecordCount, -1L, -1L)
+      else (r.getRecordCount, minL, maxL)
+    } finally r.close()
   }
+
+  /** Per-partition lineage rows from a commit's manifest entries: rows
+    * applied + LSN range per bucket. */
+  private def partitionsOf(files: Seq[DataFileEntry]): Seq[BucketLineage] =
+    files.groupBy(_.bucket).toSeq.map { case (b, fs) =>
+      val mins = fs.map(_.minLsn).filter(_ >= 0)
+      BucketLineage(b, fs.map(_.rows).sum,
+        if (mins.isEmpty) -1L else mins.min, fs.map(_.maxLsn).max)
+    }.sortBy(_.bucket)
 }

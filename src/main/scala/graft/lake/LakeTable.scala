@@ -21,7 +21,14 @@ final case class DataFileEntry(
     bucket: Int,
     rows: Long,
     schemaVersion: Int,
-    kind: String = "base")
+    kind: String = "base",
+    /** LSN range of the file's rows, pulled from the parquet footer's
+      * `__lsn` column statistics at registration (no data scan; -1 when
+      * the footer carries no stats). Manifest-level ranges enable LSN
+      * predicate file-skipping — the Iceberg column-stats-in-manifest
+      * pattern — and feed the per-partition lineage breakdown. */
+    minLsn: Long = -1L,
+    maxLsn: Long = -1L)
 
 /** A pointer to one immutable manifest file (a JSON list of
   * [[DataFileEntry]]) plus the bucket-replacement it performs. The live
@@ -41,6 +48,14 @@ final case class ManifestRef(
     addedFiles: Int,
     replacedBuckets: Seq[Int] = Nil,
     reset: Boolean = false)
+
+/** One partition's (hash-bucket's) share of a commit — rows applied and
+  * the source-offset (LSN) range that landed in it. */
+final case class BucketLineage(
+    bucket: Int,
+    rows: Long,
+    minLsn: Long,
+    maxLsn: Long)
 
 /** Per-commit lineage record (north rule: "per-partition lineage rows —
   * source offset range, rows applied, watermark"). The reference's analog
@@ -65,7 +80,12 @@ final case class LineageEntry(
     /** Low end of the batch's LSN range — with [[maxLsn]] this is the
       * "source offset range" the north rule asks lineage to carry
       * (-1 when not computed, e.g. blind appends / compactions). */
-    minLsn: Long = -1L)
+    minLsn: Long = -1L,
+    /** Per-partition breakdown: rows applied + LSN range per hash-bucket
+      * touched by this commit (empty for metadata-only commits and
+      * compactions). The sum of `partitions.rows` equals [[rowsApplied]]
+      * and each range nests inside [minLsn, maxLsn]. */
+    partitions: Seq[BucketLineage] = Nil)
 
 /** An immutable snapshot of the table: schema history, manifest list,
   * committed-epoch watermark (exactly-once guard) and recent lineage.
@@ -706,7 +726,10 @@ object LakeTable {
     StructField("filesCarried", IntegerType),
     StructField("maxLsn", LongType), StructField("watermarkTs", StringType),
     StructField("durationMs", LongType), StructField("lateEvents", LongType),
-    StructField("minLsn", LongType)))
+    StructField("minLsn", LongType),
+    StructField("partitions", ArrayType(StructType(Seq(
+      StructField("bucket", IntegerType), StructField("rows", LongType),
+      StructField("minLsn", LongType), StructField("maxLsn", LongType)))))))
 
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),

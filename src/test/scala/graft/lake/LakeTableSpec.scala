@@ -212,4 +212,29 @@ class LakeTableSpec extends SparkSpec {
     // mirror agrees with the in-snapshot log
     assert(t.lineage.map(_.epochId) == lin.map(_.getAs[Long]("epochId")).toSeq)
   }
+
+  test("lineage carries reconciling per-partition rows in both write modes") {
+    Seq("mor", "cow").foreach { mode =>
+      val dir = tmpDir(s"lt-partlineage-$mode")
+      val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+      MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(2000), 0L,
+        MergeConfig(writeMode = mode))
+      val e = t.lineage.filter(_.epochId == 0L).head
+      assert(e.partitions.nonEmpty)
+      // per-partition rows sum to the commit's applied rows; every
+      // partition's LSN range nests inside the commit's range
+      assert(e.partitions.map(_.rows).sum == e.rowsApplied)
+      assert(e.partitions.forall(p =>
+        p.minLsn >= e.minLsn && p.maxLsn <= e.maxLsn && p.minLsn <= p.maxLsn))
+      assert(e.partitions.map(_.bucket) == e.partitions.map(_.bucket).sorted)
+      // manifest entries carry footer-derived LSN ranges for file skipping
+      assert(t.snapshot.files.forall(f => f.minLsn >= 0 && f.maxLsn >= f.minLsn))
+      // the breakdown is queryable from the mirror table
+      val exploded = t.lineageTable
+        .select(col("epochId"), explode(col("partitions")).as("p"))
+        .select(col("p.bucket"), col("p.rows"))
+        .collect()
+      assert(exploded.map(_.getAs[Long]("rows")).sum == e.rowsApplied)
+    }
+  }
 }
