@@ -464,19 +464,25 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * schema (+meta), so add-column / widening never rewrites data. */
   private[graft] def readRawSnap(snap: Snapshot,
       buckets: Option[Set[Int]]): DataFrame = {
-    val want = snap.userSchema
     val files = buckets match {
       case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
       case None => snap.files
     }
+    readFiles(snap, files)
+  }
+
+  /** Scan an explicit file subset of a snapshot, grouped by schema version
+    * and projected to the current user schema (+meta). */
+  private def readFiles(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    val want = withMeta(snap.userSchema)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        withMeta(want))
+        want)
     } else {
       files.groupBy(_.schemaVersion).map { case (sv, fgroup) =>
         val fileSchema = withMeta(snap.schemaAt(sv))
         val df = spark.read.schema(fileSchema).parquet(fgroup.map(_.path): _*)
-        align(df, withMeta(want))
+        align(df, want)
       }.reduce(_ unionByName _)
     }
   }
@@ -521,6 +527,45 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     resolved
       .filter(col("__op") =!= lit("D"))
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Files that can hold a row with `__lsn > sinceLsn`, selected from the
+    * manifest's footer-derived LSN ranges alone (no data scan). A file
+    * without stats (`maxLsn < 0`) is kept conservatively. */
+  private[graft] def sinceCandidates(snap: Snapshot,
+      sinceLsn: Long): Seq[DataFileEntry] =
+    snap.files.filter(f => f.maxLsn > sinceLsn || f.maxLsn < 0)
+
+  /** Incremental changes read — the downstream-consumption half of
+    * lineage: every key whose WINNING (max-`__lsn`) version carries
+    * `__lsn > sinceLsn`, emitted with `__lsn` and `__op` retained
+    * (tombstones included, so deletes propagate to the consumer). A
+    * poller chains calls with the `maxLsn` of the previous round's
+    * lineage entry, mirroring Iceberg's incremental read.
+    *
+    * Scale shape: the manifest LSN ranges prune the scan to candidate
+    * files BEFORE any Spark job — O(new data), not O(table). Pruned LWW
+    * is still exact: any row that out-ranks a candidate row for the same
+    * key has a higher LSN, hence also lives in a candidate file, so
+    * resolving the candidate set alone yields true winners; winners at or
+    * below the cut are filtered after resolution. A bucket whose single
+    * candidate is a base file skips resolution (compaction leaves one
+    * version per key); delta files may hold several versions of a key
+    * (MergeApply.mergeMor defers dedup to read), so delta candidates
+    * always resolve — an exchange over the NEW rows only. */
+  def readSince(sinceLsn: Long, asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+    val cand = sinceCandidates(snap, sinceLsn)
+    val (single, multi) = cand.groupBy(_.bucket).values
+      .partition(g => g.size == 1 && g.head.kind == "base")
+    val lone = readFiles(snap, single.flatten.toSeq)
+    val resolved =
+      if (multi.isEmpty) lone
+      else lwwResolve(readFiles(snap, multi.flatten.toSeq), snap.nBuckets)
+        .unionByName(lone)
+    resolved.filter(col("__lsn") > lit(sinceLsn))
+      .select((snap.userSchema.fieldNames.toSeq ++
+        metaFields.map(_.name)).map(col): _*)
   }
 
   /** The registered event-time column (`watermark.column` table property)

@@ -213,6 +213,56 @@ class LakeTableSpec extends SparkSpec {
     assert(t.lineage.map(_.epochId) == lin.map(_.getAs[Long]("epochId")).toSeq)
   }
 
+  test("readSince: exact winners past the LSN cut, scan pruned by manifest stats") {
+    val dir = tmpDir("lt-since")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    val full = ChangeLogGen.changeLogDF(spark, cfg).cache()
+    val maxLsn = full.agg(max("lsn")).as[Long].head()
+    val (cut1, cut2) = (maxLsn / 3, 2 * maxLsn / 3)
+    // three epochs with disjoint LSN ranges -> disjoint footer ranges
+    MergeApply.merge(t, full.filter(col("lsn") <= cut1), 0L,
+      MergeConfig(writeMode = "mor"))
+    MergeApply.merge(t, full.filter(col("lsn") > cut1 && col("lsn") <= cut2),
+      1L, MergeConfig(writeMode = "mor"))
+    MergeApply.merge(t, full.filter(col("lsn") > cut2), 2L,
+      MergeConfig(writeMode = "mor"))
+
+    def winners(since: Long): Set[(String, Int, Long, String, String)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id", "turn_idx").orderBy(col("__lsn").desc)
+      t.readRaw().withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("__lsn") > since)
+        .select("conv_id", "turn_idx", "__lsn", "__op", "text")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+    }
+    def got(since: Long): Set[(String, Int, Long, String, String)] =
+      t.readSince(since)
+        .select("conv_id", "turn_idx", "__lsn", "__op", "text")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+
+    // full replay cut: every winner, tombstones included (delete propagation)
+    val all = got(-1L)
+    assert(all == winners(-1L))
+    assert(all.exists(_._4 == "D"))
+    // mid-stream cut: only keys whose winner landed after the cut
+    assert(got(cut2) == winners(cut2))
+    // past-the-end cut: nothing
+    assert(t.readSince(maxLsn).isEmpty)
+    // the manifest LSN ranges prune epoch-0/1 files before any Spark job
+    val snap = t.snapshot
+    val cand = t.sinceCandidates(snap, cut2)
+    assert(cand.nonEmpty && cand.size < snap.files.size)
+    assert(cand.forall(_.maxLsn > cut2))
+    // after full compaction the lone-base fast path answers the same cuts
+    MergeApply.compactBuckets(t, (0 until 4).toSet)
+    assert(t.snapshot.files.forall(_.kind == "base"))
+    assert(got(-1L) == winners(-1L))
+    assert(got(cut2) == winners(cut2))
+    full.unpersist()
+  }
+
   test("lineage carries reconciling per-partition rows in both write modes") {
     Seq("mor", "cow").foreach { mode =>
       val dir = tmpDir(s"lt-partlineage-$mode")
