@@ -134,4 +134,56 @@ object CdcPipeline {
     val q = startFanOut(spark, feedDir, dests, cfg)
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
+
+  /** Outcome of one [[followOnce]] round. `toLsn` is the destination's new
+    * consumed-LSN high-watermark when applied (unchanged otherwise). */
+  final case class FollowResult(applied: Boolean, fromLsn: Long, toLsn: Long,
+      merge: Option[MergeResult])
+
+  /** One round of table-to-table incremental sync — the downstream-
+    * consumption half of CDC, chaining lake tables into multi-hop
+    * (bronze → silver) pipelines. This is the LSN-exact form of the
+    * reference's time-gap incremental pull: query the DESTINATION for how
+    * far it has consumed, fetch only the gap from the source (reference:
+    * engine/time_field_util.py:53-127, engine/payload/united_way/211.py:225-248
+    * — `max(time_field)` of the destination bounds the next fetch).
+    *
+    * Mechanics: the destination's committed-epoch guard doubles as the
+    * consumed-LSN watermark — each round merges `src.readSince(last)` under
+    * `epochId = src.highLsn` (pinned to one source snapshot), so a crashed
+    * or re-run round is a no-op and a fresh destination starts from -1
+    * (full copy). O(new data) per round: readSince prunes the source scan
+    * by manifest LSN ranges, and tombstone winners ride along as `op="D"`
+    * so deletes propagate. A follow-driven destination's epoch ids ARE
+    * source LSNs — don't mix `followOnce` with feed ingest on one table.
+    *
+    * `transform` runs over the change envelope (`lsn`, `op`, user columns)
+    * and must keep `lsn`/`op`/key columns; use it for declarative
+    * silver-layer cleanup (projection, scalar fixes). Row-filtering
+    * transforms drop those keys' changes entirely — including their
+    * deletes — so filter on IMMUTABLE key attributes only. */
+  def followOnce(src: LakeTable, dst: LakeTable,
+      transform: DataFrame => DataFrame = identity,
+      cfg: MergeConfig = MergeConfig()): FollowResult = {
+    val snap = src.snapshot
+    val high = src.highLsn(snap)
+    val last = dst.snapshot.maxCommittedEpoch
+    if (high <= last) return FollowResult(applied = false, last, last, None)
+    val changes = src.readSince(last, asOf = Some(snap.version))
+      .withColumnRenamed("__lsn", "lsn")
+      .withColumnRenamed("__op", "op")
+    val res = MergeApply.merge(dst, transform(changes), high, cfg)
+    FollowResult(res.applied, last, if (res.applied) high else last, Some(res))
+  }
+
+  /** Drain: follow rounds until the destination has consumed everything
+    * currently in the source. Returns the rounds that applied data. */
+  def followAvailable(src: LakeTable, dst: LakeTable,
+      transform: DataFrame => DataFrame = identity,
+      cfg: MergeConfig = MergeConfig()): Seq[FollowResult] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FollowResult]
+    var r = followOnce(src, dst, transform, cfg)
+    while (r.applied) { out += r; r = followOnce(src, dst, transform, cfg) }
+    out.toSeq
+  }
 }

@@ -138,6 +138,12 @@ final case class Snapshot(
     DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
   def isCommitted(epochId: Long): Boolean =
     epochId <= epochWatermark || recentEpochs.contains(epochId.toString)
+  /** Highest committed epoch id (-1 on a fresh table). For a destination
+    * fed exclusively by [[graft.cdc.CdcPipeline.followOnce]] — whose epoch
+    * ids are source LSN cuts — this is the consumed-LSN high-watermark. */
+  def maxCommittedEpoch: Long =
+    recentEpochs.keysIterator.foldLeft(epochWatermark)((a, k) =>
+      math.max(a, k.toLong))
 }
 
 /** A from-scratch snapshot-log lake table (SURVEY.md §7.0/§7.1 item 3):
@@ -408,7 +414,9 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       columnDocs = base.columnDocs ++ newColumnDocs)
     try writeSnapshot(snap)
     catch {
-      case e: Throwable =>
+      // NonFatal only: under a VM error the reclaim loop itself is unsafe;
+      // crash leftovers are vacuumOrphans' job.
+      case e if scala.util.control.NonFatal(e) =>
         // commit lost the optimistic-concurrency race (or failed): the
         // manifests written this attempt were never published and no
         // later vacuum would find them — reclaim before rethrowing
@@ -567,6 +575,14 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .select((snap.userSchema.fieldNames.toSeq ++
         metaFields.map(_.name)).map(col): _*)
   }
+
+  /** Highest LSN present in a snapshot, from the manifest's footer-derived
+    * ranges alone; a data scan happens only if some file lacks stats.
+    * -1 on an empty table. */
+  def highLsn(snap: Snapshot): Long =
+    if (snap.files.isEmpty) -1L
+    else if (snap.files.forall(_.maxLsn >= 0)) snap.files.map(_.maxLsn).max
+    else readRawSnap(snap, None).agg(max(col("__lsn"))).head().getLong(0)
 
   /** The registered event-time column (`watermark.column` table property)
     * — the reference's per-resource time-field registry

@@ -1,0 +1,71 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.lake.LakeTable
+import graft.model.{Schemas, TranscriptRow}
+
+/** Table-to-table incremental sync ([[CdcPipeline.followOnce]]) — the
+  * downstream-consumption half of CDC. */
+class FollowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(nEvents = 10000L, nConvs = 150L, maxTurns = 12)
+
+  private def state(t: LakeTable): Seq[TranscriptRow] =
+    t.read().as[TranscriptRow].collect().toSeq.sortBy(r => (r.conv_id, r.turn_idx))
+
+  test("follow mirrors the source incrementally, exactly-once, deletes included") {
+    val src = LakeTable.createTable(spark, tmpDir("fl-src"), Schemas.transcript, 8)
+    // different bucket count downstream: the sync is layout-independent
+    val dst = LakeTable.createTable(spark, tmpDir("fl-dst"), Schemas.transcript, 4)
+    val full = ChangeLogGen.changeLogDF(spark, cfg).cache()
+    val maxLsn = full.agg(max("lsn")).as[Long].head()
+    val cut = maxLsn / 2
+    MergeApply.merge(src, full.filter(col("lsn") <= cut), 0L,
+      MergeConfig(writeMode = "mor"))
+
+    // first round: fresh destination does a full copy
+    val r1 = CdcPipeline.followOnce(src, dst)
+    assert(r1.applied && r1.fromLsn == -1L)
+    assert(r1.toLsn == src.highLsn(src.snapshot))
+    assert(state(dst) == state(src))
+
+    // caught up: a second round applies nothing
+    val v = dst.snapshot.version
+    assert(!CdcPipeline.followOnce(src, dst).applied)
+    assert(dst.snapshot.version == v)
+
+    // new source epoch (with deletes): only the gap flows downstream
+    MergeApply.merge(src, full.filter(col("lsn") > cut), 1L,
+      MergeConfig(writeMode = "mor"))
+    val srcSnap = src.snapshot
+    assert(src.sinceCandidates(srcSnap, r1.toLsn).size < srcSnap.files.size)
+    val r2 = CdcPipeline.followOnce(src, dst)
+    assert(r2.applied && r2.fromLsn == r1.toLsn)
+    assert(state(dst) == state(src))
+    assert(state(dst).nonEmpty)
+
+    // crash-retry of the same round: the epoch guard makes it a no-op
+    val replay = src.readSince(r2.fromLsn)
+      .withColumnRenamed("__lsn", "lsn").withColumnRenamed("__op", "op")
+    assert(!MergeApply.merge(dst, replay, r2.toLsn).applied)
+    assert(state(dst) == state(src))
+    full.unpersist()
+  }
+
+  test("follow transform: declarative silver-layer cleanup on the way down") {
+    val src = LakeTable.createTable(spark, tmpDir("flt-src"), Schemas.transcript, 4)
+    val dst = LakeTable.createTable(spark, tmpDir("flt-dst"), Schemas.transcript, 4)
+    val full = ChangeLogGen.changeLogDF(spark, cfg.copy(nEvents = 3000L))
+    MergeApply.merge(src, full, 0L, MergeConfig(writeMode = "mor"))
+    val rounds = CdcPipeline.followAvailable(src, dst,
+      transform = _.withColumn("role", upper(col("role"))))
+    assert(rounds.size == 1)
+    val want = state(src).map(r => r.copy(role =
+      Option(r.role).map(_.toUpperCase).orNull))
+    assert(state(dst) == want)
+  }
+}
