@@ -393,6 +393,84 @@ object CorpusQueries {
     verifyJaccard(cand, sh)
   }
 
+  // ------------------------------------- q35 within-document repetition
+
+  /** Gopher-style repetition gates per document: duplicate-word fraction
+    * (1 - distinct/total) and the fraction of bigrams taken by the single
+    * most frequent bigram. High values flag boilerplate/looping text that
+    * per-corpus dedup (q24-q27) cannot see because the repetition is
+    * INSIDE one document. Scale shape: one explode + hash agg on
+    * (doc_id, bigram) — no window, no self-join; integer counts with two
+    * final IEEE divisions (oracle-exact). */
+  private val q35: Q = (s, d) => {
+    val ws = wordsCol
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(col("ws")) - 1, lit(1))),
+      i => concat_ws(" ", slice(col("ws"), i, lit(2))))
+    docs(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tok"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tok"), col("n_distinct"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+      .select(col("doc_id"), col("n_tok"),
+        ((col("n_tok") - col("n_distinct")).cast(DoubleType) /
+          col("n_tok").cast(DoubleType)).as("dup_word_frac"),
+        (col("top_c").cast(DoubleType) / col("n_bg").cast(DoubleType))
+          .as("top_bigram_frac"))
+  }
+  private val q35Sql =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM documents),
+       b AS (SELECT doc_id, len(ws) n_tok, len(list_distinct(ws)) n_distinct,
+               array_to_string(ws[i:i+1], ' ') bg
+             FROM (SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws)-1, 1) + 1)) i FROM w)),
+       c AS (SELECT doc_id, n_tok, n_distinct, bg, count(*) c
+             FROM b GROUP BY 1, 2, 3, 4)
+       SELECT doc_id, n_tok,
+         (n_tok - n_distinct)::DOUBLE / n_tok AS dup_word_frac,
+         max(c)::DOUBLE / sum(c)::BIGINT AS top_bigram_frac
+       FROM c GROUP BY doc_id, n_tok, n_distinct"""
+
+  // ----------------------------------------------- q36 PII redaction pass
+
+  /** PII scrub pass: count and redact email addresses and NANP-style phone
+    * numbers with anchored regexes — the pre-training scrub every text
+    * corpus gets. The synthetic corpus carries no PII (no '@', no digits),
+    * so the query PLANTS a deterministic contact string derived from
+    * doc_id — built identically in the oracle SQL, making redaction
+    * behavior (not just zero counts) oracle-checked. Pure per-row
+    * codegen'd expressions; the patterns stay in the RE2 ∩ Java-regex
+    * common subset so both engines match identical spans. */
+  private val q36: Q = (s, d) => {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val withPii = concat(col("text"), lit(" contact "),
+      col("doc_id").cast(StringType), lit("@example.com or call 412-555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+    docs(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(withPii, lit(emailRe), lit(0))).as("emails"),
+      size(regexp_extract_all(withPii, lit(phoneRe), lit(0))).as("phones"),
+      regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("redacted"))
+  }
+  private val q36Sql =
+    """WITH p AS (SELECT doc_id,
+         text || ' contact ' || doc_id::VARCHAR || '@example.com or call 412-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+       FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS emails,
+         len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS phones,
+         regexp_replace(regexp_replace(t,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+       FROM p"""
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -403,7 +481,9 @@ object CorpusQueries {
     "q24_dedup_exact" -> q24,
     "q25_dedup_ngram_jaccard" -> q25,
     "q26_dedup_minhash_lsh" -> q26,
-    "q27_dedup_simhash" -> q27)
+    "q27_dedup_simhash" -> q27,
+    "q35_text_repetition" -> q35,
+    "q36_pii_redact" -> q36)
 
   val oracles: Map[String, String] = Map(
     "q20_text_token_stats" -> q20Sql,
@@ -413,5 +493,7 @@ object CorpusQueries {
     "q24_dedup_exact" -> q24Sql,
     "q25_dedup_ngram_jaccard" -> exactPairsSql,
     "q26_dedup_minhash_lsh" -> exactPairsSql,
-    "q27_dedup_simhash" -> exactPairsSql)
+    "q27_dedup_simhash" -> exactPairsSql,
+    "q35_text_repetition" -> q35Sql,
+    "q36_pii_redact" -> q36Sql)
 }
