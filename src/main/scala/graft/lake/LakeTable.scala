@@ -584,6 +584,15 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     else if (snap.files.forall(_.maxLsn >= 0)) snap.files.map(_.maxLsn).max
     else readRawSnap(snap, None).agg(max(col("__lsn"))).head().getLong(0)
 
+  /** Time-travel diff: every key whose winning version changed between
+    * snapshot `fromVersion` and snapshot `toVersion` (default: current),
+    * with `__lsn`/`__op` retained. Exactly [[readSince]] cut at the older
+    * snapshot's high LSN — LSNs are the table's total modification order,
+    * so "changed after v1" ⇔ "winner's LSN above v1's high". */
+  def changesBetween(fromVersion: Long, toVersion: Option[Long] = None)
+      : DataFrame =
+    readSince(highLsn(snapshotAt(fromVersion)), toVersion)
+
   /** The registered event-time column (`watermark.column` table property)
     * — the reference's per-resource time-field registry
     * (reference: engine/etl_util.py:314-348). */

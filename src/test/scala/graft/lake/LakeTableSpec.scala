@@ -255,6 +255,12 @@ class LakeTableSpec extends SparkSpec {
     val cand = t.sinceCandidates(snap, cut2)
     assert(cand.nonEmpty && cand.size < snap.files.size)
     assert(cand.forall(_.maxLsn > cut2))
+    // time-travel diff: epoch-1's snapshot (v2) has high LSN = cut2, so
+    // changesBetween(v2, current) is exactly the post-cut2 winner set
+    assert(t.changesBetween(2L)
+      .select("conv_id", "turn_idx", "__lsn", "__op", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet == winners(cut2))
     // after full compaction the lone-base fast path answers the same cuts
     MergeApply.compactBuckets(t, (0 until 4).toSet)
     assert(t.snapshot.files.forall(_.kind == "base"))
