@@ -161,19 +161,50 @@ object CdcPipeline {
     * and must keep `lsn`/`op`/key columns; use it for declarative
     * silver-layer cleanup (projection, scalar fixes). Row-filtering
     * transforms drop those keys' changes entirely — including their
-    * deletes — so filter on IMMUTABLE key attributes only. */
+    * deletes — so filter on IMMUTABLE key attributes only.
+    *
+    * With `evolveSchema` (default), source schema evolution propagates:
+    * columns the source added (with their column docs — the reference's
+    * data-dictionary preservation, reference: engine/etl_util.py:87-115)
+    * are added downstream, and type widenings are widened downstream,
+    * BEFORE the round's merge — otherwise the destination's align would
+    * silently drop the new columns. Disable it when `transform` reshapes
+    * the columns and the destination schema is authored by hand. */
   def followOnce(src: LakeTable, dst: LakeTable,
       transform: DataFrame => DataFrame = identity,
-      cfg: MergeConfig = MergeConfig()): FollowResult = {
+      cfg: MergeConfig = MergeConfig(),
+      evolveSchema: Boolean = true): FollowResult = {
     val snap = src.snapshot
     val high = src.highLsn(snap)
     val last = dst.snapshot.maxCommittedEpoch
     if (high <= last) return FollowResult(applied = false, last, last, None)
+    if (evolveSchema) propagateSchema(snap, dst)
     val changes = src.readSince(last, asOf = Some(snap.version))
       .withColumnRenamed("__lsn", "lsn")
       .withColumnRenamed("__op", "op")
     val res = MergeApply.merge(dst, transform(changes), high, cfg)
     FollowResult(res.applied, last, if (res.applied) high else last, Some(res))
+  }
+
+  /** Evolve `dst` to cover the source snapshot's user schema: add missing
+    * columns (carrying the source's column docs) and widen narrower types.
+    * Destination-only columns are left alone. Idempotent — both ops
+    * no-change-skip via schema equality, so a crash between evolution and
+    * merge just redoes a no-op. */
+  private def propagateSchema(srcSnap: graft.lake.Snapshot,
+      dst: LakeTable): Unit = {
+    val want = srcSnap.userSchema
+    val have = dst.snapshot.userSchema
+    want.fields.foreach { f =>
+      if (!have.fieldNames.contains(f.name))
+        dst.addColumn(f.name, f.dataType,
+          srcSnap.columnDocs.getOrElse(f.name, null))
+      else {
+        val cur = have(f.name).dataType
+        if (cur != f.dataType && LakeTable.canWiden(cur, f.dataType))
+          dst.widenColumn(f.name, f.dataType)
+      }
+    }
   }
 
   /** Drain: follow rounds until the destination has consumed everything

@@ -101,6 +101,27 @@ object ReplayMain {
         if (got == oracle) println("OK (exact match)")
         else { println(s"MISMATCH got=${got.size} want=${oracle.size}"); sys.exit(1) }
       }
+
+      // GRAFT_FOLLOW=1: mirror into a downstream table via the
+      // incremental follow path and hold the mirror to the SAME oracle —
+      // end-to-end evidence for readSince/followOnce at replay scale.
+      if (sys.env.contains("GRAFT_FOLLOW")) {
+        val down = {
+          val d = LakeTable.load(spark, s"$workDir/downstream")
+          if (d.exists) d
+          else LakeTable.createTable(spark, s"$workDir/downstream",
+            Schemas.transcript, math.max(4, nBuckets / 2))
+        }
+        val tF = System.nanoTime()
+        val rounds = CdcPipeline.followAvailable(table, down)
+        val fSec = (System.nanoTime() - tF) / 1e9
+        print(f"[follow] ${rounds.size} round(s) in $fSec%.2f s; downstream vs oracle … ")
+        import spark.implicits._
+        val got = down.read().as[graft.model.TranscriptRow]
+          .collect().sortBy(r => (r.conv_id, r.turn_idx)).toSeq
+        if (got == ChangeLogGen.oracleFinalState(cfg)) println("OK (exact match)")
+        else { println(s"MISMATCH got=${got.size}"); sys.exit(1) }
+      }
       println(f"""{"metric":"cdc_events_per_sec","value":$rate%.1f,"events":$nEvents,"batches":$nBatches,"cores":$cores,"buckets":$nBuckets,"seconds":$sec%.3f}""")
     } finally spark.stop()
   }

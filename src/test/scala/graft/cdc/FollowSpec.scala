@@ -56,6 +56,41 @@ class FollowSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("follow propagates source schema evolution, column docs included") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val src = LakeTable.createTable(spark, tmpDir("fle-src"), Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("fle-dst"), Schemas.transcript, 2)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def batch(rows: Seq[(Long, String, String, Int, String)]) =
+      rows.toDF("lsn", "op", "conv_id", "turn_idx", "text")
+        .withColumn("role", lit("user")).withColumn("tool", lit(null).cast("string"))
+        .withColumn("ts", lit(ts))
+
+    MergeApply.merge(src, batch(Seq((1L, "I", "c1", 0, "hello"),
+      (2L, "I", "c2", 0, "world"))), 0L)
+    CdcPipeline.followOnce(src, dst)
+
+    // source adds a scored column with a doc; values arrive next epoch
+    src.addColumn("score", IntegerType, "quality score")
+    MergeApply.merge(src, batch(Seq((3L, "U", "c1", 0, "hello!")))
+      .withColumn("score", lit(7)), 1L)
+    assert(CdcPipeline.followOnce(src, dst).applied)
+    assert(dst.snapshot.userSchema("score").dataType == IntegerType)
+    assert(dst.snapshot.columnDocs("score") == "quality score")
+
+    // source widens it; a value only the wide type can hold flows down
+    src.widenColumn("score", LongType)
+    MergeApply.merge(src, batch(Seq((4L, "U", "c2", 0, "world!")))
+      .withColumn("score", lit(5000000000L)), 2L)
+    assert(CdcPipeline.followOnce(src, dst).applied)
+    assert(dst.snapshot.userSchema("score").dataType == LongType)
+    def rows(t: LakeTable) = t.read()
+      .select("conv_id", "turn_idx", "text", "score")
+      .collect().map(r => r.toSeq).sortBy(_.toString)
+    assert(rows(dst).toSeq == rows(src).toSeq)
+    assert(rows(dst).exists(_.contains(5000000000L)))
+  }
+
   test("follow transform: declarative silver-layer cleanup on the way down") {
     val src = LakeTable.createTable(spark, tmpDir("flt-src"), Schemas.transcript, 4)
     val dst = LakeTable.createTable(spark, tmpDir("flt-dst"), Schemas.transcript, 4)
