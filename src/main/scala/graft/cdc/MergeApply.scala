@@ -185,7 +185,10 @@ object MergeApply {
 
   /** Apply one batch. `batch` must have the change-event envelope columns
     * (`lsn`, `op`, key + payload). Returns a no-op result if `epochId` was
-    * already committed (exactly-once guard). */
+    * already committed (exactly-once guard) — including when a CONCURRENT
+    * writer commits it mid-attempt (the commit's rebase path surfaces that
+    * as [[graft.lake.EpochSupersededException]]; the loser's unpublished
+    * files are vacuumOrphans' to reclaim). */
   def merge(table: LakeTable, batch: DataFrame, epochId: Long,
       cfg: MergeConfig = MergeConfig()): MergeResult = {
     val t0 = System.nanoTime()
@@ -194,6 +197,16 @@ object MergeApply {
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
+    try mergeGuarded(table, batch, epochId, cfg, t0)
+    catch {
+      case _: graft.lake.EpochSupersededException =>
+        MergeResult(applied = false, table.snapshot.version, 0L, 0L, Nil,
+          (System.nanoTime() - t0) / 1000000L)
+    }
+  }
+
+  private def mergeGuarded(table: LakeTable, batch: DataFrame, epochId: Long,
+      cfg: MergeConfig, t0: Long): MergeResult = {
     val hasExtras = batch.columns.contains("extras")
     val attempt =
       try mergeAttempt(table, batch, epochId, cfg, t0, probe = hasExtras)
@@ -294,8 +307,8 @@ object MergeApply {
       if (stats.isEmpty) {
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
           snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
-        table.commit(snap, Nil, Set.empty, Some(epochId), Some(entry))
-        return Right(MergeResult(applied = true, snap.version + 1, 0L, 0L,
+        val c = table.commit(snap, Nil, Set.empty, Some(epochId), Some(entry))
+        return Right(MergeResult(applied = true, c.version, 0L, 0L,
           Nil, (System.nanoTime() - t0) / 1000000L))
       }
       val buckets = stats.map(_.getInt(0)).toSet
@@ -336,8 +349,8 @@ object MergeApply {
         // rows — the batch's share per bucket is what lineage records
         partitions = stats.map(r => BucketLineage(r.getInt(0),
           r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket))
-      table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
-      Right(MergeResult(applied = true, snap.version + 1, batchRows,
+      val c = table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
+      Right(MergeResult(applied = true, c.version, batchRows,
         batchRows, buckets.toSeq.sorted,
         (System.nanoTime() - t0) / 1000000L))
     } finally if (!useBucket) deduped.unpersist()
@@ -407,8 +420,13 @@ object MergeApply {
       case (b, fs) if fs.size > cfg.maxDeltaFilesPerBucket => b
     }.toSet
     if (toCompact.nonEmpty) {
-      compactBuckets(table, toCompact, cfg)
-      lap(s"mor-compact(${toCompact.size})")
+      // compaction is state-neutral housekeeping: if a concurrent writer
+      // lands a delta in a bucket mid-fold, yield — the ingest wins, and
+      // the still-over-threshold bucket retriggers next epoch
+      try {
+        compactBuckets(table, toCompact, cfg)
+        lap(s"mor-compact(${toCompact.size})")
+      } catch { case _: graft.lake.CommitConflictException => () }
     }
     Right(MergeResult(applied = true, table.snapshot.version, batchRows,
       batchRows, buckets, (System.nanoTime() - t0) / 1000000L))
@@ -516,10 +534,16 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L,
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
       partitions = parts)
-    table.commit(snap, newFiles, Set.empty, Some(epochId), Some(entry))
-    MergeResult(applied = true, snap.version + 1, rows, rows,
-      newFiles.map(_.bucket).distinct.sorted,
-      (System.nanoTime() - t0) / 1000000L)
+    try {
+      val c = table.commit(snap, newFiles, Set.empty, Some(epochId), Some(entry))
+      MergeResult(applied = true, c.version, rows, rows,
+        newFiles.map(_.bucket).distinct.sorted,
+        (System.nanoTime() - t0) / 1000000L)
+    } catch {
+      case _: graft.lake.EpochSupersededException =>
+        MergeResult(applied = false, table.snapshot.version, 0L, 0L, Nil,
+          (System.nanoTime() - t0) / 1000000L)
+    }
   }
 
   /** Write `df` (user cols + __lsn + __op + __bucket) under

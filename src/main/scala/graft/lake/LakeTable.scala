@@ -8,6 +8,21 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
 
+/** A commit lost the optimistic-concurrency race and could NOT be rebased:
+  * the buckets it rewrites — or the schema — changed under it. The
+  * attempt's data files and manifests are unpublished orphans
+  * ([[LakeTable.vacuumOrphans]] reclaims them). The caller must recompute
+  * from a fresh snapshot; blind retry of the same write would lose the
+  * concurrent writer's rows. */
+class CommitConflictException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+/** A commit's epoch id was committed by a concurrent writer while this
+  * attempt was in flight — the exactly-once guard extended across WRITERS,
+  * not just sequential replays. The losing attempt's output must be
+  * discarded (it duplicates the winner's), never retried. */
+class EpochSupersededException(msg: String) extends RuntimeException(msg)
+
 /** One data file registered in a snapshot. `bucket` is the hash-bucket of
   * `conv_id` the file belongs to (all rows in the file share it) — the unit
   * of copy-on-write pruning. `schemaVersion` names the schema the file was
@@ -197,8 +212,48 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
   def exists: Boolean = fs.exists(currentPtr)
 
+  /** CURRENT is the one MUTABLE file in the layout, so its I/O must be
+    * atomic under concurrent writers. On HDFS-like stores rename is an
+    * atomic namespace op and this is just `fs`; on the local filesystem
+    * Hadoop wraps a ChecksumFileSystem whose rename moves the data file
+    * and its `.crc` sidecar as TWO steps — two racing pointer swaps can
+    * interleave them and strand a mismatched sidecar (observed as
+    * ChecksumException in the multi-writer suite). The raw underlying fs
+    * has no sidecar and its rename is POSIX rename(2): atomic. Snapshot
+    * and manifest files are immutable create-once, so they stay on the
+    * checksummed fs. */
+  private def pointerFs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  /** Atomically point CURRENT at `name` (a vN.json file name). */
+  private def swapPointer(name: String, tag: String): Unit = {
+    val pfs = pointerFs
+    val tmp = new Path(snapsPath, s".CURRENT.$tag")
+    val t = pfs.create(tmp, true)
+    try t.write(name.getBytes("UTF-8")) finally t.close()
+    if ("file" == currentPtr.toUri.getScheme ||
+        pfs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(snapsPath.toUri.getPath, s".CURRENT.$tag"),
+        java.nio.file.Paths.get(snapsPath.toUri.getPath, "CURRENT"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // a sidecar left by a pre-raw-pointer writer would poison any
+      // checksummed reader; reads below go raw, but clean it up anyway
+      val crc = new Path(snapsPath, ".CURRENT.crc")
+      if (pfs.exists(crc)) pfs.delete(crc, false)
+    } else {
+      // FileContext.rename supports atomic overwrite (FileSystem's doesn't)
+      val fc = FileContext.getFileContext(tablePath.toUri,
+        spark.sessionState.newHadoopConf())
+      fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+    }
+  }
+
   def snapshot: Snapshot = {
-    val in = fs.open(currentPtr)
+    val in = pointerFs.open(currentPtr)
     val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
     readSnapshot(new Path(snapsPath, name))
@@ -294,13 +349,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val out = fs.create(p, false)
     try out.write(Serialization.write(snap.copy(files = Nil)).getBytes("UTF-8"))
     finally out.close()
-    val tmp = new Path(snapsPath, s".CURRENT.tmp.${snap.version}")
-    val t = fs.create(tmp, true)
-    try t.write(p.getName.getBytes("UTF-8")) finally t.close()
-    // FileContext.rename supports atomic overwrite (FileSystem's doesn't)
-    val fc = FileContext.getFileContext(tablePath.toUri,
-      spark.sessionState.newHadoopConf())
-    fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+    swapPointer(p.getName, s"tmp.${snap.version}")
   }
 
   /** Crash recovery: roll the table forward past a commit that died
@@ -328,14 +377,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
           fs.delete(new Path(snapsPath, f"v$v%012d.json"), false)
       }
     }
-    if (landed > cur.version) {
-      val tmp = new Path(snapsPath, s".CURRENT.rec.$landed")
-      val t = fs.create(tmp, true)
-      try t.write(f"v$landed%012d.json".getBytes("UTF-8")) finally t.close()
-      val fc = FileContext.getFileContext(tablePath.toUri,
-        spark.sessionState.newHadoopConf())
-      fc.rename(tmp, currentPtr, Options.Rename.OVERWRITE)
-    }
+    if (landed > cur.version)
+      swapPointer(f"v$landed%012d.json", s"rec.$landed")
     landed
   }
 
@@ -344,7 +387,21 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * snapshots remain readable = time travel). Writes O(newFiles): one
     * manifest file + a bounded snapshot JSON; every
     * [[LakeTable.manifestCompactThreshold]] commits the manifest list is
-    * consolidated into one (amortized O(liveFiles/threshold) per commit). */
+    * consolidated into one (amortized O(liveFiles/threshold) per commit).
+    *
+    * **Snapshot isolation across writers** (the Iceberg commit model): the
+    * version-file create is the race arbiter; on losing it the commit
+    * REBASES onto the winner and retries — metadata only, the data files
+    * are already on disk and stay valid — unless it genuinely conflicts:
+    *  - a bucket this commit REPLACES changed under it (the copy-on-write
+    *    rewrite folded a stale view) → [[CommitConflictException]];
+    *  - the schema changed under it, or it carries a schema change itself
+    *    → [[CommitConflictException]] (schema edits are serialized);
+    *  - its `epochId` landed via a concurrent writer
+    *    → [[EpochSupersededException]] (exactly-once across writers).
+    * Pure additions (MoR delta appends, inserts: `replacedBuckets` empty)
+    * therefore always rebase cleanly — concurrent MoR ingest just works,
+    * read-time LWW orders the union by LSN. */
   private[graft] def commit(
       base: Snapshot,
       newFiles: Seq[DataFileEntry],
@@ -353,6 +410,87 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       lineage: Option[LineageEntry],
       schemaUpdate: Option[(Int, StructType)] = None,
       newColumnDocs: Map[String, String] = Map.empty): Snapshot = {
+    var attemptBase = base
+    var attempts = 0
+    while (true) {
+      try return commitOnce(attemptBase, newFiles, replacedBuckets, epochId,
+        lineage, schemaUpdate, newColumnDocs)
+      catch {
+        case e: java.io.IOException
+            if versionTaken(attemptBase.version + 1) =>
+          attempts += 1
+          if (attempts > maxCommitRetries)
+            throw new CommitConflictException(
+              s"gave up after $attempts rebase attempts at $dir", e)
+          attemptBase = rebase(attemptBase,
+            awaitBaseBeyond(attemptBase.version),
+            replacedBuckets, epochId, schemaUpdate)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** True when `vN.json` already exists — the only way `commitOnce` can
+    * fail with the version already on disk is losing the create-if-absent
+    * race (or this writer's own torn write, which the rebase path then
+    * surfaces as a conflict after its read deadline). */
+  private def versionTaken(version: Long): Boolean =
+    fs.exists(new Path(snapsPath, f"v$version%012d.json"))
+
+  /** Wait for the racing writer's snapshot to become readable (it may
+    * still be mid-write when we lose the create race) and return the
+    * newest parseable one. Never deletes — unlike [[recover]], the other
+    * writer is alive. */
+  private def awaitBaseBeyond(version: Long): Snapshot = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (true) {
+      val beyond = fs.listStatus(snapsPath).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .filter(_ > version).sorted(Ordering[Long].reverse)
+      beyond.foreach { v =>
+        try return readSnapshot(new Path(snapsPath, f"v$v%012d.json"))
+        catch { case scala.util.control.NonFatal(_) => () } // mid-write
+      }
+      if (System.nanoTime() > deadline)
+        throw new CommitConflictException(
+          s"commit v${version + 1} collided but no newer readable snapshot appeared within 10 s")
+      Thread.sleep(5)
+    }
+    sys.error("unreachable")
+  }
+
+  /** Decide whether a commit built on `base` may replay on top of `nb`.
+    * Conflict detection is exact, from the two snapshots' materialized
+    * file views — no reliance on the (bounded) lineage log. */
+  private def rebase(base: Snapshot, nb: Snapshot,
+      replacedBuckets: Set[Int], epochId: Option[Long],
+      schemaUpdate: Option[(Int, StructType)]): Snapshot = {
+    epochId.filter(nb.isCommitted).foreach { e =>
+      throw new EpochSupersededException(
+        s"epoch $e was committed by a concurrent writer (table now at v${nb.version})")
+    }
+    if (schemaUpdate.nonEmpty || nb.currentSchemaVersion != base.currentSchemaVersion)
+      throw new CommitConflictException(
+        s"schema changed concurrently (v${base.version} -> v${nb.version}) — schema edits are serialized, recompute from current")
+    if (replacedBuckets.nonEmpty) {
+      def sig(s: Snapshot) = s.files.iterator
+        .filter(f => replacedBuckets.contains(f.bucket)).map(_.path).toSet
+      if (sig(base) != sig(nb))
+        throw new CommitConflictException(
+          s"buckets ${replacedBuckets.toSeq.sorted.take(8).mkString("{", ",", "}")} were modified concurrently — a rewrite built on v${base.version} would lose those rows")
+    }
+    nb
+  }
+
+  private def commitOnce(
+      base: Snapshot,
+      newFiles: Seq[DataFileEntry],
+      replacedBuckets: Set[Int],
+      epochId: Option[Long],
+      lineage: Option[LineageEntry],
+      schemaUpdate: Option[(Int, StructType)],
+      newColumnDocs: Map[String, String]): Snapshot = {
     val v = base.version + 1
     val carried = base.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val liveFiles = carried ++ newFiles
@@ -785,6 +923,11 @@ object LakeTable {
   /** Manifest refs kept in a snapshot before consolidation folds them
     * into one reset manifest. */
   val manifestCompactThreshold = 32
+
+  /** Rebase attempts before a commit gives up under heavy write
+    * contention. Each retry is metadata-only (one manifest + one snapshot
+    * JSON), so the bound is about liveness, not cost. */
+  val maxCommitRetries = 6
 
   /** Explicit schema for the `_lineage` mirror (JSON-lines) so reads
     * never pay schema inference. */

@@ -88,18 +88,17 @@ class SnapshotBoundsSpec extends SparkSpec {
       (0 until LakeTable.manifestCompactThreshold + 2).map(i => s"x-$i").toSet + "c")
   }
 
-  test("optimistic concurrency: a commit from a stale base loses the race") {
+  test("optimistic concurrency: a non-conflicting stale-base commit rebases") {
     val t = LakeTable.createTable(spark, tmpDir("bounds-occ"), Schemas.transcript, 4)
     val base = t.snapshot // both writers read the same base version
     t.commit(base, Seq(DataFileEntry("w1", 0, 1L, 0)), Set.empty, Some(0L), None)
-    // second writer still holds the stale base -> create of v1.json collides
-    intercept[java.io.IOException] {
-      t.commit(base, Seq(DataFileEntry("w2", 1, 1L, 0)), Set.empty, Some(1L), None)
-    }
-    // the winner's state is intact; the loser re-reads and retries cleanly
-    assert(t.snapshot.files.map(_.path) == Seq("w1"))
-    t.commit(t.snapshot, Seq(DataFileEntry("w2", 1, 1L, 0)), Set.empty, Some(1L), None)
+    // second writer still holds the stale base -> create of v1.json
+    // collides -> the commit rebases onto the winner and lands as v2,
+    // nothing lost on either side (ConcurrencySpec covers the conflicts)
+    val c = t.commit(base, Seq(DataFileEntry("w2", 1, 1L, 0)), Set.empty, Some(1L), None)
+    assert(c.version == 2L)
     assert(t.snapshot.files.map(_.path).toSet == Set("w1", "w2"))
+    assert(t.snapshot.isCommitted(0L) && t.snapshot.isCommitted(1L))
   }
 
   test("recover(): rolls forward past a crash between vN.json and the CURRENT swap") {
