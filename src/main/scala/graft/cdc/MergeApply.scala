@@ -197,12 +197,29 @@ object MergeApply {
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
-    try mergeGuarded(table, batch, epochId, cfg, t0)
-    catch {
-      case _: graft.lake.EpochSupersededException =>
-        MergeResult(applied = false, table.snapshot.version, 0L, 0L, Nil,
-          (System.nanoTime() - t0) / 1000000L)
+    // a copy-on-write attempt that raced another writer into the same
+    // buckets must RECOMPUTE, not rebase — the bucket contents it merged
+    // are stale. Recompute is the whole-operation retry of the Iceberg
+    // commit model; each attempt reads a fresh snapshot. Two COW writers
+    // in steady contention can invalidate each other indefinitely (a
+    // recompute takes about as long as the peer's commit interval), so
+    // the retry backs off with jitter to desynchronize them. (MoR appends
+    // never take this path — they rebase inside commit.)
+    var conflictRetries = 0
+    while (true) {
+      try return mergeGuarded(table, batch, epochId, cfg, t0)
+      catch {
+        case _: graft.lake.EpochSupersededException =>
+          return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
+            Nil, (System.nanoTime() - t0) / 1000000L)
+        case e: graft.lake.CommitConflictException =>
+          conflictRetries += 1
+          if (conflictRetries > 8) throw e
+          Thread.sleep(
+            (math.min(400, 25 << (conflictRetries - 1)) * math.random()).toLong)
+      }
     }
+    sys.error("unreachable")
   }
 
   private def mergeGuarded(table: LakeTable, batch: DataFrame, epochId: Long,

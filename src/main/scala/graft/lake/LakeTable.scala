@@ -252,6 +252,23 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** TRUE atomic create-if-absent. On HDFS-like stores `create(p, false)`
+    * is an atomic namespace op; Hadoop's LOCAL implementation is
+    * exists-then-create — two writers racing the same version file can
+    * both pass the check and interleave writes into one corrupted file,
+    * each believing it committed (observed as a ChecksumException and a
+    * silently lost commit in the multi-writer suite). O_CREAT|O_EXCL via
+    * java.nio is the only atomic arbiter the local fs offers. The file is
+    * written raw (no .crc sidecar); ChecksumFileSystem reads sidecar-less
+    * files unverified, and old checksummed snapshots keep their sidecars. */
+  private def createExclusive(p: Path): java.io.OutputStream =
+    if (pointerFs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else fs.create(p, false)
+
   def snapshot: Snapshot = {
     val in = pointerFs.open(currentPtr)
     val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -345,8 +362,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   private[graft] def writeSnapshot(snap: Snapshot): Unit = {
     implicit val fmt: Formats = DefaultFormats
     val p = new Path(snapsPath, f"v${snap.version}%012d.json")
-    // overwrite=false → atomic create-if-absent (the commit race arbiter)
-    val out = fs.create(p, false)
+    // atomic create-if-absent (the commit race arbiter)
+    val out = createExclusive(p)
     try out.write(Serialization.write(snap.copy(files = Nil)).getBytes("UTF-8"))
     finally out.close()
     swapPointer(p.getName, s"tmp.${snap.version}")

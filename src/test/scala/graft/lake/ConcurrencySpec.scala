@@ -122,6 +122,47 @@ class ConcurrencySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("two COW writers contend on the same buckets: conflicts recompute, LWW exact") {
+    val dir = tmpDir("occ-cow-writers")
+    LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    // copy-on-write rewrites the touched buckets, so every concurrent
+    // epoch pair collides; the loser must RECOMPUTE from the winner's
+    // snapshot (merge's conflict retry), never silently drop rows
+    val cfg = MergeConfig(writeMode = "cow")
+    val epochsPer = 4
+    val keys = (0 until 16).map(i => s"conv_$i") // 16 keys over all 4 buckets
+    def events(epoch: Int): Seq[(Long, String, String, Int, String)] =
+      keys.zipWithIndex.map { case (k, i) =>
+        (epoch * 1000L + i, "U", k, i % 4, s"e$epoch k$k")
+      }
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Boolean]] {
+        def call(): Seq[Boolean] = {
+          val handle = LakeTable.load(spark, dir)
+          start.await()
+          (0 until epochsPer).map { i =>
+            val e = i * 2 + w
+            MergeApply.merge(handle, batch(events(e)), e, cfg).applied
+          }
+        }
+      })
+    }
+    start.countDown()
+    val applied = futures.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(applied.flatten.forall(identity))
+    val t = LakeTable.load(spark, dir)
+    assert(t.snapshot.epochWatermark == epochsPer * 2 - 1L)
+    val got = t.read().select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val want = keys.zipWithIndex.map { case (k, i) =>
+      (k, i % 4) -> s"e${epochsPer * 2 - 1} k$k"
+    }.toMap
+    assert(got == want)
+  }
+
   test("two writers race the SAME epoch: exactly one applies, state unduplicated") {
     val dir = tmpDir("occ-same-epoch")
     LakeTable.createTable(spark, dir, Schemas.transcript, 4)
