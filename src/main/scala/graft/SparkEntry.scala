@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CorpusQueries, MultimodalQueries, RelationalQueries, VectorQueries}
+import graft.ops.{CorpusQueries, CurationQueries, MultimodalQueries, RelationalQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-family query packs; every query has a DuckDB oracle
@@ -16,12 +16,14 @@ object SparkEntry {
     * training-data pipeline packs (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CorpusQueries.queries ++
-      VectorQueries.queries ++ MultimodalQueries.queries
+      VectorQueries.queries ++ MultimodalQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (q30: LSH
     * ANN is approximate by design -> rows-only check). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CorpusQueries.oracles ++
-      VectorQueries.oracles ++ MultimodalQueries.oracles
+      VectorQueries.oracles ++ MultimodalQueries.oracles ++
+      CurationQueries.oracles
 }

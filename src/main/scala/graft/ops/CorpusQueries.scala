@@ -120,6 +120,10 @@ object CorpusQueries {
        FROM p JOIN c ca ON ca.doc_id = ida JOIN c cb ON cb.doc_id = idb
        WHERE shared * 3 >= ca.n + cb.n"""
 
+  /** q25's oracle SQL, for oracles that build on the exact pair set
+    * (q39's cluster closure wraps it as a CTE). */
+  private[ops] def exactPairsSqlForOracle: String = exactPairsSql
+
   // -------------------------------------------------- q20 token counting
 
   /** Per-document token statistics: whitespace tokens and a BPE-ish regex
