@@ -163,6 +163,49 @@ class ConcurrencySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("reader concurrent with a writer sees only whole commits (atomic visibility)") {
+    val dir = tmpDir("occ-reader")
+    LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    val cfg = MergeConfig(writeMode = "mor")
+    val nEpochs = 12
+    val keys = (0 until 16).map(i => s"conv_$i")
+    // every epoch rewrites ALL keys with its own tag, so a consistent
+    // snapshot shows ONE tag across the whole table — a read that mixes
+    // tags (or duplicates a key) caught a commit half-applied
+    def events(epoch: Int): Seq[(Long, String, String, Int, String)] =
+      keys.zipWithIndex.map { case (k, i) =>
+        (epoch * 1000L + i, "U", k, i % 4, s"e$epoch")
+      }
+    val pool = Executors.newFixedThreadPool(1)
+    val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        val handle = LakeTable.load(spark, dir)
+        (0 until nEpochs).foreach(e =>
+          MergeApply.merge(handle, batch(events(e)), e, cfg))
+      }
+    })
+    val reader = LakeTable.load(spark, dir)
+    val seen = collection.mutable.Set[String]()
+    while (!writer.isDone) {
+      val rows = reader.read().select("conv_id", "turn_idx", "text").collect()
+      if (rows.nonEmpty) {
+        val byKey = rows.groupBy(r => (r.getString(0), r.getInt(1)))
+        assert(byKey.values.forall(_.length == 1),
+          "read surfaced duplicate key versions (unresolved deltas)")
+        val tags = rows.map(_.getString(2)).toSet
+        assert(tags.size == 1, s"read mixed commits: $tags")
+        assert(rows.length == keys.size)
+        seen += tags.head
+      }
+    }
+    writer.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(seen.nonEmpty, "reader never overlapped the writer")
+    val last = LakeTable.load(spark, dir).read()
+      .select("text").distinct().collect().map(_.getString(0)).toSet
+    assert(last == Set(s"e${nEpochs - 1}"))
+  }
+
   test("two writers race the SAME epoch: exactly one applies, state unduplicated") {
     val dir = tmpDir("occ-same-epoch")
     LakeTable.createTable(spark, dir, Schemas.transcript, 4)
