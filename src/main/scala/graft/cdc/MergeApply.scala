@@ -135,8 +135,10 @@ object MergeApply {
     * 10^10, the same assumption the eager path's collect makes. */
   private def probeEvents(obs: Option[org.apache.spark.sql.Observation])
       : Seq[(Long, String)] =
-    obs.map(_.get("sevents")
-        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    // a zero-row batch runs zero tasks, so the observation resolves to an
+    // EMPTY metric map — and an empty batch carries no registry rows
+    obs.flatMap(_.get.get("sevents"))
+      .map(_.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
         .toSeq.map(r => (r.getLong(0), r.getString(1))))
       .getOrElse(Nil)
 
@@ -413,6 +415,20 @@ object MergeApply {
           .delete(dir, true)
       }
       return Left(sev)
+    }
+    // an empty batch (possible under a streaming source: a restart can
+    // trigger one micro-batch for a metadata-only offset change) writes no
+    // files and — having run zero tasks — resolves the observation to an
+    // empty map. Commit the epoch anyway, with a 0-row lineage entry: the
+    // committed-epoch watermark must stay CONTIGUOUS (a skipped epoch id
+    // would hold the watermark back forever and defeat the bounded
+    // recent-set guard); the COW path (stats.isEmpty) does the same.
+    if (deltaFiles.isEmpty) {
+      val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
+        snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
+      val c = table.commit(snap, Nil, Set.empty, Some(epochId), Some(entry))
+      return Right(MergeResult(applied = true, c.version, 0L, 0L, Nil,
+        (System.nanoTime() - t0) / 1000000L))
     }
     val m = obs.get
     val batchRows = m("rows").asInstanceOf[Long]

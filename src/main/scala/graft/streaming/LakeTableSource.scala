@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftStreamShim, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.lake.LakeTable
+
+/** Streaming offset into a lake table's change history: the snapshot
+  * version paired with that snapshot's high LSN. The LSN is the cut (the
+  * table's total modification order); the version pins `getBatch`'s scan
+  * to one immutable snapshot, so a replayed range always reproduces the
+  * same rows regardless of later commits. Equality is json-based (the
+  * Offset contract), so the json must stay byte-deterministic. */
+final case class GraftOffset(version: Long, lsn: Long) extends V1Offset {
+  override def json: String = s"""{"version":$version,"lsn":$lsn}"""
+}
+
+object GraftOffset {
+  private val Re = """\{"version":(-?\d+),"lsn":(-?\d+)\}""".r
+
+  /** Accept this source's own offsets or checkpoint-restored
+    * `SerializedOffset`s — anything whose json this source wrote. */
+  def parse(o: org.apache.spark.sql.connector.read.streaming.Offset): GraftOffset =
+    o match {
+      case g: GraftOffset => g
+      case other => other.json match {
+        case Re(v, l) => GraftOffset(v.toLong, l.toLong)
+        case j => throw new IllegalArgumentException(
+          s"not a graft-table offset: $j")
+      }
+    }
+}
+
+/** `spark.readStream.format("graft-table").option("path", dir).load()` —
+  * tail a lake table as a Structured Streaming source (the
+  * downstream-consumption half of CDC as a first-class stream, the
+  * surface Delta calls Change Data Feed). Each micro-batch is
+  * [[LakeTable.readSince]] between two offsets' LSN cuts, pinned to the
+  * end offset's snapshot: every key whose winning version landed in the
+  * range, tombstones included (`op = "D"`), manifest-pruned to O(new
+  * data). Emitted columns are the merge-ready change envelope (user
+  * columns + `lsn` + `op`), so `foreachBatch` + [[graft.cdc.MergeApply]]
+  * gives exactly-once table-to-table replication: the streaming
+  * checkpoint replays offset ranges at-least-once, version-pinned
+  * `getBatch` makes replays byte-identical, and the destination's epoch
+  * guard makes them no-ops.
+  *
+  * Operational contract (same as Iceberg/Delta streaming reads):
+  *  - vacuum retention bounds restartability — a checkpointed end
+  *    version that has been expired fails `snapshotAt` with a clear
+  *    error; keep `vacuumKeepSnapshots` above the worst-case downtime.
+  *  - schema is fixed at stream start; if the table evolves mid-stream
+  *    the source fails fast (restart picks up the new schema) rather
+  *    than silently dropping or miscasting the new columns.
+  *  - a `followOnce`-driven table uses source LSNs as epoch ids; this
+  *    source uses Spark's own micro-batch ids — don't mix the two sync
+  *    mechanisms on one destination table.
+  */
+class LakeTableSource(sqlContext: SQLContext, tableDir: String)
+    extends Source {
+
+  private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
+  private val startSchema: StructType = table.snapshot.userSchema
+
+  override val schema: StructType = LakeTableSourceProvider.changeSchema(startSchema)
+
+  /** Latest offset handed to the engine; re-served while only
+    * metadata-only commits land (same LSN, new version) so those don't
+    * trigger empty micro-batches. */
+  @volatile private var lastReported: Option[GraftOffset] = None
+
+  override def getOffset: Option[V1Offset] = {
+    val snap = table.snapshot
+    val high = table.highLsn(snap) // manifest stats only — no Spark job
+    if (high < 0) None
+    else lastReported match {
+      case Some(o) if o.lsn == high => lastReported
+      case _ =>
+        val o = Some(GraftOffset(snap.version, high))
+        lastReported = o
+        o
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endO = GraftOffset.parse(end)
+    val fromLsn = start.map(GraftOffset.parse(_).lsn).getOrElse(-1L)
+    val snap = table.snapshotAt(endO.version)
+    if (snap.userSchema != startSchema)
+      throw new IllegalStateException(
+        s"table $tableDir schema evolved under a running stream " +
+          s"(started with ${startSchema.simpleString}, snapshot v${endO.version} " +
+          s"has ${snap.userSchema.simpleString}); restart the stream to adopt it")
+    val changes = table.readSince(fromLsn, asOf = Some(endO.version))
+      // version pinning already bounds the range; the explicit cut only
+      // guards files registered without LSN stats
+      .filter(col("__lsn") <= endO.lsn)
+      .withColumnRenamed("__lsn", "lsn")
+      .withColumnRenamed("__op", "op")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    GraftStreamShim.asStreamingBatch(changes)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeTableSource[$tableDir]"
+}
+
+/** Registers short name `graft-table` (META-INF/services). */
+class LakeTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def dir(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      """graft-table requires .option("path", <table dir>)"""))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-table derives its schema from the table")
+    val user = LakeTable.load(sqlContext.sparkSession, dir(parameters))
+      .snapshot.userSchema
+    (shortName(), LakeTableSourceProvider.changeSchema(user))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeTableSource(sqlContext, dir(parameters))
+}
+
+object LakeTableSourceProvider {
+  /** The change envelope: user columns + (`lsn`, `op`) — the column
+    * contract [[graft.cdc.MergeApply.merge]] consumes directly. */
+  def changeSchema(user: StructType): StructType =
+    StructType(user.fields.toSeq :+
+      StructField("lsn", LongType, nullable = false) :+
+      StructField("op", StringType, nullable = false))
+}

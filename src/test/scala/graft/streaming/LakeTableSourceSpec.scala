@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
+
+import graft.SparkSpec
+import graft.cdc.{MergeApply, MergeConfig, MergeResult}
+import graft.lake.LakeTable
+import graft.model.Schemas
+
+/** `format("graft-table")` — the lake table as a Structured Streaming
+  * source. Exactly-once table-to-table replication across restarts,
+  * delete propagation, metadata-commit quiescence, offset codec, and
+  * the fail-fast schema-evolution contract. */
+class LakeTableSourceSpec extends SparkSpec {
+
+  private val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private def batch(rows: Seq[(Long, String, String, Int, String)]) = {
+    import spark.implicits._
+    rows.toDF("lsn", "op", "conv_id", "turn_idx", "text")
+      .withColumn("role", lit("user"))
+      .withColumn("tool", lit(null).cast("string"))
+      .withColumn("ts", lit(ts))
+  }
+
+  private def state(t: LakeTable): Set[(String, Int, String)] =
+    t.read().select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+
+  /** Drain the source into dst via foreachBatch-merge on one checkpoint;
+    * returns the MergeResults of the batches this run processed. */
+  private def drain(srcDir: String, dst: LakeTable,
+      ckpt: String): Seq[MergeResult] = {
+    val results = new ConcurrentLinkedQueue[MergeResult]()
+    val q = spark.readStream.format("graft-table").option("path", srcDir)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        results.add(MergeApply.merge(dst, b, epochId, MergeConfig())): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSeq
+  }
+
+  test("offset json roundtrips through the checkpoint codec") {
+    val o = GraftOffset(12, 345678)
+    assert(GraftOffset.parse(o) == o)
+    val restored = new org.apache.spark.sql.connector.read.streaming.Offset {
+      override def json(): String = o.json
+    }
+    assert(GraftOffset.parse(restored) == o)
+  }
+
+  test("tailing a table replicates state exactly-once across restarts, deletes propagate") {
+    val srcDir = tmpDir("lts-src")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 4)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-dst"), Schemas.transcript, 4)
+    val ckpt = tmpDir("lts-ckpt")
+
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "c1", 0, "a"), (2L, "U", "c1", 1, "b"),
+      (3L, "U", "c2", 0, "c"))), 0L, MergeConfig())
+    MergeApply.merge(src, batch(Seq(
+      (4L, "U", "c2", 0, "c2"), (5L, "U", "c3", 0, "d"))), 1L, MergeConfig())
+
+    val first = drain(srcDir, dst, ckpt)
+    assert(first.count(_.applied) >= 1)
+    assert(state(dst) == state(src))
+    assert(state(dst) ==
+      Set(("c1", 0, "a"), ("c1", 1, "b"), ("c2", 0, "c2"), ("c3", 0, "d")))
+
+    // nothing new: a restarted query must deliver no data batches
+    val idle = drain(srcDir, dst, ckpt)
+    assert(idle.forall(r => !r.applied || r.rowsApplied == 0))
+    val dstVersionAfterIdle = dst.snapshot.version
+
+    // upstream moves on: overwrite + delete land while the stream is down
+    MergeApply.merge(src, batch(Seq(
+      (6L, "U", "c1", 0, "a2"), (7L, "D", "c3", 0, ""))), 2L, MergeConfig())
+
+    val second = drain(srcDir, dst, ckpt)
+    assert(second.count(r => r.applied && r.rowsApplied > 0) == 1,
+      "exactly one data batch for the missed range")
+    assert(state(dst) == state(src))
+    assert(state(dst) ==
+      Set(("c1", 0, "a2"), ("c1", 1, "b"), ("c2", 0, "c2")))
+    assert(!state(dst).exists(_._1 == "c3"), "tombstone did not propagate")
+    assert(dstVersionAfterIdle < dst.snapshot.version)
+  }
+
+  test("metadata-only commits never deliver data rows downstream") {
+    val srcDir = tmpDir("lts-meta")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-meta-dst"), Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-meta-ckpt")
+    MergeApply.merge(src, batch(Seq((1L, "U", "c1", 0, "x"))), 0L, MergeConfig())
+    drain(srcDir, dst, ckpt)
+    // a properties-only commit bumps the version but not the LSN cut: a
+    // restarted stream may fire at most one EMPTY micro-batch for the new
+    // offset json (committed as a 0-row epoch — watermark contiguity),
+    // but no data rows move and the running query then goes quiet
+    src.linkResource("dashboard", "https://example.invalid/d")
+    val runs = drain(srcDir, dst, ckpt)
+    assert(runs.forall(_.rowsApplied == 0))
+    assert(runs.size <= 1, s"metadata commit caused ${runs.size} micro-batches")
+    assert(state(dst) == Set(("c1", 0, "x")))
+  }
+
+  test("schema evolution under a RUNNING source fails fast; a restarted source adopts it") {
+    val srcDir = tmpDir("lts-evolve")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val provider = new LakeTableSourceProvider()
+    val params = Map("path" -> srcDir)
+
+    MergeApply.merge(src, batch(Seq((1L, "U", "c1", 0, "x"))), 0L, MergeConfig())
+    // a live source instance pinned its schema at creation …
+    val running = provider.createSource(spark.sqlContext, "", None,
+      "graft-table", params)
+    val o1 = running.getOffset.get
+    // … then the table evolves and more data lands
+    src.addColumn("rating", org.apache.spark.sql.types.IntegerType,
+      "added mid-stream")
+    MergeApply.merge(src, batch(Seq((2L, "U", "c1", 1, "y"))), 1L,
+      MergeConfig())
+    val o2 = running.getOffset.get
+    val ex = intercept[IllegalStateException] {
+      running.getBatch(Some(o1), o2)
+    }
+    assert(ex.getMessage.contains("schema evolved"))
+    assert(ex.getMessage.contains("restart"))
+
+    // a fresh source (= restarted stream) adopts the evolved schema and
+    // a full drain onto an evolved destination replicates the state
+    val restarted = provider.createSource(spark.sqlContext, "", None,
+      "graft-table", params)
+    assert(restarted.schema.fieldNames.contains("rating"))
+    val dst = LakeTable.createTable(spark, tmpDir("lts-evolve-dst"),
+      src.snapshot.userSchema, 2)
+    drain(srcDir, dst, tmpDir("lts-evolve-ckpt"))
+    assert(state(dst) == Set(("c1", 0, "x"), ("c1", 1, "y")))
+  }
+}
