@@ -103,9 +103,14 @@ object ReplayMain {
       }
 
       // GRAFT_FOLLOW=1: mirror into a downstream table via the
-      // incremental follow path and hold the mirror to the SAME oracle —
-      // end-to-end evidence for readSince/followOnce at replay scale.
+      // incremental follow path (batch rounds over readSince).
+      // GRAFT_FOLLOW=stream: same mirror, but tailed through the
+      // `graft-table` Structured Streaming source + foreachBatch merge.
+      // Either way the mirror is held to the SAME sequential oracle —
+      // end-to-end evidence for the downstream-consumption surface at
+      // replay scale.
       if (sys.env.contains("GRAFT_FOLLOW")) {
+        val streamed = sys.env("GRAFT_FOLLOW") == "stream"
         val down = {
           val d = LakeTable.load(spark, s"$workDir/downstream")
           if (d.exists) d
@@ -113,9 +118,24 @@ object ReplayMain {
             Schemas.transcript, math.max(4, nBuckets / 2))
         }
         val tF = System.nanoTime()
-        val rounds = CdcPipeline.followAvailable(table, down)
+        val what =
+          if (streamed) {
+            val q = spark.readStream.format("graft-table")
+              .option("path", tableDir).load()
+              .writeStream
+              .option("checkpointLocation", s"$workDir/downstream-ckpt")
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+                MergeApply.merge(down, b, e, pcfg.merge): Unit
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+            "streamed (graft-table source)"
+          } else {
+            val rounds = CdcPipeline.followAvailable(table, down)
+            s"${rounds.size} round(s)"
+          }
         val fSec = (System.nanoTime() - tF) / 1e9
-        print(f"[follow] ${rounds.size} round(s) in $fSec%.2f s; downstream vs oracle … ")
+        print(f"[follow] $what in $fSec%.2f s; downstream vs oracle … ")
         import spark.implicits._
         val got = down.read().as[graft.model.TranscriptRow]
           .collect().sortBy(r => (r.conv_id, r.turn_idx)).toSeq
