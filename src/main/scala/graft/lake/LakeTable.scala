@@ -692,6 +692,28 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Point read: the live turns of ONE conversation, touching only the
+    * key's bucket — file pruning from the manifest alone, so a lookup
+    * reads 1/nBuckets of the table regardless of table size (the
+    * operational "show me this conversation" query at 10^10 rows).
+    * LWW-resolves only if that bucket carries deltas; tombstones
+    * filtered like [[read]]. */
+  def readConv(convId: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+    val b = LakeTable.bucketOf(convId, snap.nBuckets)
+    // filter BEFORE resolution: every version of the key lives in this
+    // bucket, so the filter keeps all of them and LWW stays exact
+    val raw = readRawSnap(snap, Some(Set(b)))
+      .filter(col("conv_id") === lit(convId))
+    val resolved =
+      if (snap.files.exists(f => f.bucket == b && f.kind == "delta"))
+        lwwResolve(raw, snap.nBuckets)
+      else raw
+    resolved
+      .filter(col("__op") =!= lit("D"))
+      .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Files that can hold a row with `__lsn > sinceLsn`, selected from the
     * manifest's footer-derived LSN ranges alone (no data scan). A file
     * without stats (`maxLsn < 0`) is kept conservatively. */
@@ -972,6 +994,15 @@ object LakeTable {
     * across Spark versions within a deployment (documented contract). */
   def bucketExpr(nBuckets: Int) =
     pmod(hash(col("conv_id")), lit(nBuckets)).cast(IntegerType)
+
+  /** Driver-side twin of [[bucketExpr]] for point lookups: same murmur3
+    * (seed 42, Spark's `hash`), same non-negative mod. */
+  def bucketOf(convId: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(convId)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
 
   def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b => true

@@ -58,8 +58,15 @@ object GraftOffset {
   *  - a `followOnce`-driven table uses source LSNs as epoch ids; this
   *    source uses Spark's own micro-batch ids — don't mix the two sync
   *    mechanisms on one destination table.
+  *  - `.option("maxLsnsPerTrigger", n)` caps the LSN range per
+  *    micro-batch (≈ an event cap for dense LSNs): a from-scratch
+  *    bootstrap of a 10^10-event table arrives as bounded batches, not
+  *    one table-sized one. Batches under a cut skip keys whose winner
+  *    lies beyond it; the later batch covering the winner delivers them
+  *    — the LWW composition reaches the identical final state.
   */
-class LakeTableSource(sqlContext: SQLContext, tableDir: String)
+class LakeTableSource(sqlContext: SQLContext, tableDir: String,
+    maxLsnsPerTrigger: Option[Long] = None)
     extends Source {
 
   private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
@@ -72,21 +79,33 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String)
     * trigger empty micro-batches. */
   @volatile private var lastReported: Option[GraftOffset] = None
 
+  /** Highest LSN cut a `getBatch` has covered — on a restart the engine
+    * replays the last committed range through `getBatch` before the
+    * first new trigger, which re-seats this cursor so the rate limit
+    * resumes from the checkpoint, not from scratch. */
+  @volatile private var consumedLsn: Long = -1L
+
   override def getOffset: Option[V1Offset] = {
     val snap = table.snapshot
     val high = table.highLsn(snap) // manifest stats only — no Spark job
-    if (high < 0) None
-    else lastReported match {
-      case Some(o) if o.lsn == high => lastReported
-      case _ =>
-        val o = Some(GraftOffset(snap.version, high))
-        lastReported = o
-        o
-    }
+    if (high < 0) return None
+    val from = math.max(consumedLsn, lastReported.map(_.lsn).getOrElse(-1L))
+    if (high <= from) return lastReported
+    // rate limit: cap the LSN range per micro-batch (≈ an event cap for
+    // dense LSNs) so a from-scratch bootstrap or a long catch-up becomes
+    // a sequence of bounded batches instead of one table-sized one. The
+    // cut is pinned to the CURRENT snapshot; a key whose winner lies
+    // beyond the cut is simply delivered in the later batch that covers
+    // the winner — LWW composition converges to the same final state.
+    val cut = maxLsnsPerTrigger.fold(high)(m => math.min(high, from + m))
+    val o = Some(GraftOffset(snap.version, cut))
+    lastReported = o
+    o
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = GraftOffset.parse(end)
+    consumedLsn = math.max(consumedLsn, endO.lsn)
     val fromLsn = start.map(GraftOffset.parse(_).lsn).getOrElse(-1L)
     val snap = table.snapshotAt(endO.version)
     if (snap.userSchema != startSchema)
@@ -95,8 +114,10 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String)
           s"(started with ${startSchema.simpleString}, snapshot v${endO.version} " +
           s"has ${snap.userSchema.simpleString}); restart the stream to adopt it")
     val changes = table.readSince(fromLsn, asOf = Some(endO.version))
-      // version pinning already bounds the range; the explicit cut only
-      // guards files registered without LSN stats
+      // the rate-limit cut (and, unlimited, a guard for files registered
+      // without LSN stats): under maxLsnsPerTrigger the end offset's LSN
+      // sits BELOW the pinned snapshot's high, and a key whose winner
+      // lies beyond the cut is deferred to the batch that covers it
       .filter(col("__lsn") <= endO.lsn)
       .withColumnRenamed("__lsn", "lsn")
       .withColumnRenamed("__op", "op")
@@ -129,8 +150,11 @@ class LakeTableSourceProvider extends StreamSourceProvider with DataSourceRegist
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new LakeTableSource(sqlContext, dir(parameters))
+      parameters: Map[String, String]): Source = {
+    val limit = parameters.get("maxLsnsPerTrigger").map(_.toLong)
+    require(limit.forall(_ > 0), "maxLsnsPerTrigger must be positive")
+    new LakeTableSource(sqlContext, dir(parameters), limit)
+  }
 }
 
 object LakeTableSourceProvider {

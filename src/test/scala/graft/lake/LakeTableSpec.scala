@@ -293,4 +293,47 @@ class LakeTableSpec extends SparkSpec {
       assert(exploded.map(_.getAs[Long]("rows")).sum == e.rowsApplied)
     }
   }
+
+  test("bucketOf is the exact driver-side twin of bucketExpr") {
+    val ids = (0 until 200).map(i => s"conv_$i") :+ "" :+ "日本語-key"
+    for (n <- Seq(1, 4, 32)) {
+      val viaExpr = ids.toDF("conv_id")
+        .select(col("conv_id"), LakeTable.bucketExpr(n).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      ids.foreach(id => assert(LakeTable.bucketOf(id, n) == viaExpr(id)))
+    }
+  }
+
+  test("readConv: bucket-pruned point lookup equals the filtered full read") {
+    val t = freshTable()
+    // add deltas with updates + a tombstone so resolution is exercised
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+    val someConv = t.read().select("conv_id").as[String].head()
+    val b = Seq(
+      (8000001L, "U", someConv, 0, "user", "updated!", null: String, ts),
+      (8000002L, "D", someConv, 1, "user", "", null: String, ts))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, b, 1L, MergeConfig(writeMode = "mor",
+      maxDeltaFilesPerBucket = 1000))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    for (id <- Seq(someConv, t.read().select("conv_id").as[String]
+        .distinct().collect().last)) {
+      assert(rows(t.readConv(id)) ==
+        rows(t.read().filter(col("conv_id") === id)), s"mismatch for $id")
+    }
+    assert(rows(t.readConv(someConv)).exists(_._3 == "updated!"))
+    assert(!rows(t.readConv(someConv)).exists(_._2 == 1), "tombstone leaked")
+    assert(t.readConv("no-such-conversation").count() == 0)
+    // pruning: a base-only read of the key's bucket touches ONLY that
+    // bucket's files (input_file_name is preserved pre-shuffle)
+    graft.cdc.MergeApply.compactBuckets(t,
+      t.snapshot.files.filter(_.kind == "delta").map(_.bucket).toSet)
+    val bkt = LakeTable.bucketOf(someConv, t.snapshot.nBuckets)
+    val files = t.readConv(someConv)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains(s"__bucket=$bkt")))
+  }
 }

@@ -32,9 +32,13 @@ class LakeTableSourceSpec extends SparkSpec {
   /** Drain the source into dst via foreachBatch-merge on one checkpoint;
     * returns the MergeResults of the batches this run processed. */
   private def drain(srcDir: String, dst: LakeTable,
-      ckpt: String): Seq[MergeResult] = {
+      ckpt: String, options: Map[String, String] = Map.empty)
+      : Seq[MergeResult] = {
     val results = new ConcurrentLinkedQueue[MergeResult]()
-    val q = spark.readStream.format("graft-table").option("path", srcDir)
+    val q = options.foldLeft(
+        spark.readStream.format("graft-table").option("path", srcDir)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load()
       .writeStream
       .option("checkpointLocation", ckpt)
@@ -91,6 +95,32 @@ class LakeTableSourceSpec extends SparkSpec {
       Set(("c1", 0, "a2"), ("c1", 1, "b"), ("c2", 0, "c2")))
     assert(!state(dst).exists(_._1 == "c3"), "tombstone did not propagate")
     assert(dstVersionAfterIdle < dst.snapshot.version)
+  }
+
+  test("maxLsnsPerTrigger bounds catch-up batches; rate-limited composition converges") {
+    val srcDir = tmpDir("lts-rate")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 4)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-rate-dst"), Schemas.transcript, 4)
+    // 18 LSNs land BEFORE the stream starts; k0's winner (lsn 7) lies
+    // beyond the first cut, k5 ends deleted — both must survive the
+    // batch-by-batch catch-up
+    MergeApply.merge(src, batch((1 to 6).map(i =>
+      (i.toLong, "U", s"k${i - 1}", 0, s"v$i"))), 0L, MergeConfig())
+    MergeApply.merge(src, batch(Seq(
+      (7L, "U", "k0", 0, "k0-final"), (8L, "U", "k6", 0, "v8"),
+      (12L, "U", "k7", 0, "v12"))), 1L, MergeConfig())
+    MergeApply.merge(src, batch(Seq(
+      (13L, "U", "k8", 0, "v13"), (18L, "D", "k5", 0, ""))), 2L, MergeConfig())
+
+    val runs = drain(srcDir, dst, tmpDir("lts-rate-ckpt"),
+      Map("maxLsnsPerTrigger" -> "5"))
+    // 18 LSNs / 5 per trigger -> at least 4 micro-batches
+    assert(runs.size >= 4, s"expected a bounded catch-up, got ${runs.size} batch(es)")
+    assert(state(dst) == state(src))
+    assert(state(dst) == Set(
+      ("k0", 0, "k0-final"), ("k1", 0, "v2"), ("k2", 0, "v3"),
+      ("k3", 0, "v4"), ("k4", 0, "v5"), ("k6", 0, "v8"),
+      ("k7", 0, "v12"), ("k8", 0, "v13")))
   }
 
   test("metadata-only commits never deliver data rows downstream") {
