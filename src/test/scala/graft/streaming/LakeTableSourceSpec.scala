@@ -123,6 +123,25 @@ class LakeTableSourceSpec extends SparkSpec {
       ("k7", 0, "v12"), ("k8", 0, "v13")))
   }
 
+  test("Trigger.AvailableNow drains the table and stops (bounded mirror mode)") {
+    val srcDir = tmpDir("lts-an")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-an-dst"), Schemas.transcript, 2)
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "a", 0, "x"), (2L, "U", "b", 0, "y"))), 0L, MergeConfig())
+    val q = spark.readStream.format("graft-table").option("path", srcDir)
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("lts-an-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, e: Long) =>
+        MergeApply.merge(dst, b, e, MergeConfig()): Unit
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    assert(state(dst) == Set(("a", 0, "x"), ("b", 0, "y")))
+  }
+
   test("metadata-only commits never deliver data rows downstream") {
     val srcDir = tmpDir("lts-meta")
     val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
