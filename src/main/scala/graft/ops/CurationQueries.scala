@@ -193,17 +193,80 @@ object CurationQueries {
              < CASE $cases ELSE $DefaultRate END"""
   }
 
+  // ------------------------------------------ q41 sequence packing
+
+  /** Target sequence length in (whitespace) tokens. */
+  val PackSeqLen = 1024L
+
+  /** Fixed-length sequence packing (the GPT-style "concatenate the corpus
+    * and chunk every L tokens" step that turns documents into training
+    * sequences): each doc gets its token span [start, start+n_tok) in the
+    * concatenation order, reported as first/last sequence id and offset.
+    * The concatenation order is md5('pack:'||doc_id) — deterministic,
+    * shuffle-free to define, and uniformly load-balanced.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window: an
+    * ORDER BY over the corpus inside one window collapses to a single
+    * task. Instead the order key's first two hex chars define 256
+    * CONTIGUOUS blocks by construction (a prefix of the sort key — no
+    * sampled range boundaries, so the block of a doc never depends on
+    * the rest of the data): a per-block window computes local running
+    * sums in parallel, the 256 block totals prefix-sum on the driver,
+    * and a broadcast join adds each block's base. Two hash exchanges,
+    * one bounded collect; block width is a knob (3 hex chars = 4096
+    * blocks) when 10^10/256 rows per block outgrows a task sort. */
+  private val q41: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).select(
+      col("doc_id"), size(wordsCol).as("n_tok"),
+      md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("h"))
+    val withPid = base.withColumn("pid",
+      conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
+    val w = Window.partitionBy(col("pid")).orderBy(col("h"))
+    val local = withPid.withColumn("lcum", sum(col("n_tok")).over(w))
+    val totals = withPid.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // base offset of each present block = sum of the preceding present
+    // blocks' totals (absent blocks contribute nothing by definition)
+    val bases =
+      if (totals.isEmpty) Seq.empty[(Int, Long)]
+      else totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
+        (p, acc + t)
+      }.sliding(2).map { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
+    val baseDf = s.createDataFrame(bases).toDF("pid", "base")
+    local.join(broadcast(baseDf), "pid")
+      .withColumn("cum", col("lcum") + col("base"))
+      .selectExpr("doc_id", "n_tok",
+        s"(cum - n_tok) div $PackSeqLen AS seq_first",
+        s"(cum - 1) div $PackSeqLen AS seq_last",
+        s"(cum - n_tok) % $PackSeqLen AS seq_offset")
+  }
+  private val q41Sql =
+    s"""WITH t AS (SELECT doc_id, len(string_split(lower(text),' ')) n_tok,
+             md5('pack:' || doc_id::VARCHAR) h FROM documents),
+       c AS (SELECT doc_id, n_tok,
+             (SUM(n_tok) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING))::BIGINT cum
+             FROM t)
+       SELECT doc_id, n_tok,
+         (cum - n_tok) // $PackSeqLen AS seq_first,
+         (cum - 1) // $PackSeqLen AS seq_last,
+         (cum - n_tok) % $PackSeqLen AS seq_offset
+       FROM c"""
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q37_decontaminate" -> q37,
     "q38_hash_split" -> q38,
     "q39_dup_clusters" -> q39,
-    "q40_sample_stratified" -> q40)
+    "q40_sample_stratified" -> q40,
+    "q41_sequence_pack" -> q41)
 
   val oracles: Map[String, String] = Map(
     "q37_decontaminate" -> q37Sql,
     "q38_hash_split" -> q38Sql,
     "q39_dup_clusters" -> q39Sql,
-    "q40_sample_stratified" -> q40Sql)
+    "q40_sample_stratified" -> q40Sql,
+    "q41_sequence_pack" -> q41Sql)
 }

@@ -59,6 +59,33 @@ class CurationSpec extends SparkSpec {
     assert(byCluster.exists(_._2.size > 1), "expected non-trivial clusters")
   }
 
+  test("sequence packing tiles the token stream with no gaps or overlaps") {
+    val L = CurationQueries.PackSeqLen
+    val out = q("q41_sequence_pack").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // reconstruct each doc's absolute span and check the spans tile
+    // [0, totalTokens) exactly — the packing is a permutation-free
+    // concatenation, so any gap/overlap means the prefix sum is wrong
+    val spans = out.map { case (_, n, sf0, _, off) =>
+      val start = sf0 * L + off
+      (start, start + n)
+    }.sortBy(_._1)
+    val total = out.map(_._2).sum
+    assert(spans.head._1 == 0L)
+    spans.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 == s2, s"gap/overlap at $e1")
+      case _ =>
+    }
+    assert(spans.last._2 == total)
+    out.foreach { case (_, n, sf0, sl, off) =>
+      assert(off >= 0 && off < L)
+      assert(sl == (sf0 * L + off + n - 1) / L)
+    }
+  }
+
   test("stratified sample: rates honored per language, sample is deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val totals = docs.groupBy("lang").count().collect()
