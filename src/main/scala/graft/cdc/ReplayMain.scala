@@ -111,11 +111,24 @@ object ReplayMain {
       // replay scale.
       if (sys.env.contains("GRAFT_FOLLOW")) {
         val streamed = sys.env("GRAFT_FOLLOW") == "stream"
+        val mode = if (streamed) "stream" else "batch"
         val down = {
           val d = LakeTable.load(spark, s"$workDir/downstream")
-          if (d.exists) d
+          if (d.exists) {
+            // the two sync mechanisms use incompatible epoch-id spaces
+            // (follow: source LSNs; stream: Spark micro-batch ids) — a
+            // mode switch on an existing mirror would silently no-op
+            // every merge under the old watermark
+            val prev = d.snapshot.properties.get("graft.follow.mode")
+            if (!prev.contains(mode)) sys.error(
+              s"downstream at $workDir/downstream was built with " +
+                s"GRAFT_FOLLOW mode '${prev.getOrElse("?")}' — delete it " +
+                s"before switching to '$mode'")
+            d
+          }
           else LakeTable.createTable(spark, s"$workDir/downstream",
-            Schemas.transcript, math.max(4, nBuckets / 2))
+            Schemas.transcript, math.max(4, nBuckets / 2),
+            properties = Map("graft.follow.mode" -> mode))
         }
         val tF = System.nanoTime()
         val what =

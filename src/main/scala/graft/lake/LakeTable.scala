@@ -687,10 +687,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         if (coldBuckets.isEmpty) hot
         else hot.unionByName(readRawSnap(snap, Some(coldBuckets)))
       }
+    liveRows(snap, resolved)
+  }
+
+  /** Shared tail of every table-state read ([[read]], [[readConv]]):
+    * drop tombstone winners, project the user schema. One place, so the
+    * full read and the point lookup can never drift. */
+  private def liveRows(snap: Snapshot, resolved: DataFrame): DataFrame =
     resolved
       .filter(col("__op") =!= lit("D"))
       .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
-  }
 
   /** Point read: the live turns of ONE conversation, touching only the
     * key's bucket — file pruning from the manifest alone, so a lookup
@@ -709,9 +715,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       if (snap.files.exists(f => f.bucket == b && f.kind == "delta"))
         lwwResolve(raw, snap.nBuckets)
       else raw
-    resolved
-      .filter(col("__op") =!= lit("D"))
-      .select(snap.userSchema.fieldNames.map(col).toSeq: _*)
+    liveRows(snap, resolved)
   }
 
   /** Files that can hold a row with `__lsn > sinceLsn`, selected from the

@@ -63,8 +63,13 @@ object CurationQueries {
     * string so the DuckDB oracle is definitionally identical. */
   private val q37: Q = (s, d) => {
     val isEval = col("doc_id") % EvalModulus === 0
+    // persisted: the tokenize+13-gram explode is the dominant cost and
+    // feeds three consumers (eval gram set, the overlap join's train
+    // side, and the per-doc totals) — same precedent as the dedup
+    // family's shingle frame (CorpusQueries.shingleRows)
     val g = docs(s, d)
       .select(col("doc_id"), explode(gramsCol(wordsCol, ContamGramWidth)).as("g"))
+      .persist()
     val evalGrams = g.filter(isEval).select(col("g")).distinct()
     val train = g.filter(!isEval)
     val shared = train.join(evalGrams, "g")
@@ -217,9 +222,12 @@ object CurationQueries {
     * blocks) when 10^10/256 rows per block outgrows a task sort. */
   private val q41: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the tokenized base feeds both the block-totals action
+    // and the windowed local prefix sums
     val base = docs(s, d).select(
       col("doc_id"), size(wordsCol).as("n_tok"),
       md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("h"))
+      .persist()
     val withPid = base.withColumn("pid",
       conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
     val w = Window.partitionBy(col("pid")).orderBy(col("h"))

@@ -2,11 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftStreamShim, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.lake.LakeTable
+import graft.lake.{LakeTable, Snapshot}
 
 /** Streaming offset into a lake table's change history: the snapshot
   * version paired with that snapshot's high LSN. The LSN is the cut (the
@@ -67,52 +67,77 @@ object GraftOffset {
   */
 class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     maxLsnsPerTrigger: Option[Long] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
   private val startSchema: StructType = table.snapshot.userSchema
 
   override val schema: StructType = LakeTableSourceProvider.changeSchema(startSchema)
 
-  /** Latest offset handed to the engine; re-served while only
-    * metadata-only commits land (same LSN, new version) so those don't
-    * trigger empty micro-batches. */
-  @volatile private var lastReported: Option[GraftOffset] = None
-
-  /** Highest LSN cut a `getBatch` has covered — on a restart the engine
-    * replays the last committed range through `getBatch` before the
-    * first new trigger, which re-seats this cursor so the rate limit
-    * resumes from the checkpoint, not from scratch. */
+  /** Highest LSN cut a `getBatch` has covered — only the legacy
+    * [[getOffset]] path needs it (the engine replays the last committed
+    * range through `getBatch` on restart, re-seating this cursor); the
+    * admission-control path receives its start offset explicitly. */
   @volatile private var consumedLsn: Long = -1L
 
-  override def getOffset: Option[V1Offset] = {
+  /** Target frozen by [[prepareForTriggerAvailableNow]]: an AvailableNow
+    * run drains up to here in rate-limited batches and then STOPS, even
+    * while writers keep committing. `None` = tail mode (chase the live
+    * high). */
+  @volatile private var preparedTarget: Option[GraftOffset] = None
+
+  private def liveTarget(): Option[GraftOffset] = {
     val snap = table.snapshot
     val high = table.highLsn(snap) // manifest stats only — no Spark job
-    if (high < 0) return None
-    val from = math.max(consumedLsn, lastReported.map(_.lsn).getOrElse(-1L))
-    if (high <= from) return lastReported
-    // rate limit: cap the LSN range per micro-batch (≈ an event cap for
-    // dense LSNs) so a from-scratch bootstrap or a long catch-up becomes
-    // a sequence of bounded batches instead of one table-sized one. The
-    // cut is pinned to the CURRENT snapshot; a key whose winner lies
-    // beyond the cut is simply delivered in the later batch that covers
-    // the winner — LWW composition converges to the same final state.
-    val cut = maxLsnsPerTrigger.fold(high)(m => math.min(high, from + m))
-    val o = Some(GraftOffset(snap.version, cut))
-    lastReported = o
-    o
+    if (high < 0) None else Some(GraftOffset(snap.version, high))
   }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    preparedTarget = liveTarget()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 = liveTarget().orNull
+
+  /** The engine's offset negotiation (it prefers this over the legacy
+    * [[getOffset]] because the source declares admission control, and —
+    * crucially — uses the source NATIVELY under Trigger.AvailableNow
+    * instead of wrapping it in a one-shot-getOffset wrapper that would
+    * freeze a rate-limited cut as the final target).
+    *
+    * Rate limit: cap the LSN range per micro-batch (≈ an event cap for
+    * dense LSNs) so a from-scratch bootstrap or a long catch-up becomes
+    * a sequence of bounded batches instead of one table-sized one. The
+    * cut stays pinned to the target's snapshot; a key whose winner lies
+    * beyond the cut is simply delivered in the later batch that covers
+    * the winner — LWW composition converges to the same final state.
+    * Returning `start` verbatim (json-equal) signals no new data, so
+    * metadata-only commits never trigger micro-batches. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val target = preparedTarget.orElse(liveTarget()).getOrElse(return null)
+    val from = Option(start).map(GraftOffset.parse(_).lsn).getOrElse(-1L)
+    if (target.lsn <= from) return start
+    val cut = maxLsnsPerTrigger.fold(target.lsn)(m =>
+      math.min(target.lsn, from + m))
+    GraftOffset(target.version, cut)
+  }
+
+  /** Legacy DSv1 negotiation — kept correct for direct users of the
+    * Source API; the engine itself routes through [[latestOffset]]. */
+  override def getOffset: Option[V1Offset] =
+    Option(latestOffset(
+      if (consumedLsn < 0) null
+      else GraftOffset(table.snapshot.version, consumedLsn),
+      getDefaultReadLimit)).map(GraftOffset.parse)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = GraftOffset.parse(end)
     consumedLsn = math.max(consumedLsn, endO.lsn)
     val fromLsn = start.map(GraftOffset.parse(_).lsn).getOrElse(-1L)
     val snap = table.snapshotAt(endO.version)
-    if (snap.userSchema != startSchema)
-      throw new IllegalStateException(
-        s"table $tableDir schema evolved under a running stream " +
-          s"(started with ${startSchema.simpleString}, snapshot v${endO.version} " +
-          s"has ${snap.userSchema.simpleString}); restart the stream to adopt it")
     val changes = table.readSince(fromLsn, asOf = Some(endO.version))
       // the rate-limit cut (and, unlimited, a guard for files registered
       // without LSN stats): under maxLsnsPerTrigger the end offset's LSN
@@ -121,8 +146,37 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
       .filter(col("__lsn") <= endO.lsn)
       .withColumnRenamed("__lsn", "lsn")
       .withColumnRenamed("__op", "op")
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    GraftStreamShim.asStreamingBatch(changes)
+    GraftStreamShim.asStreamingBatch(alignToStart(changes, snap))
+  }
+
+  /** Project a pinned-snapshot batch into the stream's declared schema.
+    *
+    * A restart replays the last committed range against its OLD end
+    * snapshot while the stream has already adopted the table's current
+    * schema — that older schema is by construction an ancestor of the
+    * declared one (evolution only adds and widens), so the batch aligns
+    * losslessly: missing columns null-fill, narrower types upcast. The
+    * reverse direction — the end snapshot evolved BEYOND the declared
+    * schema, i.e. the table changed under a running stream — cannot be
+    * delivered without dropping or down-casting columns, so it fails
+    * fast and a restart adopts the new schema. */
+  private def alignToStart(changes: DataFrame, snap: Snapshot): DataFrame = {
+    val have = snap.userSchema
+    if (have == startSchema)
+      return changes.select(schema.fieldNames.map(col).toSeq: _*)
+    val ancestor = have.fields.forall(f =>
+      startSchema.fields.find(_.name == f.name).exists(g =>
+        LakeTable.canWiden(f.dataType, g.dataType)))
+    if (!ancestor)
+      throw new IllegalStateException(
+        s"table $tableDir schema evolved under a running stream " +
+          s"(started with ${startSchema.simpleString}, pinned snapshot " +
+          s"has ${have.simpleString}); restart the stream to adopt it")
+    val cols = startSchema.fields.toSeq.map { f =>
+      if (have.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col("lsn") :+ col("op")
+    changes.select(cols: _*)
   }
 
   override def stop(): Unit = ()

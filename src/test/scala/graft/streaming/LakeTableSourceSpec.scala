@@ -142,6 +142,58 @@ class LakeTableSourceSpec extends SparkSpec {
     assert(state(dst) == Set(("a", 0, "x"), ("b", 0, "y")))
   }
 
+  test("Trigger.AvailableNow with maxLsnsPerTrigger drains EVERYTHING in bounded batches") {
+    val srcDir = tmpDir("lts-an-rate")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-an-rate-dst"), Schemas.transcript, 2)
+    MergeApply.merge(src, batch((1 to 18).map(i =>
+      (i.toLong, "U", s"k$i", 0, s"v$i"))), 0L, MergeConfig())
+    val results = new ConcurrentLinkedQueue[MergeResult]()
+    val q = spark.readStream.format("graft-table").option("path", srcDir)
+      .option("maxLsnsPerTrigger", "5")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("lts-an-rate-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, e: Long) =>
+        results.add(MergeApply.merge(dst, b, e, MergeConfig())): Unit
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    // the drain must cover ALL 18 LSNs (not stop at the first window of
+    // 5) and must arrive in multiple bounded batches
+    assert(state(dst) == state(src))
+    assert(state(dst).size == 18)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(_.rowsApplied > 0) >= 4,
+      s"expected a bounded multi-batch drain, got ${results.size} batch(es)")
+  }
+
+  test("restart after upstream schema evolution replays the old range and adopts the new schema") {
+    val srcDir = tmpDir("lts-restart-evolve")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-restart-evolve-dst"), Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-restart-evolve-ckpt")
+    MergeApply.merge(src, batch(Seq((1L, "U", "c1", 0, "x"))), 0L, MergeConfig())
+    drain(srcDir, dst, ckpt)
+
+    // stream is DOWN; the table evolves and new data lands
+    src.addColumn("rating", org.apache.spark.sql.types.IntegerType, "later")
+    MergeApply.merge(src, batch(Seq((2L, "U", "c2", 0, "y"))), 1L, MergeConfig())
+
+    // the restarted stream replays the committed range against its OLD
+    // end snapshot (pre-evolution) under the NEW declared schema — the
+    // ancestor alignment must null-fill instead of wedging the
+    // checkpoint — then deliver the new range
+    val second = drain(srcDir, dst, ckpt)
+    assert(second.count(r => r.applied && r.rowsApplied > 0) == 1)
+    assert(state(dst) == Set(("c1", 0, "x"), ("c2", 0, "y")))
+
+    // and a third restart stays healthy
+    val third = drain(srcDir, dst, ckpt)
+    assert(third.forall(_.rowsApplied == 0))
+  }
+
   test("metadata-only commits never deliver data rows downstream") {
     val srcDir = tmpDir("lts-meta")
     val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
