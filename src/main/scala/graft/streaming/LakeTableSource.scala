@@ -184,14 +184,64 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
   override def toString: String = s"LakeTableSource[$tableDir]"
 }
 
+/** `df.writeStream.format("graft-table").option("path", dir).start()` —
+  * the sink half: every micro-batch lands through the engine's
+  * epoch-guarded MERGE (method `upsert`, default) or blind append
+  * (`insert`), exactly like [[graft.cdc.CdcPipeline]]'s foreachBatch but
+  * without writing one. Spark's micro-batch id is the epoch id, so
+  * checkpoint redelivery is a no-op — exactly-once end to end; chaining
+  * a `graft-table` source into a `graft-table` sink is complete
+  * table-to-table replication in one `readStream → writeStream` line.
+  * The batch must carry the change envelope (`lsn`, `op`, key/payload
+  * columns) — which is exactly what the source emits. */
+class LakeTableSink(sqlContext: SQLContext, tableDir: String,
+    method: String, cfg: graft.cdc.MergeConfig)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine hands a streaming-flagged frame; merge runs batch-only
+    // operations (observe) on it — re-plan as a plain batch first
+    val b = GraftStreamShim.asPlainBatch(data)
+    if (method == "insert") graft.cdc.MergeApply.append(table, b, batchId, cfg)
+    else graft.cdc.MergeApply.merge(table, b, batchId, cfg)
+    ()
+  }
+
+  override def toString: String = s"LakeTableSink[$tableDir]"
+}
+
 /** Registers short name `graft-table` (META-INF/services). */
-class LakeTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class LakeTableSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
   private def dir(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       """graft-table requires .option("path", <table dir>)"""))
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table manages its own bucket layout; partitionBy is not supported")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-table is an incremental upsert sink; Complete mode is not supported")
+    val d = dir(parameters)
+    require(LakeTable.load(sqlContext.sparkSession, d).exists,
+      s"no lake table at $d — create it first (LakeTable.createTable)")
+    val method = parameters.getOrElse("method", "upsert")
+    require(method == "upsert" || method == "insert",
+      s"method must be upsert or insert, got '$method'")
+    val mode = parameters.getOrElse("writeMode", "mor")
+    require(mode == "mor" || mode == "cow",
+      s"writeMode must be mor or cow, got '$mode'")
+    new LakeTableSink(sqlContext, d, method,
+      graft.cdc.MergeConfig(writeMode = mode))
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

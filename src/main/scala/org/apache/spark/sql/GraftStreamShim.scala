@@ -25,4 +25,15 @@ object GraftStreamShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse, for a DSv1 `Sink.addBatch`: the engine hands the sink
+    * a streaming-flagged micro-batch, which batch-only operations
+    * (observe, collect) reject — re-plan it as a plain batch DataFrame,
+    * exactly what Spark's own `ForeachBatchSink` does before invoking
+    * the user function. */
+  def asPlainBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -194,6 +194,39 @@ class LakeTableSourceSpec extends SparkSpec {
     assert(third.forall(_.rowsApplied == 0))
   }
 
+  test("source-to-sink one-liner replicates a table exactly-once, no foreachBatch") {
+    val srcDir = tmpDir("lts-sink-src")
+    val dstDir = tmpDir("lts-sink-dst")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    LakeTable.createTable(spark, dstDir, Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-sink-ckpt")
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "a", 0, "x"), (2L, "U", "b", 0, "y"))), 0L, MergeConfig())
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", srcDir)
+        .load()
+        .writeStream.format("graft-table").option("path", dstDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val dst = LakeTable.load(spark, dstDir)
+    assert(state(dst) == state(src))
+
+    // overwrite + delete while down; a restarted one-liner catches up
+    MergeApply.merge(src, batch(Seq(
+      (3L, "U", "a", 0, "x2"), (4L, "D", "b", 0, ""))), 1L, MergeConfig())
+    run()
+    assert(state(dst) == state(src))
+    assert(state(dst) == Set(("a", 0, "x2")))
+    // idempotent: nothing new, nothing applied
+    val v = dst.snapshot.version
+    run()
+    assert(dst.snapshot.version == v)
+  }
+
   test("metadata-only commits never deliver data rows downstream") {
     val srcDir = tmpDir("lts-meta")
     val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
