@@ -57,7 +57,16 @@ final case class MergeConfig(
       *  - "window": textbook row_number() over (partition by key order
       *    by lsn desc) — shuffles by key AND sorts, plus the write
       *    shuffle. Kept for A/B verification. */
-    dedup: String = "bucket")
+    dedup: String = "bucket",
+    /** Writer identity for app-scoped idempotence (Delta's
+      * txnAppId/txnVersion). `None` (default): epoch ids live in the
+      * table's single global epoch space — right for THE feed that owns
+      * the table. `Some(app)`: epoch ids are scoped to this writer in
+      * the snapshot's txn map, so an independent writer (a streaming
+      * sink attached to a table other jobs already seeded) whose batch
+      * ids start at 0 can never collide with the global watermark and
+      * silently no-op. */
+    txnApp: Option[String] = None)
 
 /** The MERGE kernel (SURVEY.md §4 item 1, §7.1 item 4): applies one
   * micro-batch of change events to a [[LakeTable]] as an idempotent,
@@ -129,6 +138,21 @@ object MergeApply {
     if (events.isEmpty) batch else batch.filter(col("op") =!= "S")
   }
 
+  /** Idempotence guard under either epoch space (see
+    * [[MergeConfig.txnApp]]). */
+  private def alreadyCommitted(snap: Snapshot, epochId: Long,
+      cfg: MergeConfig): Boolean = cfg.txnApp match {
+    case Some(app) => snap.txns.get(app).exists(epochId <= _)
+    case None => snap.isCommitted(epochId)
+  }
+
+  /** Route an epoch id into the commit's global-epoch or app-txn slot. */
+  private def epochArgs(cfg: MergeConfig, epochId: Long)
+      : (Option[Long], Option[(String, Long)]) = cfg.txnApp match {
+    case Some(app) => (None, Some(app -> epochId))
+    case None => (Some(epochId), None)
+  }
+
   /** Read the schema-event probe: (lsn, payload) of every op="S" row the
     * observed action saw. Collecting registry rows on the driver is
     * bounded by design — schema changes are a handful of events in
@@ -195,7 +219,7 @@ object MergeApply {
       cfg: MergeConfig = MergeConfig()): MergeResult = {
     val t0 = System.nanoTime()
     val snap0 = table.snapshot
-    if (snap0.isCommitted(epochId)) {
+    if (alreadyCommitted(snap0, epochId, cfg)) {
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
@@ -326,7 +350,8 @@ object MergeApply {
       if (stats.isEmpty) {
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
           snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
-        val c = table.commit(snap, Nil, Set.empty, Some(epochId), Some(entry))
+        val (eid, txn) = epochArgs(cfg, epochId)
+        val c = table.commit(snap, Nil, Set.empty, eid, Some(entry), txn = txn)
         return Right(MergeResult(applied = true, c.version, 0L, 0L,
           Nil, (System.nanoTime() - t0) / 1000000L))
       }
@@ -368,7 +393,8 @@ object MergeApply {
         // rows — the batch's share per bucket is what lineage records
         partitions = stats.map(r => BucketLineage(r.getInt(0),
           r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket))
-      val c = table.commit(snap, newFiles, buckets, Some(epochId), Some(entry))
+      val (eid, txn) = epochArgs(cfg, epochId)
+      val c = table.commit(snap, newFiles, buckets, eid, Some(entry), txn = txn)
       Right(MergeResult(applied = true, c.version, batchRows,
         batchRows, buckets.toSeq.sorted,
         (System.nanoTime() - t0) / 1000000L))
@@ -426,7 +452,8 @@ object MergeApply {
     if (deltaFiles.isEmpty) {
       val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
         snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
-      val c = table.commit(snap, Nil, Set.empty, Some(epochId), Some(entry))
+      val (eid, txn) = epochArgs(cfg, epochId)
+      val c = table.commit(snap, Nil, Set.empty, eid, Some(entry), txn = txn)
       return Right(MergeResult(applied = true, c.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L))
     }
@@ -444,8 +471,9 @@ object MergeApply {
       // delta files hold exactly this batch, so the manifest entries ARE
       // the per-partition applied rows + LSN ranges (footer stats)
       partitions = partitionsOf(deltaFiles))
-    val committed = table.commit(snap, deltaFiles, Set.empty, Some(epochId),
-      Some(entry))
+    val (eid, txn) = epochArgs(cfg, epochId)
+    val committed = table.commit(snap, deltaFiles, Set.empty, eid,
+      Some(entry), txn = txn)
 
     // amortized compaction: fold over-threshold buckets back to base
     val perBucket = committed.files.groupBy(_.bucket)
@@ -541,7 +569,7 @@ object MergeApply {
       cfg: MergeConfig = MergeConfig()): MergeResult = {
     val t0 = System.nanoTime()
     val snap0 = table.snapshot
-    if (snap0.isCommitted(epochId))
+    if (alreadyCommitted(snap0, epochId, cfg))
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     val dataBatch = applySchemaEvents(table, batch)
@@ -568,7 +596,8 @@ object MergeApply {
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
       partitions = parts)
     try {
-      val c = table.commit(snap, newFiles, Set.empty, Some(epochId), Some(entry))
+      val (eid, txn) = epochArgs(cfg, epochId)
+      val c = table.commit(snap, newFiles, Set.empty, eid, Some(entry), txn = txn)
       MergeResult(applied = true, c.version, rows, rows,
         newFiles.map(_.bucket).distinct.sorted,
         (System.nanoTime() - t0) / 1000000L)

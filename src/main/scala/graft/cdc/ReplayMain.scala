@@ -118,12 +118,17 @@ object ReplayMain {
             // the two sync mechanisms use incompatible epoch-id spaces
             // (follow: source LSNs; stream: Spark micro-batch ids) — a
             // mode switch on an existing mirror would silently no-op
-            // every merge under the old watermark
-            val prev = d.snapshot.properties.get("graft.follow.mode")
-            if (!prev.contains(mode)) sys.error(
-              s"downstream at $workDir/downstream was built with " +
-                s"GRAFT_FOLLOW mode '${prev.getOrElse("?")}' — delete it " +
-                s"before switching to '$mode'")
+            // every merge under the old watermark. A mirror from before
+            // the property existed adopts the current mode (first run
+            // stamps it); only an explicit mismatch hard-errors.
+            d.snapshot.properties.get("graft.follow.mode") match {
+              case Some(prev) if prev != mode => sys.error(
+                s"downstream at $workDir/downstream was built with " +
+                  s"GRAFT_FOLLOW mode '$prev' — delete it " +
+                  s"before switching to '$mode'")
+              case Some(_) => ()
+              case None => d.setProperty("graft.follow.mode", mode)
+            }
             d
           }
           else LakeTable.createTable(spark, s"$workDir/downstream",

@@ -144,6 +144,13 @@ final case class Snapshot(
     recentEpochs: Map[String, Long],
     lineage: Seq[LineageEntry],
     properties: Map[String, String],
+    // app-scoped idempotence (Delta's txnAppId/txnVersion): last batch id
+    // committed per writer identity. The GLOBAL epoch space above guards
+    // one feed's replay; this guards INDEPENDENT writers (a streaming
+    // sink attached to a table other writers already seeded) whose batch
+    // ids start at 0 and would collide with the global watermark. One
+    // entry per distinct writer — bounded by design.
+    txns: Map[String, Long] = Map.empty,
     // in-memory manifest fold; NEVER serialized (stripped on write)
     files: Seq[DataFileEntry] = Nil) {
 
@@ -426,12 +433,13 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       epochId: Option[Long],
       lineage: Option[LineageEntry],
       schemaUpdate: Option[(Int, StructType)] = None,
-      newColumnDocs: Map[String, String] = Map.empty): Snapshot = {
+      newColumnDocs: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Snapshot = {
     var attemptBase = base
     var attempts = 0
     while (true) {
       try return commitOnce(attemptBase, newFiles, replacedBuckets, epochId,
-        lineage, schemaUpdate, newColumnDocs)
+        lineage, schemaUpdate, newColumnDocs, txn)
       catch {
         case e: java.io.IOException
             if versionTaken(attemptBase.version + 1) =>
@@ -441,7 +449,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
               s"gave up after $attempts rebase attempts at $dir", e)
           attemptBase = rebase(attemptBase,
             awaitBaseBeyond(attemptBase.version),
-            replacedBuckets, epochId, schemaUpdate)
+            replacedBuckets, epochId, schemaUpdate, txn)
       }
     }
     sys.error("unreachable")
@@ -482,11 +490,17 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * file views — no reliance on the (bounded) lineage log. */
   private def rebase(base: Snapshot, nb: Snapshot,
       replacedBuckets: Set[Int], epochId: Option[Long],
-      schemaUpdate: Option[(Int, StructType)]): Snapshot = {
+      schemaUpdate: Option[(Int, StructType)],
+      txn: Option[(String, Long)] = None): Snapshot = {
     epochId.filter(nb.isCommitted).foreach { e =>
       throw new EpochSupersededException(
         s"epoch $e was committed by a concurrent writer (table now at v${nb.version})")
     }
+    txn.filter { case (app, b) => nb.txns.get(app).exists(b <= _) }
+      .foreach { case (app, b) =>
+        throw new EpochSupersededException(
+          s"txn ($app, $b) was committed by a concurrent writer (table now at v${nb.version})")
+      }
     if (schemaUpdate.nonEmpty || nb.currentSchemaVersion != base.currentSchemaVersion)
       throw new CommitConflictException(
         s"schema changed concurrently (v${base.version} -> v${nb.version}) — schema edits are serialized, recompute from current")
@@ -507,7 +521,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       epochId: Option[Long],
       lineage: Option[LineageEntry],
       schemaUpdate: Option[(Int, StructType)],
-      newColumnDocs: Map[String, String]): Snapshot = {
+      newColumnDocs: Map[String, String],
+      txn: Option[(String, Long)] = None): Snapshot = {
     val v = base.version + 1
     val carried = base.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val liveFiles = carried ++ newFiles
@@ -560,6 +575,9 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       files = liveFiles,
       epochWatermark = newWm,
       recentEpochs = newRecent,
+      txns = base.txns ++ txn.map { case (app, b) =>
+        app -> math.max(b, base.txns.getOrElse(app, Long.MinValue))
+      },
       lineage = (base.lineage ++ lineage.map(_.copy(version = v)))
         .takeRight(maxLineageInSnapshot),
       currentSchemaVersion =
@@ -805,6 +823,15 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   def lineageTable: DataFrame =
     spark.read.schema(LakeTable.lineageSchema)
       .json(new Path(tablePath, "_lineage").toString)
+
+  /** Set one table property in a metadata-only commit. */
+  def setProperty(key: String, value: String): Snapshot = {
+    val base = snapshot
+    val snap = base.copy(version = base.version + 1,
+      properties = base.properties + (key -> value))
+    writeSnapshot(snap)
+    snap
+  }
 
   /** Register a URL-only linked resource in the table properties — data
     * stays where it is, only the catalog entry moves (≈ the reference's

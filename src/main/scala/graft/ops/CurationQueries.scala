@@ -70,15 +70,20 @@ object CurationQueries {
     val g = docs(s, d)
       .select(col("doc_id"), explode(gramsCol(wordsCol, ContamGramWidth)).as("g"))
       .persist()
-    val evalGrams = g.filter(isEval).select(col("g")).distinct()
-    val train = g.filter(!isEval)
-    val shared = train.join(evalGrams, "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    try {
+      val evalGrams = g.filter(isEval).select(col("g")).distinct()
+      val train = g.filter(!isEval)
+      val shared = train.join(evalGrams, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        // materialize the (small, per-doc) result before releasing the
+        // gram cache, so the returned plan never recomputes the explode
+        .localCheckpoint(true)
+    } finally g.unpersist()
   }
   private val q37Sql =
     s"""WITH w AS (SELECT doc_id, string_split(lower(text),' ') ws FROM documents),
@@ -228,27 +233,31 @@ object CurationQueries {
       col("doc_id"), size(wordsCol).as("n_tok"),
       md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("h"))
       .persist()
-    val withPid = base.withColumn("pid",
-      conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
-    val w = Window.partitionBy(col("pid")).orderBy(col("h"))
-    val local = withPid.withColumn("lcum", sum(col("n_tok")).over(w))
-    val totals = withPid.groupBy(col("pid"))
-      .agg(sum(col("n_tok")).as("t")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // base offset of each present block = sum of the preceding present
-    // blocks' totals (absent blocks contribute nothing by definition)
-    val bases =
-      if (totals.isEmpty) Seq.empty[(Int, Long)]
-      else totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
-        (p, acc + t)
-      }.sliding(2).map { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
-    val baseDf = s.createDataFrame(bases).toDF("pid", "base")
-    local.join(broadcast(baseDf), "pid")
-      .withColumn("cum", col("lcum") + col("base"))
-      .selectExpr("doc_id", "n_tok",
-        s"(cum - n_tok) div $PackSeqLen AS seq_first",
-        s"(cum - 1) div $PackSeqLen AS seq_last",
-        s"(cum - n_tok) % $PackSeqLen AS seq_offset")
+    try {
+      val withPid = base.withColumn("pid",
+        conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
+      val w = Window.partitionBy(col("pid")).orderBy(col("h"))
+      val local = withPid.withColumn("lcum", sum(col("n_tok")).over(w))
+      val totals = withPid.groupBy(col("pid"))
+        .agg(sum(col("n_tok")).as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // base offset of each present block = sum of the preceding present
+      // blocks' totals (absent blocks contribute nothing by definition)
+      val bases =
+        if (totals.isEmpty) Seq.empty[(Int, Long)]
+        else totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
+          (p, acc + t)
+        }.sliding(2).map { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
+      val baseDf = s.createDataFrame(bases).toDF("pid", "base")
+      local.join(broadcast(baseDf), "pid")
+        .withColumn("cum", col("lcum") + col("base"))
+        .selectExpr("doc_id", "n_tok",
+          s"(cum - n_tok) div $PackSeqLen AS seq_first",
+          s"(cum - 1) div $PackSeqLen AS seq_last",
+          s"(cum - n_tok) % $PackSeqLen AS seq_offset")
+        // materialize the per-doc spans before releasing the cache
+        .localCheckpoint(true)
+    } finally base.unpersist()
   }
   private val q41Sql =
     s"""WITH t AS (SELECT doc_id, len(string_split(lower(text),' ')) n_tok,

@@ -77,17 +77,20 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
 
   override val schema: StructType = LakeTableSourceProvider.changeSchema(startSchema)
 
-  /** Highest LSN cut a `getBatch` has covered — only the legacy
+  /** Latest end offset handed out or consumed — only the legacy
     * [[getOffset]] path needs it (the engine replays the last committed
     * range through `getBatch` on restart, re-seating this cursor); the
-    * admission-control path receives its start offset explicitly. */
-  @volatile private var consumedLsn: Long = -1L
+    * admission-control path receives its start offset explicitly. Kept
+    * as a full offset so a metadata-only commit (new version, same LSN)
+    * re-serves the SAME json and never looks like new data. */
+  @volatile private var lastKnown: Option[GraftOffset] = None
 
   /** Target frozen by [[prepareForTriggerAvailableNow]]: an AvailableNow
     * run drains up to here in rate-limited batches and then STOPS, even
-    * while writers keep committing. `None` = tail mode (chase the live
-    * high). */
-  @volatile private var preparedTarget: Option[GraftOffset] = None
+    * while writers keep committing. Outer None = not prepared (tail
+    * mode, chase the live high); Some(None) = prepared on an empty
+    * table — drain nothing and stop, do NOT fall back to chasing. */
+  @volatile private var preparedTarget: Option[Option[GraftOffset]] = None
 
   private def liveTarget(): Option[GraftOffset] = {
     val snap = table.snapshot
@@ -96,7 +99,7 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    preparedTarget = liveTarget()
+    preparedTarget = Some(liveTarget())
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -117,7 +120,7 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     * Returning `start` verbatim (json-equal) signals no new data, so
     * metadata-only commits never trigger micro-batches. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val target = preparedTarget.orElse(liveTarget()).getOrElse(return null)
+    val target = preparedTarget.getOrElse(liveTarget()).getOrElse(return start)
     val from = Option(start).map(GraftOffset.parse(_).lsn).getOrElse(-1L)
     if (target.lsn <= from) return start
     val cut = maxLsnsPerTrigger.fold(target.lsn)(m =>
@@ -126,16 +129,20 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
   }
 
   /** Legacy DSv1 negotiation — kept correct for direct users of the
-    * Source API; the engine itself routes through [[latestOffset]]. */
-  override def getOffset: Option[V1Offset] =
-    Option(latestOffset(
-      if (consumedLsn < 0) null
-      else GraftOffset(table.snapshot.version, consumedLsn),
-      getDefaultReadLimit)).map(GraftOffset.parse)
+    * Source API; the engine itself routes through [[latestOffset]]. The
+    * start handed to [[latestOffset]] is the cached last end offset
+    * VERBATIM, so a quiescent table (including metadata-only version
+    * bumps) re-serves identical json and triggers nothing. */
+  override def getOffset: Option[V1Offset] = {
+    val o = Option(latestOffset(lastKnown.orNull, getDefaultReadLimit))
+      .map(GraftOffset.parse)
+    lastKnown = o.orElse(lastKnown)
+    o
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = GraftOffset.parse(end)
-    consumedLsn = math.max(consumedLsn, endO.lsn)
+    if (lastKnown.forall(_.lsn < endO.lsn)) lastKnown = Some(endO)
     val fromLsn = start.map(GraftOffset.parse(_).lsn).getOrElse(-1L)
     val snap = table.snapshotAt(endO.version)
     val changes = table.readSince(fromLsn, asOf = Some(endO.version))
@@ -162,9 +169,7 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     * fast and a restart adopts the new schema. */
   private def alignToStart(changes: DataFrame, snap: Snapshot): DataFrame = {
     val have = snap.userSchema
-    if (have == startSchema)
-      return changes.select(schema.fieldNames.map(col).toSeq: _*)
-    val ancestor = have.fields.forall(f =>
+    val ancestor = have == startSchema || have.fields.forall(f =>
       startSchema.fields.find(_.name == f.name).exists(g =>
         LakeTable.canWiden(f.dataType, g.dataType)))
     if (!ancestor)
@@ -172,11 +177,9 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
         s"table $tableDir schema evolved under a running stream " +
           s"(started with ${startSchema.simpleString}, pinned snapshot " +
           s"has ${have.simpleString}); restart the stream to adopt it")
-    val cols = startSchema.fields.toSeq.map { f =>
-      if (have.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    } :+ col("lsn") :+ col("op")
-    changes.select(cols: _*)
+    // the projection itself is the table's standard align (null-fill +
+    // upcast + order); the ancestor check above is what makes it lossless
+    LakeTable.align(changes, schema)
   }
 
   override def stop(): Unit = ()
@@ -239,8 +242,19 @@ class LakeTableSourceProvider extends StreamSourceProvider
     val mode = parameters.getOrElse("writeMode", "mor")
     require(mode == "mor" || mode == "cow",
       s"writeMode must be mor or cow, got '$mode'")
+    // writer identity for app-scoped idempotence (Delta's txnAppId): the
+    // sink's batch ids start at 0 per checkpoint, so they must live in
+    // their own txn slot — in the GLOBAL epoch space they would collide
+    // with epochs other writers already committed (a seeded or
+    // previously-followed destination) and silently no-op. The
+    // checkpoint location IS the stream's stable identity across
+    // restarts; txnAppId overrides it for exotic setups.
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map("ckpt:" + _))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table sink needs checkpointLocation (or txnAppId)"))
     new LakeTableSink(sqlContext, d, method,
-      graft.cdc.MergeConfig(writeMode = mode))
+      graft.cdc.MergeConfig(writeMode = mode, txnApp = Some(appId)))
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -227,6 +227,54 @@ class LakeTableSourceSpec extends SparkSpec {
     assert(dst.snapshot.version == v)
   }
 
+  test("AvailableNow prepared on an EMPTY table stops: data landing mid-run is not chased") {
+    val srcDir = tmpDir("lts-an-empty")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val s = new LakeTableSourceProvider()
+      .createSource(spark.sqlContext, "", None, "graft-table",
+        Map("path" -> srcDir))
+      .asInstanceOf[LakeTableSource]
+    s.prepareForTriggerAvailableNow() // nothing available at prepare time
+    // a writer races in AFTER prepare — the frozen (empty) target must
+    // hold, or a sustained writer would keep the query alive forever
+    MergeApply.merge(src, batch(Seq((1L, "U", "late", 0, "x"))), 0L, MergeConfig())
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    assert(s.latestOffset(null, ReadLimit.allAvailable()) == null)
+  }
+
+  test("sink attaches safely to a destination with already-committed global epochs") {
+    val srcDir = tmpDir("lts-seeded-src")
+    val dstDir = tmpDir("lts-seeded-dst")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, dstDir, Schemas.transcript, 2)
+    // the destination was SEEDED by batch jobs: global epochs 0 and 1
+    // are committed, exactly the ids a fresh stream's batchIds reuse —
+    // in the global epoch space every sink batch would silently no-op
+    MergeApply.merge(dst, batch(Seq((100L, "U", "seed", 0, "s0"))), 0L, MergeConfig())
+    MergeApply.merge(dst, batch(Seq((101L, "U", "seed", 1, "s1"))), 1L, MergeConfig())
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "a", 0, "x"), (2L, "U", "b", 0, "y"))), 0L, MergeConfig())
+
+    val ckpt = tmpDir("lts-seeded-ckpt")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", srcDir)
+        .load()
+        .writeStream.format("graft-table").option("path", dstDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(state(dst) == Set(
+      ("seed", 0, "s0"), ("seed", 1, "s1"), ("a", 0, "x"), ("b", 0, "y")),
+      "sink batches collided with the seeded global epochs")
+    // the txn guard still dedupes THIS stream's own redelivery
+    val v = dst.snapshot.version
+    run()
+    assert(dst.snapshot.version == v)
+    assert(dst.snapshot.txns.keys.exists(_.startsWith("ckpt:")))
+  }
+
   test("metadata-only commits never deliver data rows downstream") {
     val srcDir = tmpDir("lts-meta")
     val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
