@@ -66,7 +66,8 @@ object GraftOffset {
   *    — the LWW composition reaches the identical final state.
   */
 class LakeTableSource(sqlContext: SQLContext, tableDir: String,
-    maxLsnsPerTrigger: Option[Long] = None)
+    maxLsnsPerTrigger: Option[Long] = None,
+    startingLsn: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -121,8 +122,19 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     * metadata-only commits never trigger micro-batches. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val target = preparedTarget.getOrElse(liveTarget()).getOrElse(return start)
-    val from = Option(start).map(GraftOffset.parse(_).lsn).getOrElse(-1L)
-    if (target.lsn <= from) return start
+    // a fresh stream (no checkpointed start) begins at startingLsn when
+    // given — attach-without-bootstrap, Delta's startingVersion analog;
+    // "latest" resolved at source creation. Default -1 = full copy.
+    val from = Option(start).map(GraftOffset.parse(_).lsn)
+      .orElse(startingLsn).getOrElse(-1L)
+    if (target.lsn <= from)
+      // quiet fresh stream with a startingLsn: hand the engine the cut
+      // itself as the first (empty) offset, so the checkpoint RECORDS
+      // the starting point — otherwise a restart re-resolves "latest"
+      // and silently skips everything committed in between
+      return if (start == null && startingLsn.isDefined)
+        GraftOffset(target.version, from)
+      else start
     val cut = maxLsnsPerTrigger.fold(target.lsn)(m =>
       math.min(target.lsn, from + m))
     GraftOffset(target.version, cut)
@@ -143,7 +155,8 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = GraftOffset.parse(end)
     if (lastKnown.forall(_.lsn < endO.lsn)) lastKnown = Some(endO)
-    val fromLsn = start.map(GraftOffset.parse(_).lsn).getOrElse(-1L)
+    val fromLsn = start.map(GraftOffset.parse(_).lsn)
+      .orElse(startingLsn).getOrElse(-1L)
     val snap = table.snapshotAt(endO.version)
     val changes = table.readSince(fromLsn, asOf = Some(endO.version))
       // the rate-limit cut (and, unlimited, a guard for files registered
@@ -271,7 +284,18 @@ class LakeTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val limit = parameters.get("maxLsnsPerTrigger").map(_.toLong)
     require(limit.forall(_ > 0), "maxLsnsPerTrigger must be positive")
-    new LakeTableSource(sqlContext, dir(parameters), limit)
+    // startingLsn: first batch of a FRESH checkpoint starts after this
+    // cut instead of bootstrapping the full table; "latest" = tail only
+    // changes committed from now on (resolved once, here, so the stream
+    // has one fixed starting point even if data lands before the first
+    // trigger)
+    val startLsn = parameters.get("startingLsn").map {
+      case "latest" =>
+        val t = LakeTable.load(sqlContext.sparkSession, dir(parameters))
+        t.highLsn(t.snapshot)
+      case n => n.toLong
+    }
+    new LakeTableSource(sqlContext, dir(parameters), limit, startLsn)
   }
 }
 

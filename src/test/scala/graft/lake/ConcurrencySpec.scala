@@ -206,6 +206,50 @@ class ConcurrencySpec extends SparkSpec {
     assert(last == Set(s"e${nEpochs - 1}"))
   }
 
+  test("two txn-scoped apps merge concurrently: independent idempotence, LWW exact") {
+    val dir = tmpDir("occ-txn-apps")
+    LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    // both apps use batch ids 0..3 — identical ids, DIFFERENT txn slots;
+    // app A writes even LSNs, app B odd, interleaved over the same keys
+    val epochsPer = 4
+    val keys = (0 until 8).map(i => s"conv_$i")
+    def events(app: Int, i: Int): Seq[(Long, String, String, Int, String)] =
+      keys.zipWithIndex.map { case (k, j) =>
+        ((i * 2 + app) * 100L + j, "U", k, j % 4, s"a$app i$i")
+      }
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { app =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Boolean]] {
+        def call(): Seq[Boolean] = {
+          val handle = LakeTable.load(spark, dir)
+          val cfg = MergeConfig(writeMode = "mor",
+            maxDeltaFilesPerBucket = 1000, txnApp = Some(s"app$app"))
+          start.await()
+          (0 until epochsPer).map(i =>
+            MergeApply.merge(handle, batch(events(app, i)), i, cfg).applied)
+        }
+      })
+    }
+    start.countDown()
+    val applied = futures.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(applied.flatten.forall(identity),
+      "same batch ids in different txn slots must not collide")
+    val t = LakeTable.load(spark, dir)
+    assert(t.snapshot.txns == Map("app0" -> 3L, "app1" -> 3L))
+    // winner per key = max LSN overall = app B's last round
+    val got = t.read().select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val want = keys.zipWithIndex.map { case (k, j) =>
+      (k, j % 4) -> s"a1 i${epochsPer - 1}"
+    }.toMap
+    assert(got == want)
+    // redelivery in either slot is a no-op
+    val cfgA = MergeConfig(txnApp = Some("app0"))
+    assert(!MergeApply.merge(t, batch(events(0, 0)), 0L, cfgA).applied)
+  }
+
   test("two writers race the SAME epoch: exactly one applies, state unduplicated") {
     val dir = tmpDir("occ-same-epoch")
     LakeTable.createTable(spark, dir, Schemas.transcript, 4)

@@ -275,6 +275,23 @@ class LakeTableSourceSpec extends SparkSpec {
     assert(dst.snapshot.txns.keys.exists(_.startsWith("ckpt:")))
   }
 
+  test("startingLsn=latest attaches without bootstrapping history") {
+    val srcDir = tmpDir("lts-latest-src")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-latest-dst"), Schemas.transcript, 2)
+    // history that must NOT be copied
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "old", 0, "h1"), (2L, "U", "old", 1, "h2"))), 0L, MergeConfig())
+    val ckpt = tmpDir("lts-latest-ckpt")
+    val first = drain(srcDir, dst, ckpt, Map("startingLsn" -> "latest"))
+    assert(first.forall(_.rowsApplied == 0))
+    assert(state(dst).isEmpty, "history leaked through startingLsn=latest")
+    // changes from now on DO flow (same checkpoint; fixed starting point)
+    MergeApply.merge(src, batch(Seq((3L, "U", "new", 0, "n1"))), 1L, MergeConfig())
+    drain(srcDir, dst, ckpt, Map("startingLsn" -> "latest"))
+    assert(state(dst) == Set(("new", 0, "n1")))
+  }
+
   test("metadata-only commits never deliver data rows downstream") {
     val srcDir = tmpDir("lts-meta")
     val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
