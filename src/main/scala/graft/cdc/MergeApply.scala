@@ -142,7 +142,7 @@ object MergeApply {
     * [[MergeConfig.txnApp]]). */
   private def alreadyCommitted(snap: Snapshot, epochId: Long,
       cfg: MergeConfig): Boolean = cfg.txnApp match {
-    case Some(app) => snap.txns.get(app).exists(epochId <= _)
+    case Some(app) => snap.txns.get(app).exists(epochId <= _.batch)
     case None => snap.isCommitted(epochId)
   }
 

@@ -118,16 +118,24 @@ object ReplayMain {
             // the two sync mechanisms use incompatible epoch-id spaces
             // (follow: source LSNs; stream: Spark micro-batch ids) — a
             // mode switch on an existing mirror would silently no-op
-            // every merge under the old watermark. A mirror from before
-            // the property existed adopts the current mode (first run
-            // stamps it); only an explicit mismatch hard-errors.
-            d.snapshot.properties.get("graft.follow.mode") match {
+            // every merge under the old watermark. An unstamped mirror
+            // adopts the current mode ONLY while it has never committed
+            // an epoch (nothing to collide with); one that has already
+            // merged under an unknown mode is as unsafe as a mismatch.
+            val snap = d.snapshot
+            snap.properties.get("graft.follow.mode") match {
               case Some(prev) if prev != mode => sys.error(
                 s"downstream at $workDir/downstream was built with " +
                   s"GRAFT_FOLLOW mode '$prev' — delete it " +
                   s"before switching to '$mode'")
               case Some(_) => ()
-              case None => d.setProperty("graft.follow.mode", mode)
+              case None if snap.epochWatermark < 0 &&
+                  snap.recentEpochs.isEmpty =>
+                d.setProperty("graft.follow.mode", mode)
+              case None => sys.error(
+                s"downstream at $workDir/downstream has committed epochs " +
+                  s"but no recorded GRAFT_FOLLOW mode — delete it before " +
+                  s"running in '$mode' mode")
             }
             d
           }

@@ -64,6 +64,11 @@ final case class ManifestRef(
     replacedBuckets: Seq[Int] = Nil,
     reset: Boolean = false)
 
+/** One writer's app-scoped idempotence slot (see [[Snapshot.txns]]):
+  * the last committed batch id and the snapshot version that set it —
+  * the version orders slots by recency for retention pruning. */
+final case class TxnSlot(batch: Long, v: Long)
+
 /** One partition's (hash-bucket's) share of a commit — rows applied and
   * the source-offset (LSN) range that landed in it. */
 final case class BucketLineage(
@@ -145,12 +150,16 @@ final case class Snapshot(
     lineage: Seq[LineageEntry],
     properties: Map[String, String],
     // app-scoped idempotence (Delta's txnAppId/txnVersion): last batch id
-    // committed per writer identity. The GLOBAL epoch space above guards
-    // one feed's replay; this guards INDEPENDENT writers (a streaming
-    // sink attached to a table other writers already seeded) whose batch
-    // ids start at 0 and would collide with the global watermark. One
-    // entry per distinct writer — bounded by design.
-    txns: Map[String, Long] = Map.empty,
+    // committed per writer identity, with the snapshot version that set
+    // it. The GLOBAL epoch space above guards one feed's replay; this
+    // guards INDEPENDENT writers (a streaming sink attached to a table
+    // other writers already seeded) whose batch ids start at 0 and would
+    // collide with the global watermark. Bounded: commits retain the
+    // [[LakeTable.maxTxnSlots]] most recently ACTIVE writers (by the
+    // slot's version) — the analog of Delta's txn retention duration. A
+    // writer idle past that many newer writers loses replay protection,
+    // so the cap sits far above any plausible concurrent-writer count.
+    txns: Map[String, TxnSlot] = Map.empty,
     // in-memory manifest fold; NEVER serialized (stripped on write)
     files: Seq[DataFileEntry] = Nil) {
 
@@ -496,7 +505,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       throw new EpochSupersededException(
         s"epoch $e was committed by a concurrent writer (table now at v${nb.version})")
     }
-    txn.filter { case (app, b) => nb.txns.get(app).exists(b <= _) }
+    txn.filter { case (app, b) => nb.txns.get(app).exists(b <= _.batch) }
       .foreach { case (app, b) =>
         throw new EpochSupersededException(
           s"txn ($app, $b) was committed by a concurrent writer (table now at v${nb.version})")
@@ -575,8 +584,18 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       files = liveFiles,
       epochWatermark = newWm,
       recentEpochs = newRecent,
-      txns = base.txns ++ txn.map { case (app, b) =>
-        app -> math.max(b, base.txns.getOrElse(app, Long.MinValue))
+      txns = {
+        val merged = base.txns ++ txn.map { case (app, b) =>
+          app -> TxnSlot(
+            math.max(b, base.txns.get(app).map(_.batch).getOrElse(Long.MinValue)),
+            v)
+        }
+        if (merged.size <= LakeTable.maxTxnSlots) merged
+        else { // retain the most recently active writers
+          val keep = merged.toSeq.sortBy(-_._2.v)
+            .take(LakeTable.maxTxnSlots).map(_._1).toSet
+          merged.filter { case (k, _) => keep(k) }
+        }
       },
       lineage = (base.lineage ++ lineage.map(_.copy(version = v)))
         .takeRight(maxLineageInSnapshot),
@@ -836,13 +855,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   /** Register a URL-only linked resource in the table properties — data
     * stays where it is, only the catalog entry moves (≈ the reference's
     * `ckan_link` destination, reference: engine/etl_util.py:673-685). */
-  def linkResource(name: String, url: String): Snapshot = {
-    val base = snapshot
-    val snap = base.copy(version = base.version + 1,
-      properties = base.properties + (s"link.$name" -> url))
-    writeSnapshot(snap)
-    snap
-  }
+  def linkResource(name: String, url: String): Snapshot =
+    setProperty(s"link.$name", url)
 
   def linkedResources: Map[String, String] =
     snapshot.properties.collect {
@@ -989,6 +1003,12 @@ object LakeTable {
     * watermark are tracked exactly up to this many; beyond it the oldest
     * age into the watermark. */
   val maxRecentEpochs = 1024
+
+  /** Retention cap for [[Snapshot.txns]]: commits keep the slots of this
+    * many most-recently-active writers. Far above any plausible count of
+    * concurrent writers on one table; the bound keeps snapshot JSON
+    * O(active writers), not O(every checkpoint path ever attached). */
+  val maxTxnSlots = 256
 
   /** Manifest refs kept in a snapshot before consolidation folds them
     * into one reset manifest. */

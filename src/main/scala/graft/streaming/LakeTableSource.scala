@@ -261,13 +261,29 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // with epochs other writers already committed (a seeded or
     // previously-followed destination) and silently no-op. The
     // checkpoint location IS the stream's stable identity across
-    // restarts; txnAppId overrides it for exotic setups.
+    // restarts (canonicalized, so 'ckpt' / '/abs/ckpt' / 'file:/abs/ckpt'
+    // agree); txnAppId overrides it. When NEITHER is visible here (the
+    // checkpoint can come from the session conf, which Spark resolves
+    // after createSink), fall back to the global epoch space — correct
+    // for a destination this stream owns; a warning points at txnAppId.
+    // FOOTGUN (same as Delta's documented txnAppId contract): the slot
+    // outlives the checkpoint — deleting the checkpoint to force a
+    // re-sync restarts batch ids at 0 under the SAME identity, and the
+    // old slot no-ops them. Pass a NEW txnAppId after deleting a
+    // checkpoint (or vacuum the destination's txn slot).
     val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation").map("ckpt:" + _))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft-table sink needs checkpointLocation (or txnAppId)"))
+      .orElse(parameters.get("checkpointLocation").map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+        "ckpt:" + fs.makeQualified(hp).toString
+      })
+    if (appId.isEmpty) System.err.println(
+      "[graft-table sink] no checkpointLocation writer option or txnAppId " +
+        "visible — batch ids use the table's GLOBAL epoch space; set " +
+        ".option(\"txnAppId\", ...) if other writers share this table")
     new LakeTableSink(sqlContext, d, method,
-      graft.cdc.MergeConfig(writeMode = mode, txnApp = Some(appId)))
+      graft.cdc.MergeConfig(writeMode = mode, txnApp = appId))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -286,16 +302,49 @@ class LakeTableSourceProvider extends StreamSourceProvider
     require(limit.forall(_ > 0), "maxLsnsPerTrigger must be positive")
     // startingLsn: first batch of a FRESH checkpoint starts after this
     // cut instead of bootstrapping the full table; "latest" = tail only
-    // changes committed from now on (resolved once, here, so the stream
-    // has one fixed starting point even if data lands before the first
-    // trigger)
+    // changes committed from now on. The resolved value is PERSISTED in
+    // the stream's metadata directory: batch 0's start offset is always
+    // None in the checkpoint, so replay determinism requires the same
+    // resolved cut on every restart — re-resolving "latest" against the
+    // live table would silently skip everything committed while batch 0
+    // sat unfinished in the offset log.
     val startLsn = parameters.get("startingLsn").map {
-      case "latest" =>
-        val t = LakeTable.load(sqlContext.sparkSession, dir(parameters))
-        t.highLsn(t.snapshot)
+      case "latest" => resolvedLatest(sqlContext, metadataPath, dir(parameters))
       case n => n.toLong
     }
     new LakeTableSource(sqlContext, dir(parameters), limit, startLsn)
+  }
+
+  /** Resolve `startingLsn=latest` exactly once per stream: first call
+    * writes the live high LSN under the stream's metadata path
+    * (create-if-absent = the arbiter); every later call — including
+    * after a restart — reads that value back. Direct Source-API users
+    * with no metadata path get a live resolve (single-instance use). */
+  private def resolvedLatest(sqlContext: SQLContext, metadataPath: String,
+      tableDir: String): Long = {
+    def live: Long = {
+      val t = LakeTable.load(sqlContext.sparkSession, tableDir)
+      t.highLsn(t.snapshot)
+    }
+    if (metadataPath == null || metadataPath.isEmpty) return live
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-lsn")
+    val fs = p.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    def read(): Long = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(p)) return read()
+    val v = live
+    try {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      v
+    } catch { // lost the create race: the winner's value is binding
+      case _: java.io.IOException => read()
+    }
   }
 }
 

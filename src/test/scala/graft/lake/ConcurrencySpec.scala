@@ -237,7 +237,8 @@ class ConcurrencySpec extends SparkSpec {
     assert(applied.flatten.forall(identity),
       "same batch ids in different txn slots must not collide")
     val t = LakeTable.load(spark, dir)
-    assert(t.snapshot.txns == Map("app0" -> 3L, "app1" -> 3L))
+    assert(t.snapshot.txns.view.mapValues(_.batch).toMap ==
+      Map("app0" -> 3L, "app1" -> 3L))
     // winner per key = max LSN overall = app B's last round
     val got = t.read().select("conv_id", "turn_idx", "text")
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap

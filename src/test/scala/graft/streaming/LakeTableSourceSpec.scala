@@ -292,6 +292,26 @@ class LakeTableSourceSpec extends SparkSpec {
     assert(state(dst) == Set(("new", 0, "n1")))
   }
 
+  test("startingLsn=latest freezes ONCE in the stream metadata — restarts keep the cut") {
+    val srcDir = tmpDir("lts-frozen-src")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "h", 0, "a"), (2L, "U", "h", 1, "b"))), 0L, MergeConfig())
+    val mp = tmpDir("lts-frozen-meta")
+    val p = new LakeTableSourceProvider()
+    def mk() = p.createSource(spark.sqlContext, mp, None, "graft-table",
+      Map("path" -> srcDir, "startingLsn" -> "latest"))
+    mk() // first incarnation freezes latest = 2
+    // data lands between the stream's incarnations (the crash window
+    // where batch 0 sits in the offset log unprocessed)
+    MergeApply.merge(src, batch(Seq((3L, "U", "n", 0, "c"))), 1L, MergeConfig())
+    val restarted = mk()
+    val o = restarted.getOffset
+    assert(o.nonEmpty,
+      "restart re-resolved 'latest' to the live high and skipped the gap")
+    assert(GraftOffset.parse(o.get).lsn == 3L)
+  }
+
   test("metadata-only commits never deliver data rows downstream") {
     val srcDir = tmpDir("lts-meta")
     val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
