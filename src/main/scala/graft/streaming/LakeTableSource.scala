@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftStreamShim, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -54,7 +54,14 @@ object GraftOffset {
   *    error; keep `vacuumKeepSnapshots` above the worst-case downtime.
   *  - schema is fixed at stream start; if the table evolves mid-stream
   *    the source fails fast (restart picks up the new schema) rather
-  *    than silently dropping or miscasting the new columns.
+  *    than silently dropping or miscasting the new columns. Ranges
+  *    pinned to PRE-evolution snapshots (a restart's replay of its last
+  *    committed batch) align up losslessly — null-filled added columns,
+  *    upcast widened ones — so evolution never wedges a checkpoint.
+  *  - `.option("startingLsn", n | "latest")` starts a fresh checkpoint
+  *    after the given cut instead of bootstrapping the full table;
+  *    "latest" is resolved once and frozen in the stream's metadata
+  *    directory so restarts keep the same cut.
   *  - a `followOnce`-driven table uses source LSNs as epoch ids; this
   *    source uses Spark's own micro-batch ids — don't mix the two sync
   *    mechanisms on one destination table.
