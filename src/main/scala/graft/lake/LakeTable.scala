@@ -296,7 +296,9 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     readSnapshot(new Path(snapsPath, f"v$version%012d.json"))
 
   private def readSnapshot(p: Path): Snapshot = {
-    implicit val fmt: Formats = DefaultFormats
+    // TxnSlotCompat: slots briefly serialized as bare batch longs before
+    // they carried the committing version — read those as version 0
+    implicit val fmt: Formats = DefaultFormats + LakeTable.TxnSlotCompat
     val in = fs.open(p)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -1009,6 +1011,22 @@ object LakeTable {
     * concurrent writers on one table; the bound keeps snapshot JSON
     * O(active writers), not O(every checkpoint path ever attached). */
   val maxTxnSlots = 256
+
+  /** Read-compat for [[TxnSlot]]: accept the transitional bare-long form
+    * (batch id only) as `TxnSlot(batch, 0)`. */
+  object TxnSlotCompat extends org.json4s.CustomSerializer[TxnSlot](fmt => (
+    {
+      case org.json4s.JInt(b) => TxnSlot(b.toLong, 0L)
+      case org.json4s.JObject(fields) =>
+        val m = fields.toMap
+        def num(k: String): Long = m.get(k) match {
+          case Some(org.json4s.JInt(n)) => n.toLong
+          case _ => 0L
+        }
+        TxnSlot(num("batch"), num("v"))
+    },
+    { case s: TxnSlot => org.json4s.JObject(
+        "batch" -> org.json4s.JInt(s.batch), "v" -> org.json4s.JInt(s.v)) }))
 
   /** Manifest refs kept in a snapshot before consolidation folds them
     * into one reset manifest. */

@@ -266,18 +266,19 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // sink's batch ids start at 0 per checkpoint, so they must live in
     // their own txn slot — in the GLOBAL epoch space they would collide
     // with epochs other writers already committed (a seeded or
-    // previously-followed destination) and silently no-op. The
-    // checkpoint location IS the stream's stable identity across
-    // restarts (canonicalized, so 'ckpt' / '/abs/ckpt' / 'file:/abs/ckpt'
-    // agree); txnAppId overrides it. When NEITHER is visible here (the
-    // checkpoint can come from the session conf, which Spark resolves
-    // after createSink), fall back to the global epoch space — correct
-    // for a destination this stream owns; a warning points at txnAppId.
+    // previously-followed destination) and SILENTLY no-op every batch.
+    // That failure mode is why a missing identity is a hard error, not a
+    // fallback: the checkpoint location canonicalized through its
+    // filesystem ('ckpt' / '/abs/ckpt' / 'file:/abs/ckpt' agree) is the
+    // stream's stable identity; txnAppId overrides it; and a table this
+    // stream EXCLUSIVELY owns may opt into the global space explicitly
+    // with txnAppId=global. (A session-conf checkpoint resolves after
+    // createSink and is invisible here — pass it as a writer option.)
     // FOOTGUN (same as Delta's documented txnAppId contract): the slot
     // outlives the checkpoint — deleting the checkpoint to force a
     // re-sync restarts batch ids at 0 under the SAME identity, and the
     // old slot no-ops them. Pass a NEW txnAppId after deleting a
-    // checkpoint (or vacuum the destination's txn slot).
+    // checkpoint.
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation").map { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -285,12 +286,15 @@ class LakeTableSourceProvider extends StreamSourceProvider
           sqlContext.sparkSession.sessionState.newHadoopConf())
         "ckpt:" + fs.makeQualified(hp).toString
       })
-    if (appId.isEmpty) System.err.println(
-      "[graft-table sink] no checkpointLocation writer option or txnAppId " +
-        "visible — batch ids use the table's GLOBAL epoch space; set " +
-        ".option(\"txnAppId\", ...) if other writers share this table")
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table sink needs a writer identity: pass checkpointLocation " +
+          "as a WRITER option (a session-conf checkpoint is invisible " +
+          "here), or set .option(\"txnAppId\", <stable id>); a table this " +
+          "stream exclusively owns may opt into the global epoch space " +
+          "with .option(\"txnAppId\", \"global\")"))
+    val txnApp = if (appId == "global") None else Some(appId)
     new LakeTableSink(sqlContext, d, method,
-      graft.cdc.MergeConfig(writeMode = mode, txnApp = appId))
+      graft.cdc.MergeConfig(writeMode = mode, txnApp = txnApp))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -344,14 +348,18 @@ class LakeTableSourceProvider extends StreamSourceProvider
     }
     if (fs.exists(p)) return read()
     val v = live
-    try {
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      v
-    } catch { // lost the create race: the winner's value is binding
-      case _: java.io.IOException => read()
-    }
+    // atomic publish: the value lands fully in a temp file and enters
+    // under its final name via rename (atomic on local and HDFS) — a
+    // create-then-write under the final name could be killed mid-write
+    // and leave a torn file that wedges every restart. A rename loser
+    // defers to the winner's (complete) value.
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      s"graft-starting-lsn.tmp-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.rename(tmp, p)) v
+    else { fs.delete(tmp, false); read() }
   }
 }
 
