@@ -129,7 +129,7 @@ object ReplayMain {
                   s"GRAFT_FOLLOW mode '$prev' — delete it " +
                   s"before switching to '$mode'")
               case Some(_) => ()
-              case None if snap.maxCommittedEpoch < 0 =>
+              case None if snap.maxCommittedEpoch < 0 && snap.txns.isEmpty =>
                 d.setProperty("graft.follow.mode", mode)
               case None => sys.error(
                 s"downstream at $workDir/downstream has committed epochs " +

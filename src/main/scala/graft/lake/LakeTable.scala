@@ -1017,13 +1017,17 @@ object LakeTable {
   object TxnSlotCompat extends org.json4s.CustomSerializer[TxnSlot](fmt => (
     {
       case org.json4s.JInt(b) => TxnSlot(b.toLong, 0L)
-      case org.json4s.JObject(fields) =>
+      // accept ONLY the well-formed object shape — zero-filling a
+      // malformed slot would silently disable the idempotence guard
+      // (batch=0 ⇒ nothing ever looks committed) instead of failing loudly
+      case org.json4s.JObject(fields)
+          if fields.toMap.get("batch").exists(_.isInstanceOf[org.json4s.JInt]) =>
         val m = fields.toMap
-        def num(k: String): Long = m.get(k) match {
-          case Some(org.json4s.JInt(n)) => n.toLong
-          case _ => 0L
-        }
-        TxnSlot(num("batch"), num("v"))
+        TxnSlot(m("batch").asInstanceOf[org.json4s.JInt].num.toLong,
+          m.get("v") match {
+            case Some(org.json4s.JInt(n)) => n.toLong
+            case _ => 0L
+          })
     },
     { case s: TxnSlot => org.json4s.JObject(
         "batch" -> org.json4s.JInt(s.batch), "v" -> org.json4s.JInt(s.v)) }))

@@ -272,27 +272,32 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // filesystem ('ckpt' / '/abs/ckpt' / 'file:/abs/ckpt' agree) is the
     // stream's stable identity; txnAppId overrides it; and a table this
     // stream EXCLUSIVELY owns may opt into the global space explicitly
-    // with txnAppId=global. (A session-conf checkpoint resolves after
-    // createSink and is invisible here — pass it as a writer option.)
+    // with globalEpochSpace=true — a dedicated boolean, NOT a sentinel
+    // value inside the txnAppId namespace, where a user innocently
+    // naming their app "global" would lose the slot. (A session-conf
+    // checkpoint resolves after createSink and is invisible here — pass
+    // it as a writer option.)
     // FOOTGUN (same as Delta's documented txnAppId contract): the slot
     // outlives the checkpoint — deleting the checkpoint to force a
     // re-sync restarts batch ids at 0 under the SAME identity, and the
     // old slot no-ops them. Pass a NEW txnAppId after deleting a
     // checkpoint.
-    val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation").map { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(
-          sqlContext.sparkSession.sessionState.newHadoopConf())
-        "ckpt:" + fs.makeQualified(hp).toString
-      })
-      .getOrElse(throw new IllegalArgumentException(
-        "graft-table sink needs a writer identity: pass checkpointLocation " +
-          "as a WRITER option (a session-conf checkpoint is invisible " +
-          "here), or set .option(\"txnAppId\", <stable id>); a table this " +
-          "stream exclusively owns may opt into the global epoch space " +
-          "with .option(\"txnAppId\", \"global\")"))
-    val txnApp = if (appId == "global") None else Some(appId)
+    val txnApp =
+      if (parameters.get("globalEpochSpace").exists(_.toBoolean)) None
+      else Some(parameters.get("txnAppId")
+        .orElse(parameters.get("checkpointLocation").map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(
+            sqlContext.sparkSession.sessionState.newHadoopConf())
+          "ckpt:" + fs.makeQualified(hp).toString
+        })
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-table sink needs a writer identity: pass " +
+            "checkpointLocation as a WRITER option (a session-conf " +
+            "checkpoint is invisible here), or set .option(\"txnAppId\", " +
+            "<stable id>); a table this stream exclusively owns may opt " +
+            "into the global epoch space with " +
+            ".option(\"globalEpochSpace\", \"true\")")))
     new LakeTableSink(sqlContext, d, method,
       graft.cdc.MergeConfig(writeMode = mode, txnApp = txnApp))
   }
@@ -348,18 +353,33 @@ class LakeTableSourceProvider extends StreamSourceProvider
     }
     if (fs.exists(p)) return read()
     val v = live
-    // atomic publish: the value lands fully in a temp file and enters
-    // under its final name via rename (atomic on local and HDFS) — a
-    // create-then-write under the final name could be killed mid-write
-    // and leave a torn file that wedges every restart. A rename loser
-    // defers to the winner's (complete) value.
+    // atomic publish, two phases: (1) the value lands COMPLETE in a temp
+    // file — a create-then-write under the final name could be killed
+    // mid-write and leave a torn file that wedges every restart; (2) the
+    // temp enters under the final name through an arbiter that REFUSES
+    // an existing destination — local rename(2) silently replaces, so on
+    // the local fs the arbiter is an atomic hard link (EEXIST = lost the
+    // race); HDFS-like stores get rename, which fails on an existing
+    // destination there. Either way the loser defers to the winner's
+    // complete value, and the temp is reclaimed on every exit path.
     val tmp = new org.apache.hadoop.fs.Path(metadataPath,
       s"graft-starting-lsn.tmp-${java.util.UUID.randomUUID()}")
     fs.mkdirs(p.getParent)
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.rename(tmp, p)) v
-    else { fs.delete(tmp, false); read() }
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    try {
+      if (local) {
+        val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+        java.nio.file.Files.write(tmpNio, v.toString.getBytes("UTF-8"))
+        try { java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath), tmpNio); v }
+        catch { case _: java.nio.file.FileAlreadyExistsException => read() }
+      } else {
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        if (fs.rename(tmp, p)) v else read()
+      }
+    } finally { try fs.delete(tmp, false) catch { case _: java.io.IOException => () } }
   }
 }
 
