@@ -174,6 +174,15 @@ object CdcPipeline {
       transform: DataFrame => DataFrame = identity,
       cfg: MergeConfig = MergeConfig(),
       evolveSchema: Boolean = true): FollowResult = {
+    // the consumed-LSN watermark IS the destination's global epoch space
+    // (epoch ids are source LSN cuts). A txn-scoped config would commit
+    // into the txn slot instead: the watermark never advances, every
+    // round re-reads from -1 and re-plans an O(table) merge before the
+    // txn guard no-ops it — correct final state, quadratic work. Fail
+    // loudly rather than silently degrade the documented O(new data).
+    require(cfg.txnApp.isEmpty,
+      "followOnce tracks progress in the table's global epoch space; " +
+        "txn-scoped MergeConfig (txnApp) would silently make each round O(table)")
     val snap = src.snapshot
     val high = src.highLsn(snap)
     val last = dst.snapshot.maxCommittedEpoch

@@ -395,10 +395,24 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * crash-after-commit-before-ack case the epoch guard already makes
     * safe — so CURRENT advances to the highest parseable version; a
     * TORN orphan (crash mid-JSON-write) was never visible to anyone and
-    * is deleted. Returns the recovered-to version. Idempotent; call on
-    * writer startup. */
-  def recover(): Long = {
+    * is deleted.
+    *
+    * Deletion is deliberately narrow (recover may run while OTHER writers
+    * are live — a mid-publish peer's half-written vN.json looks exactly
+    * like a torn orphan): a file is reclaimed only when (a) it fails
+    * JSON PARSING specifically — a transient read IOException or the
+    * format-v1 IllegalStateException never deletes (those are perfectly
+    * good snapshots), and (b) it is older than `graceMs` (modification
+    * time, the same age argument [[vacuumOrphans]] makes) — a live
+    * writer publishes in far less than the grace window, and its
+    * swapPointer would otherwise point CURRENT at a file recover just
+    * removed, wedging the table for every reader. Unreadable-but-young
+    * files are simply skipped; a later recover (or the commit path's
+    * rebase) deals with them once their fate is knowable. Returns the
+    * recovered-to version. Idempotent; call on writer startup. */
+  def recover(graceMs: Long = 300000L): Long = {
     val cur = snapshot
+    val cutoff = System.currentTimeMillis() - graceMs
     val beyond = fs.listStatus(snapsPath).toSeq
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
@@ -406,10 +420,17 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .filter(_ > cur.version).sorted
     var landed = cur.version
     beyond.foreach { v =>
-      try { readSnapshot(new Path(snapsPath, f"v$v%012d.json")); landed = v }
+      val p = new Path(snapsPath, f"v$v%012d.json")
+      try { readSnapshot(p); landed = v }
       catch {
-        case _: Exception => // torn write: never published, reclaim
-          fs.delete(new Path(snapsPath, f"v$v%012d.json"), false)
+        case e: Exception if LakeTable.isTornJson(e) =>
+          // torn write: never published — reclaim, but only past the
+          // grace window (a live writer may still be mid-publish)
+          val oldEnough =
+            try fs.getFileStatus(p).getModificationTime <= cutoff
+            catch { case _: java.io.IOException => false }
+          if (oldEnough) fs.delete(p, false)
+        case _: Exception => () // transient IO / format mismatch: keep
       }
     }
     if (landed > cur.version)
@@ -448,9 +469,10 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       txn: Option[(String, Long)] = None): Snapshot = {
     var attemptBase = base
     var attempts = 0
-    while (true) {
-      try return commitOnce(attemptBase, newFiles, replacedBuckets, epochId,
-        lineage, schemaUpdate, newColumnDocs, txn)
+    var committed: Snapshot = null
+    while (committed == null) {
+      try committed = commitOnce(attemptBase, newFiles, replacedBuckets,
+        epochId, lineage, schemaUpdate, newColumnDocs, txn)
       catch {
         case e: java.io.IOException
             if versionTaken(attemptBase.version + 1) =>
@@ -463,7 +485,17 @@ class LakeTable(val spark: SparkSession, val dir: String) {
             replacedBuckets, epochId, schemaUpdate, txn)
       }
     }
-    sys.error("unreachable")
+    // the lineage mirror is written AFTER the snapshot is published and
+    // OUTSIDE the retried region: an IOException here used to re-enter
+    // the lost-race retry (versionTaken is true — we created the version
+    // ourselves), rebase onto our own commit, and surface as
+    // EpochSupersededException — reporting applied=false for a commit
+    // that landed while silently swallowing the mirror failure. Out here
+    // it propagates as itself (the commit HAS landed; the caller learns
+    // the audit row is missing), honoring the mirror's
+    // append-only-and-complete contract.
+    lineage.foreach(writeLineageMirror(_, committed.version))
+    committed
   }
 
   /** True when `vN.json` already exists — the only way `commitOnce` can
@@ -622,7 +654,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
           }
         throw e
     }
-    lineage.foreach(writeLineageMirror(_, snap.version))
+    // NOTE: the lineage mirror row is written by [[commit]] after this
+    // returns — outside the lost-race retry region (see commit()).
     snap
   }
 
@@ -1031,6 +1064,14 @@ object LakeTable {
     },
     { case s: TxnSlot => org.json4s.JObject(
         "batch" -> org.json4s.JInt(s.batch), "v" -> org.json4s.JInt(s.v)) }))
+
+  /** True when `e` is a genuine JSON-parse failure (a torn/truncated
+    * snapshot write), as opposed to a transient read IOException or a
+    * format-version mismatch. jackson's JsonProcessingException EXTENDS
+    * IOException, so this classification must run BEFORE any generic
+    * IOException handling. */
+  private[lake] def isTornJson(e: Throwable): Boolean =
+    e.isInstanceOf[com.fasterxml.jackson.core.JsonProcessingException]
 
   /** Manifest refs kept in a snapshot before consolidation folds them
     * into one reset manifest. */

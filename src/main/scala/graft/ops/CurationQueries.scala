@@ -49,42 +49,41 @@ object CurationQueries {
     * suite (deterministic, so the oracle derives the same partition). */
   val EvalModulus = 13
 
-  /** Benchmark decontamination: per TRAINING document, how many of its
-    * distinct 13-grams appear anywhere in the eval suite, and the
-    * contamination flag (any overlap ⇒ drop before training).
+  /** Benchmark decontamination over an arbitrary documents frame
+    * (doc_id, text): per TRAINING document, how many of its distinct
+    * 13-grams appear anywhere in the eval suite, and the contamination
+    * flag (any overlap ⇒ drop before training).
     *
-    * Scale shape: the eval suite's distinct-gram set is built once —
-    * benchmarks are ~10^5 documents, so this side is millions of rows
-    * even when the training corpus is 10^10, and AQE broadcasts it (at
-    * sf0.1 it already does); the training side streams through one
-    * equi-join + hash aggregate and the text payload is never shuffled
-    * (only (doc_id, gram) rows). At petabyte gram volumes the join key
-    * would be xxhash64(gram) to shrink the exchange; here it is the gram
-    * string so the DuckDB oracle is definitionally identical. */
-  private val q37: Q = (s, d) => {
+    * Scale shape: the eval suite's distinct-gram set is small —
+    * benchmarks are ~10^5 documents even when the training corpus is
+    * 10^10 — and with `hashedGramKey` (the gated default) it is a set of
+    * 8-byte xxhash64 keys, explicitly broadcast; the training side then
+    * streams through ONE broadcast-join + hash-aggregate pass: the gram
+    * strings are never shuffled, never persisted, and each side's
+    * tokenize+explode runs exactly once (the round-2 plan shuffled raw
+    * 13-gram strings ~10× the corpus bytes and persisted the full
+    * exploded train frame). `hashedGramKey = false` keeps the join on
+    * the gram string — the oracle-literal twin the agreement test pins
+    * against the hashed plan (a 64-bit xxhash64 collision between
+    * distinct grams is the only possible divergence). */
+  def decontaminate(docsDf: DataFrame,
+      hashedGramKey: Boolean = true): DataFrame = {
     val isEval = col("doc_id") % EvalModulus === 0
-    // persisted: the tokenize+13-gram explode is the dominant cost and
-    // feeds three consumers (eval gram set, the overlap join's train
-    // side, and the per-doc totals) — same precedent as the dedup
-    // family's shingle frame (CorpusQueries.shingleRows)
-    val g = docs(s, d)
-      .select(col("doc_id"), explode(gramsCol(wordsCol, ContamGramWidth)).as("g"))
-      .persist()
-    try {
-      val evalGrams = g.filter(isEval).select(col("g")).distinct()
-      val train = g.filter(!isEval)
-      val shared = train.join(evalGrams, "g")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-        // materialize the (small, per-doc) result before releasing the
-        // gram cache, so the returned plan never recomputes the explode
-        .localCheckpoint(true)
-    } finally g.unpersist()
+    val grams = docsDf.select(col("doc_id"),
+      explode(gramsCol(wordsCol, ContamGramWidth)).as("g"))
+    val keyed =
+      if (hashedGramKey) grams.select(col("doc_id"), xxhash64(col("g")).as("gk"))
+      else grams.select(col("doc_id"), col("g").as("gk"))
+    val evalGrams = keyed.filter(isEval).select(col("gk")).distinct()
+    keyed.filter(!isEval)
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("gk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
   }
+
+  private val q37: Q = (s, d) => decontaminate(docs(s, d))
   private val q37Sql =
     s"""WITH w AS (SELECT doc_id, string_split(lower(text),' ') ws FROM documents),
        i AS (SELECT doc_id, ws,
@@ -208,6 +207,21 @@ object CurationQueries {
   /** Target sequence length in (whitespace) tokens. */
   val PackSeqLen = 1024L
 
+  /** Rows per prefix block the adaptive width targets: each block is one
+    * task's local window sort, so this bounds the largest single-task
+    * sort regardless of corpus size. */
+  val PackTargetRowsPerBlock = 1000000L
+
+  /** Hex-prefix width whose 16^w blocks keep ~[[PackTargetRowsPerBlock]]
+    * rows per block. Capped at 6 (16.7M blocks — the driver prefix-sums
+    * one long per PRESENT block, so the cap bounds that collect; 6 hex
+    * chars covers ~1.6·10^13 docs at the target). */
+  def packHexWidth(rows: Long): Int = {
+    var w = 1
+    while (w < 6 && (rows >> (4 * w)) > PackTargetRowsPerBlock) w += 1
+    w
+  }
+
   /** Fixed-length sequence packing (the GPT-style "concatenate the corpus
     * and chunk every L tokens" step that turns documents into training
     * sequences): each doc gets its token span [start, start+n_tok) in the
@@ -217,35 +231,41 @@ object CurationQueries {
     *
     * Scale shape — a distributed prefix sum, NOT a global window: an
     * ORDER BY over the corpus inside one window collapses to a single
-    * task. Instead the order key's first two hex chars define 256
+    * task. Instead the order key's first w hex chars define 16^w
     * CONTIGUOUS blocks by construction (a prefix of the sort key — no
     * sampled range boundaries, so the block of a doc never depends on
     * the rest of the data): a per-block window computes local running
-    * sums in parallel, the 256 block totals prefix-sum on the driver,
-    * and a broadcast join adds each block's base. Two hash exchanges,
-    * one bounded collect; block width is a knob (3 hex chars = 4096
-    * blocks) when 10^10/256 rows per block outgrows a task sort. */
-  private val q41: Q = (s, d) => {
+    * sums in parallel, the present blocks' totals prefix-sum on the
+    * driver, and a broadcast join adds each block's base. Two hash
+    * exchanges, one bounded collect. The width ADAPTS to the input
+    * ([[packHexWidth]]): ~10^6 rows per block, so a 10^10-doc corpus
+    * gets 65k blocks instead of 256 blocks of 4·10^7-row task sorts —
+    * and the spans are width-invariant (the blocks partition the same
+    * total order), which [[graft.ops]]' CurationSpec asserts by running
+    * two widths. */
+  def sequencePack(docsDf: DataFrame, hexWidth: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted: the tokenized base feeds both the block-totals action
-    // and the windowed local prefix sums
-    val base = docs(s, d).select(
+    val s = docsDf.sparkSession
+    // persisted: the tokenized base feeds the row count, the block-totals
+    // action, and the windowed local prefix sums
+    val base = docsDf.select(
       col("doc_id"), size(wordsCol).as("n_tok"),
       md5(concat(lit("pack:"), col("doc_id").cast(StringType))).as("h"))
       .persist()
     try {
+      val width = hexWidth.getOrElse(packHexWidth(base.count()))
       val withPid = base.withColumn("pid",
-        conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
+        conv(substring(col("h"), 1, width), 16, 10).cast(LongType))
       val w = Window.partitionBy(col("pid")).orderBy(col("h"))
       val local = withPid.withColumn("lcum", sum(col("n_tok")).over(w))
       val totals = withPid.groupBy(col("pid"))
         .agg(sum(col("n_tok")).as("t")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       // base offset of each present block = sum of the preceding present
       // blocks' totals (absent blocks contribute nothing by definition)
       val bases =
-        if (totals.isEmpty) Seq.empty[(Int, Long)]
-        else totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
+        if (totals.isEmpty) Seq.empty[(Long, Long)]
+        else totals.scanLeft((0L, 0L)) { case ((_, acc), (p, t)) =>
           (p, acc + t)
         }.sliding(2).map { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
       val baseDf = s.createDataFrame(bases).toDF("pid", "base")
@@ -259,6 +279,8 @@ object CurationQueries {
         .localCheckpoint(true)
     } finally base.unpersist()
   }
+
+  private val q41: Q = (s, d) => sequencePack(docs(s, d))
   private val q41Sql =
     s"""WITH t AS (SELECT doc_id, len(string_split(lower(text),' ')) n_tok,
              md5('pack:' || doc_id::VARCHAR) h FROM documents),

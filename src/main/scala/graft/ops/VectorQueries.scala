@@ -59,12 +59,14 @@ object VectorQueries {
 
   // ------------------------------------- q28 embedding-cosine near-dup
 
-  /** All pairs with cosine >= 0.45 — embedding near-duplicate detection.
-    * This is the small-corpus exactness baseline (a broadcast nested-loop
-    * cartesian — fine at oracle scale, fatal at 10^9 vectors); q33 is the
-    * blocked equi-join formulation that computes the identical pair set
-    * at scale. */
-  private val q28: Q = (s, d) => {
+  /** All pairs with cosine >= 0.45 — embedding near-duplicate detection,
+    * as the literal all-pairs comparison (a broadcast nested-loop
+    * cartesian). TEST-SIDE ORACLE TWIN ONLY: it is never registered in
+    * [[queries]] — a gated query must not carry a plan that broadcasts
+    * the corpus to every task — but CorpusSpec proves the gated blocked
+    * plan ([[q33]], also serving the q28 gate id) emits the identical
+    * pair set. */
+  def allPairsNearDups(s: SparkSession, d: String): DataFrame = {
     val v = quantized(s, d)
     val a = v.select(col("vec_id").as("ia"), col("q").as("qa"), col("nn").as("na"))
     val b = v.select(col("vec_id").as("ib"), col("q").as("qb"), col("nn").as("nb"))
@@ -95,9 +97,11 @@ object VectorQueries {
     * sf-scale, thousands at 10^9 vectors. */
   private val NearDupBlocks = 8
 
-  /** Exact embedding near-dup pairs (same semantics + oracle as q28) via
-    * block-partitioned self-join — the 10^9-vector formulation of the
-    * all-pairs comparison. q28's `a.join(b, ia < ib)` plans as a
+  /** Exact embedding near-dup pairs (same semantics + oracle as the
+    * all-pairs baseline) via block-partitioned self-join — the
+    * 10^9-vector formulation of the all-pairs comparison, and the plan
+    * BOTH gate ids (q28, q33) execute. The literal
+    * `a.join(b, ia < ib)` ([[allPairsNearDups]], test-only) plans as a
     * BroadcastNestedLoopJoin cartesian: the whole corpus broadcast to
     * every task, unbounded build memory. Here each vector is hashed into
     * one of B blocks, the B(B+1)/2 unordered block pairs become an
@@ -177,12 +181,17 @@ object VectorQueries {
             lit(0L), (acc, x) => acc * 2 + x).as("bv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.band"), col("e.bv"))
       .persist()
-    banded.as("x")
+    // materialize the self-join BEFORE releasing the cache (the exactNearDups
+    // pattern): a public operator must not leak cached blocks for the life
+    // of the session — direct callers have no bench harness clearing caches
+    try banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
       .distinct()
+      .localCheckpoint(true)
+    finally banded.unpersist()
   }
 
   // ------------------------------------------- q29 brute-force kNN top-k
@@ -321,7 +330,10 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    "q28_dedup_embedding_cosine" -> q28,
+    // q28's gate id executes the BLOCKED plan: no gated query carries a
+    // cartesian. The literal all-pairs formulation survives as the
+    // test-side oracle twin ([[allPairsNearDups]], CorpusSpec agreement).
+    "q28_dedup_embedding_cosine" -> q33,
     "q29_knn_brute_cosine" -> q29,
     "q30_knn_ann_ivf" -> q30,
     "q33_dedup_embedding_blocked" -> q33)

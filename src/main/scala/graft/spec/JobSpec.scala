@@ -182,9 +182,16 @@ object Linkage {
     * free. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 30, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
-    if (broadcastEdgeLimit > 0 && edges.count() <= broadcastEdgeLimit)
-      return componentsViaUnionFind(nodes, edges)
-    connectedComponentsDistributed(nodes, edges, maxIter)
+    // persist BEFORE the size probe: the probe's count() is then the one
+    // evaluation of the (possibly expensive) edge subtree, and whichever
+    // path runs next — the union-find collect or the distributed rounds'
+    // repartition — reads the cached blocks instead of recomputing it
+    val e = edges.persist()
+    try {
+      if (broadcastEdgeLimit > 0 && e.count() <= broadcastEdgeLimit)
+        componentsViaUnionFind(nodes, e)
+      else connectedComponentsDistributed(nodes, e, maxIter)
+    } finally e.unpersist()
   }
 
   /** Driver union-find fast path of [[connectedComponents]]. */

@@ -114,12 +114,18 @@ class SnapshotBoundsSpec extends SparkSpec {
     new java.io.File(snapsDir, ".CURRENT.crc").delete()
     assert(t.snapshot.version == 1L)
     // plus a torn v3 from a second crashed attempt
-    java.nio.file.Files.write(new java.io.File(snapsDir,
-      "v000000000003.json").toPath, "{\"version\": 3, ".getBytes("UTF-8"))
+    val torn = new java.io.File(snapsDir, "v000000000003.json")
+    java.nio.file.Files.write(torn.toPath,
+      "{\"version\": 3, ".getBytes("UTF-8"))
+    // within the grace window the torn file is SKIPPED, not deleted — it
+    // may be a live writer mid-publish whose swapPointer is imminent
     assert(t.recover() == 2L)
     assert(t.snapshot.version == 2L)
+    assert(torn.exists(), "young torn file must survive the grace window")
+    // past the grace window it is a genuine crash leftover: reclaimed
+    assert(t.recover(graceMs = 0L) == 2L)
     assert(t.snapshot.files.map(_.path).toSet == Set("a", "b"))
-    assert(!new java.io.File(snapsDir, "v000000000003.json").exists())
+    assert(!torn.exists())
     // the table commits normally again (no permanent collision)
     t.commit(t.snapshot, Seq(DataFileEntry("c", 2, 1L, 0)), Set.empty, Some(2L), None)
     assert(t.snapshot.version == 3L)

@@ -16,11 +16,25 @@ class CorpusSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sf)
       .select("ida", "idb").collect().toSeq
 
-  test("minhash-LSH and simhash candidates verify to the exact Jaccard pairs") {
-    val exact = pairs("q25_dedup_ngram_jaccard")
+  test("minhash-LSH verifies to the exact Jaccard pairs; simhash emits its Ham<=3 subset") {
+    val exactRows = graft.SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = exactRows.keySet
     assert(exact.nonEmpty, "corpus should contain planted near-duplicates")
     assert(pairs("q26_dedup_minhash_lsh") == exact)
-    assert(pairs("q27_dedup_simhash") == exact)
+    // q27's CONTRACT is near-identical dedup (signature Hamming <= 3,
+    // the Manku operating point), verified at jac >= 0.5: a SUBSET of
+    // the exact pair set by construction. Recall against the full
+    // jac-0.5 set is sub-1 BY DESIGN (even a 0.97-jac pair has expected
+    // signature Hamming ~3.3 of 60 — the boundary cuts through the
+    // planted dups, which is exactly why the gate oracle runs the
+    // literal algorithm instead of asserting any Jaccard threshold);
+    // measure it and floor it.
+    val sim = pairs("q27_dedup_simhash")
+    assert(sim.subsetOf(exact), "verification must keep scores exact")
+    val recall = sim.size.toDouble / exact.size
+    info(f"simhash recall vs full jac-0.5 set: ${sim.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.7, f"simhash recall $recall%.2f collapsed — chunking bug?")
   }
 
   test("planted stop-shingle: excluded from candidate index, pair set still exact") {
@@ -50,6 +64,30 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((100L, 101L)))
   }
 
+  test("simhash 4x15 chunking: candidate fraction is background-small, recall measured") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, greatest(1, size(split(lower(text),' '))-4)), i -> concat_ws(' ', slice(split(lower(text),' '), i, 5))))")).as("sh"))
+    val cand = CorpusQueries.simHashCandidates(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val exactRows = graft.SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val frac = cand.size.toDouble / allPairs
+    val recall = (exactRows.keySet intersect cand).size.toDouble / exactRows.size
+    info(f"simhash 4x15: ${cand.size} candidates of $allPairs pairs " +
+      f"(fraction $frac%.5f), recall vs jac-0.5 set $recall%.3f")
+    // the scale argument: background candidates stay near the 4*2^-15
+    // analytic rate (orders of magnitude under the 8x8 layout's ~3%)
+    // while most planted dups are still generated — the envelope the
+    // q27 scaladoc documents
+    assert(frac < 0.01, f"background candidate fraction $frac%.4f too high")
+    assert(recall >= 0.7, f"candidate recall $recall%.2f collapsed — chunking bug?")
+  }
+
   test("exact-dup canonicalization covers every document exactly once") {
     val df = graft.SparkEntry.queries("q24_dedup_exact")(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("copies"))
@@ -58,22 +96,39 @@ class CorpusSpec extends SparkSpec {
     assert(total == docs)
   }
 
-  test("blocked exact near-dup (q33) emits the identical pair set to the all-pairs baseline (q28)") {
+  test("blocked exact near-dup (the q28/q33 gate plan) emits the identical pair set to the all-pairs baseline") {
     def vpairs(name: String): Set[(Long, Long)] =
       graft.SparkEntry.queries(name)(spark, sf)
         .select("ia", "ib").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = vpairs("q28_dedup_embedding_cosine")
+    // the literal all-pairs cartesian lives ONLY here (test-side oracle
+    // twin); both gate ids execute the blocked equi-join plan
+    val exact = VectorQueries.allPairsNearDups(spark, sf)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "corpus should contain embedding near-dups")
     assert(vpairs("q33_dedup_embedding_blocked") == exact)
+    assert(vpairs("q28_dedup_embedding_cosine") == exact)
+  }
+
+  test("no gated near-dup query plans a cartesian") {
+    // q29 is excluded by design: it broadcasts the 16-row QUERY side via a
+    // non-equi join — a nested-loop over a tiny broadcast, not a corpus
+    // cartesian (its scaladoc documents the shape).
+    Seq("q28_dedup_embedding_cosine", "q33_dedup_embedding_blocked",
+      "q30_knn_ann_ivf").foreach { n =>
+      val plan = graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        s"$n plans a cartesian:\n$plan")
+    }
   }
 
   test("banded sign-LSH at threshold 0.45 is measurably NOT the scale path (why q33 is exact)") {
-    def vpairs(name: String): Set[(Long, Long)] =
-      graft.SparkEntry.queries(name)(spark, sf)
-        .select("ia", "ib").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = vpairs("q28_dedup_embedding_cosine")
+    val exact = VectorQueries.allPairsNearDups(spark, sf)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = VectorQueries.signLshCandidates(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()

@@ -27,6 +27,37 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_.getBoolean(3)) > 0, "expected contaminated train docs")
   }
 
+  test("decontamination: hashed-gram-key plan agrees with the string-key oracle twin") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(hashed: Boolean) =
+      CurationQueries.decontaminate(docs, hashedGramKey = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    assert(rows(hashed = true) == rows(hashed = false))
+  }
+
+  test("decontamination plan: gram strings never shuffle (broadcast join), no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = CurationQueries.decontaminate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"train grams shuffled through a join:\n$plan")
+  }
+
+  test("sequence packing: spans are block-width invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def spans(w: Int) = CurationQueries.sequencePack(docs, Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(spans(1) == spans(3),
+      "block decomposition changed the packing — prefix sum broken")
+    // the adaptive width keeps single-task sorts bounded at scale
+    assert(CurationQueries.packHexWidth(500L) == 1)
+    assert(CurationQueries.packHexWidth(10L * 1000 * 1000 * 1000) == 4)
+    assert(CurationQueries.packHexWidth(Long.MaxValue) == 6)
+  }
+
   test("hash split partitions the corpus; assignment is stable per doc") {
     val out = q("q38_hash_split").collect()
     val total = out.map(_.getLong(2)).sum
