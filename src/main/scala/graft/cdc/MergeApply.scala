@@ -58,6 +58,17 @@ final case class MergeConfig(
       *    by lsn desc) — shuffles by key AND sorts, plus the write
       *    shuffle. Kept for A/B verification. */
     dedup: String = "bucket",
+    /** Duplicate-INPUT suppression (the reference's checksum-gated
+      * re-runs, reference: engine/wprdc_etl/pipeline/connectors.py:73-93,
+      * pipeline.py:338-341): when on, each batch's content fingerprint
+      * (count + order-independent row-hash combine over ALL envelope
+      * columns) is compared against the previous applied batch's — equal
+      * content, even redelivered under a NEW feed file name / epoch id,
+      * commits a 0-row skip entry instead of re-applying. Costs one
+      * extra aggregate action over the batch per epoch; off by default
+      * (the epoch guard already covers same-epoch redelivery — this gate
+      * exists for content that re-lands as a new file). */
+    inputChecksumGate: Boolean = false,
     /** Writer identity for app-scoped idempotence (Delta's
       * txnAppId/txnVersion). `None` (default): epoch ids live in the
       * table's single global epoch space — right for THE feed that owns
@@ -138,6 +149,17 @@ object MergeApply {
     if (events.isEmpty) batch else batch.filter(col("op") =!= "S")
   }
 
+  /** The table's event-time column for watermark/late-data stats: the
+    * registered `watermark.column` property, else a literal `ts` column
+    * when the schema has one (the transcript default), else none — job
+    * feeds with arbitrary schemas simply carry no event-time lineage
+    * stats. */
+  private def eventTimeCol(snap: Snapshot): Option[String] = {
+    val fields = snap.userSchema.fieldNames.toSet
+    snap.properties.get(graft.spec.TimeField.WatermarkColumn).filter(fields)
+      .orElse(Some("ts").filter(fields))
+  }
+
   /** Idempotence guard under either epoch space (see
     * [[MergeConfig.txnApp]]). */
   private def alreadyCommitted(snap: Snapshot, epochId: Long,
@@ -165,6 +187,34 @@ object MergeApply {
       .map(_.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
         .toSeq.map(r => (r.getLong(0), r.getString(1))))
       .getOrElse(Nil)
+
+  /** Order-independent content fingerprint of a batch: row count + two
+    * combines (XOR and exact decimal SUM — the sum breaks XOR's
+    * even-multiplicity cancellation, the decimal breaks ANSI long
+    * overflow at 10^10 rows) of per-row xxhash64 over every envelope
+    * column. One aggregate action, map-side partial, no shuffle of
+    * payload. Map-typed columns (the v2 `extras`) hash via to_json. */
+  private def batchFingerprint(batch: DataFrame): (Long, String) = {
+    val cols = batch.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    val r = batch.select(xxhash64(cols: _*).as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__h)"),
+        sum(col("__h").cast(DecimalType(38, 0)))).head()
+    val cnt = r.getLong(0)
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val s = if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString
+    (cnt, s"$cnt:${java.lang.Long.toHexString(x)}:$s")
+  }
+
+  /** Most recent applied-batch fingerprint recorded in the snapshot's
+    * inline lineage (compaction and gate-off entries carry ""). */
+  private def lastChecksum(snap: Snapshot): Option[String] =
+    snap.lineage.reverseIterator.find(_.inputChecksum.nonEmpty)
+      .map(_.inputChecksum)
 
   /** LWW by key shuffle: one row per key, the max-__lsn one ("aggregate"
     * and "window" strategies; see [[MergeConfig.dedup]]). */
@@ -223,6 +273,28 @@ object MergeApply {
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
+    // duplicate-INPUT suppression: identical batch content (even under a
+    // new epoch id / feed file name) commits a 0-row skip entry — the
+    // epoch watermark stays contiguous and the skip is audited in
+    // lineage — instead of re-applying (reference checksum gate,
+    // connectors.py:73-93, pipeline.py:338-341)
+    val (fpRows, fp) =
+      if (cfg.inputChecksumGate) batchFingerprint(batch) else (0L, "")
+    if (fp.nonEmpty && lastChecksum(snap0).contains(fp)) {
+      val entry = LineageEntry(epochId, snap0.version + 1, fpRows, 0L, Nil,
+        0, snap0.files.size, -1L, "",
+        (System.nanoTime() - t0) / 1000000L, inputChecksum = fp)
+      val (eid, txn) = epochArgs(cfg, epochId)
+      try {
+        val c = table.commit(snap0, Nil, Set.empty, eid, Some(entry), txn = txn)
+        return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
+          (System.nanoTime() - t0) / 1000000L)
+      } catch {
+        case _: graft.lake.EpochSupersededException =>
+          return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
+            Nil, (System.nanoTime() - t0) / 1000000L)
+      }
+    }
     // a copy-on-write attempt that raced another writer into the same
     // buckets must RECOMPUTE, not rebase — the bucket contents it merged
     // are stale. Recompute is the whole-operation retry of the Iceberg
@@ -233,7 +305,7 @@ object MergeApply {
     // never take this path — they rebase inside commit.)
     var conflictRetries = 0
     while (true) {
-      try return mergeGuarded(table, batch, epochId, cfg, t0)
+      try return mergeGuarded(table, batch, epochId, cfg, t0, fp)
       catch {
         case _: graft.lake.EpochSupersededException =>
           return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
@@ -249,10 +321,11 @@ object MergeApply {
   }
 
   private def mergeGuarded(table: LakeTable, batch: DataFrame, epochId: Long,
-      cfg: MergeConfig, t0: Long): MergeResult = {
+      cfg: MergeConfig, t0: Long, checksum: String = ""): MergeResult = {
     val hasExtras = batch.columns.contains("extras")
     val attempt =
-      try mergeAttempt(table, batch, epochId, cfg, t0, probe = hasExtras)
+      try mergeAttempt(table, batch, epochId, cfg, t0, probe = hasExtras,
+        checksum = checksum)
       catch {
         case e: Throwable
             if hasExtras && scala.util.control.NonFatal(e) =>
@@ -275,7 +348,8 @@ object MergeApply {
         // redo the attempt under the new schema. Nothing from the first
         // attempt was committed.
         events.sortBy(_._1).foreach(e => SchemaRegistry(table, e._2))
-        mergeAttempt(table, batch, epochId, cfg, t0, probe = false)
+        mergeAttempt(table, batch, epochId, cfg, t0, probe = false,
+          checksum = checksum)
           .getOrElse(throw new IllegalStateException(
             "schema probe fired on the retry attempt"))
     }
@@ -291,7 +365,7 @@ object MergeApply {
     * and retry. Schema events are a handful in 10^10, so the common v2
     * path pays zero extra actions and the rare path pays one redo. */
   private def mergeAttempt(table: LakeTable, batch: DataFrame, epochId: Long,
-      cfg: MergeConfig, t0: Long, probe: Boolean)
+      cfg: MergeConfig, t0: Long, probe: Boolean, checksum: String = "")
       : Either[Seq[(Long, String)], MergeResult] = {
     val hasExtras = batch.columns.contains("extras")
     val (dataBatch, probeObs) =
@@ -318,7 +392,8 @@ object MergeApply {
       .withColumn("__bucket", LakeTable.bucketExpr(nB))
 
     if (cfg.writeMode == "mor")
-      return mergeMor(table, batchNorm, epochId, cfg, snap, t0, lap, probeObs)
+      return mergeMor(table, batchNorm, epochId, cfg, snap, t0, lap, probeObs,
+        checksum)
 
     // bucket strategy: no pre-dedup of the batch — intra-batch duplicates
     // collapse in the single bucket-level pass below (stats then count
@@ -332,14 +407,17 @@ object MergeApply {
       else dedupLww(batchNorm, cfg).persist()
     try {
       // one job: per-bucket batch stats (buckets touched + sizes + lineage)
+      val tsCol = eventTimeCol(snap)
       val prevWm = snap.lineage.reverseIterator
         .find(e => e.epochId >= 0 && e.watermarkTs.nonEmpty).map(_.watermarkTs)
-      val lateCol = prevWm.map(w =>
-        count(when(col("ts") < lit(w).cast(TimestampType), 1)))
+      val lateCol = (for { c <- tsCol; w <- prevWm } yield
+        count(when(col(c) < lit(w).cast(TimestampType), 1)))
         .getOrElse(lit(0L)).as("late")
+      val maxTsCol = tsCol.map(c => max(col(c)))
+        .getOrElse(max(lit(null).cast(TimestampType))).as("maxTs")
       val stats = deduped.groupBy(col("__bucket"))
         .agg(count(lit(1)).as("n"), max(col("__lsn")).as("maxLsn"),
-          max(col("ts")).as("maxTs"), lateCol,
+          maxTsCol, lateCol,
           min(col("__lsn")).as("minLsn"))
         .collect()
       lap("dedup+stats")
@@ -349,7 +427,8 @@ object MergeApply {
       if (sev.nonEmpty) return Left(sev)
       if (stats.isEmpty) {
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
-          snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
+          snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L,
+          inputChecksum = checksum)
         val (eid, txn) = epochArgs(cfg, epochId)
         val c = table.commit(snap, Nil, Set.empty, eid, Some(entry), txn = txn)
         return Right(MergeResult(applied = true, c.version, 0L, 0L,
@@ -392,7 +471,8 @@ object MergeApply {
         // rewrites whole buckets, so file rows include carried-over
         // rows — the batch's share per bucket is what lineage records
         partitions = stats.map(r => BucketLineage(r.getInt(0),
-          r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket))
+          r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket),
+        inputChecksum = checksum)
       val (eid, txn) = epochArgs(cfg, epochId)
       val c = table.commit(snap, newFiles, buckets, eid, Some(entry), txn = txn)
       Right(MergeResult(applied = true, c.version, batchRows,
@@ -410,18 +490,22 @@ object MergeApply {
     * compaction threshold are folded back to base files. */
   private def mergeMor(table: LakeTable, batchNorm: DataFrame, epochId: Long,
       cfg: MergeConfig, snap: Snapshot, t0: Long, lap: String => Unit,
-      probeObs: Option[org.apache.spark.sql.Observation] = None)
+      probeObs: Option[org.apache.spark.sql.Observation] = None,
+      checksum: String = "")
       : Either[Seq[(Long, String)], MergeResult] = {
     // previous commit's event-time high-watermark -> late-data metric
     // (rides on the same observe; no extra job). Compaction entries
     // (epochId = -1) carry no watermark and are skipped.
+    val tsCol = eventTimeCol(snap)
     val prevWm = snap.lineage.reverseIterator
       .find(e => e.epochId >= 0 && e.watermarkTs.nonEmpty).map(_.watermarkTs)
     val obs = org.apache.spark.sql.Observation()
     val aggs = Seq(count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
-      min(col("__lsn")).as("minLsn"), max(col("ts")).as("maxTs")) ++
-      prevWm.map(w => count(when(col("ts") < lit(w).cast(TimestampType),
-        1)).as("late"))
+      min(col("__lsn")).as("minLsn"),
+      tsCol.map(c => max(col(c)))
+        .getOrElse(max(lit(null).cast(TimestampType))).as("maxTs")) ++
+      (for { c <- tsCol; w <- prevWm } yield
+        count(when(col(c) < lit(w).cast(TimestampType), 1)).as("late"))
     val observed = batchNorm.observe(obs, aggs.head, aggs.tail: _*)
     // no dedup, no sort: a delta file may hold several versions of a key
     // (even intra-batch) — the read path LWW-resolves and compaction
@@ -451,7 +535,8 @@ object MergeApply {
     // recent-set guard); the COW path (stats.isEmpty) does the same.
     if (deltaFiles.isEmpty) {
       val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
-        snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L)
+        snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L,
+        inputChecksum = checksum)
       val (eid, txn) = epochArgs(cfg, epochId)
       val c = table.commit(snap, Nil, Set.empty, eid, Some(entry), txn = txn)
       return Right(MergeResult(applied = true, c.version, 0L, 0L, Nil,
@@ -470,7 +555,7 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L, lateEvents = late, minLsn = minLsn,
       // delta files hold exactly this batch, so the manifest entries ARE
       // the per-partition applied rows + LSN ranges (footer stats)
-      partitions = partitionsOf(deltaFiles))
+      partitions = partitionsOf(deltaFiles), inputChecksum = checksum)
     val (eid, txn) = epochArgs(cfg, epochId)
     val committed = table.commit(snap, deltaFiles, Set.empty, eid,
       Some(entry), txn = txn)
@@ -572,6 +657,24 @@ object MergeApply {
     if (alreadyCommitted(snap0, epochId, cfg))
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
+    // duplicate-INPUT suppression — same gate as [[merge]]
+    val (fpRows, fp) =
+      if (cfg.inputChecksumGate) batchFingerprint(batch) else (0L, "")
+    if (fp.nonEmpty && lastChecksum(snap0).contains(fp)) {
+      val entry = LineageEntry(epochId, snap0.version + 1, fpRows, 0L, Nil,
+        0, snap0.files.size, -1L, "",
+        (System.nanoTime() - t0) / 1000000L, inputChecksum = fp)
+      val (eid, txn) = epochArgs(cfg, epochId)
+      try {
+        val c = table.commit(snap0, Nil, Set.empty, eid, Some(entry), txn = txn)
+        return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
+          (System.nanoTime() - t0) / 1000000L)
+      } catch {
+        case _: graft.lake.EpochSupersededException =>
+          return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
+            Nil, (System.nanoTime() - t0) / 1000000L)
+      }
+    }
     val dataBatch = applySchemaEvents(table, batch)
     val snap = table.snapshot
     val norm = normalize(dataBatch, snap.userSchema)
@@ -594,7 +697,7 @@ object MergeApply {
       if (parts.isEmpty) -1L else parts.map(_.maxLsn).max, "",
       (System.nanoTime() - t0) / 1000000L,
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
-      partitions = parts)
+      partitions = parts, inputChecksum = fp)
     try {
       val (eid, txn) = epochArgs(cfg, epochId)
       val c = table.commit(snap, newFiles, Set.empty, eid, Some(entry), txn = txn)

@@ -105,7 +105,14 @@ final case class LineageEntry(
       * touched by this commit (empty for metadata-only commits and
       * compactions). The sum of `partitions.rows` equals [[rowsApplied]]
       * and each range nests inside [minLsn, maxLsn]. */
-    partitions: Seq[BucketLineage] = Nil)
+    partitions: Seq[BucketLineage] = Nil,
+    /** Content fingerprint of the batch this commit applied ("" when the
+      * input-checksum gate is off) — the duplicate-INPUT suppression
+      * state (reference: engine/wprdc_etl/pipeline/connectors.py:73-93,
+      * pipeline.py:338-341): a batch whose fingerprint equals the most
+      * recent one is skipped with a 0-row commit, so identical bytes
+      * re-landing under a new feed file name are never re-applied. */
+    inputChecksum: String = "")
 
 /** An immutable snapshot of the table: schema history, manifest list,
   * committed-epoch watermark (exactly-once guard) and recent lineage.
@@ -1095,7 +1102,8 @@ object LakeTable {
     StructField("minLsn", LongType),
     StructField("partitions", ArrayType(StructType(Seq(
       StructField("bucket", IntegerType), StructField("rows", LongType),
-      StructField("minLsn", LongType), StructField("maxLsn", LongType)))))))
+      StructField("minLsn", LongType), StructField("maxLsn", LongType))))),
+    StructField("inputChecksum", StringType)))
 
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),

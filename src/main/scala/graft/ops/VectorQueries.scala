@@ -256,13 +256,15 @@ object VectorQueries {
     * the centroid table rides a broadcast variable inside the same
     * fold expression).
     *
-    * Determinism without an oracle's help: centroids are computed in
-    * exact integer fixed-point (sum of quantized coords is an exact long
-    * in any partition order; centroid = (1000·sum)/count integer
-    * division), and distances/scores are exact integer arithmetic — so
-    * the output is bit-stable across runs, partitionings, and cluster
-    * sizes even though no SQL oracle exists (driver: rows-only check;
-    * CorpusSpec measures recall vs the q29 brute-force baseline). */
+    * Determinism: centroids are computed in exact integer fixed-point
+    * (sum of quantized coords is an exact long in any partition order;
+    * centroid = (1000·sum)/count integer division), and
+    * distances/scores are exact integer arithmetic — so the output is
+    * bit-stable across runs, partitionings, and cluster sizes. That
+    * bit-stability is what gives an APPROXIMATE operator a real SQL
+    * oracle: [[q30Sql]] unrolls the identical algorithm in DuckDB and
+    * the driver hash-compares the two (CorpusSpec additionally measures
+    * recall ≥ 0.85 vs the q29 brute-force baseline). */
   private val q30: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val v = quantized(s, d).persist()
@@ -329,6 +331,59 @@ object VectorQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** The q30 oracle: the LITERAL IVF pipeline — quantize, seeded integer
+    * k-means unrolled [[KmeansIters]] times, assign, probe the
+    * [[IvfProbes]] nearest cells, exact top-[[TopK]] — in DuckDB SQL,
+    * generated from the same constants as the Spark plan so the two can
+    * never drift. Possible because every step is exact integer
+    * arithmetic with one final IEEE division (the bit-stability the
+    * Spark scaladoc documents); tie-breaks are (dist asc, cell asc) and
+    * (sim desc, neighbor asc) in both. */
+  private def q30Sql: String = {
+    def assignCte(name: String, cent: String, filter: String = ""): String =
+      s"""$name AS (SELECT vec_id, q, nn, qs, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn FROM (
+           SELECT v.vec_id, v.q, v.nn, v.qs, ct.cell,
+             list_aggregate(list_transform(range(1, len(v.qs)+1),
+               i -> (v.qs[i]-ct.c[i])*(v.qs[i]-ct.c[i])), 'sum') dist
+           FROM v, $cent ct $filter)) WHERE rn = 1)"""
+    def centCte(name: String, asg: String): String =
+      s"""$name AS (
+         SELECT cell, list((s*1000) // cnt ORDER BY i) c FROM (
+           SELECT cell, i, sum(qv) s, count(*) cnt FROM (
+             SELECT cell, unnest(q) qv, unnest(range(1, len(q)+1)) i FROM $asg)
+           GROUP BY cell, i)
+         GROUP BY cell)"""
+    val iterCtes = (0 until KmeansIters).flatMap(k =>
+      Seq(assignCte(s"a$k", s"c$k"), centCte(s"c${k + 1}", s"a$k")))
+    val finalCent = s"c$KmeansIters"
+    s"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) q
+       FROM embeddings),
+       n AS (SELECT vec_id, q, list_aggregate(list_transform(q, x -> x*x), 'sum') nn FROM e),
+       v AS (SELECT vec_id, q, nn, list_transform(q, x -> x*1000) qs FROM n),
+       c0 AS (SELECT vec_id::INT cell, qs c FROM v WHERE vec_id < $IvfCells),
+       ${iterCtes.mkString(",\n       ")},
+       ${assignCte("afinal", finalCent)},
+       probes AS (SELECT vec_id query_id, q qq, nn na, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn FROM (
+           SELECT v.vec_id, v.q, v.nn, ct.cell,
+             list_aggregate(list_transform(range(1, len(v.qs)+1),
+               i -> (v.qs[i]-ct.c[i])*(v.qs[i]-ct.c[i])), 'sum') dist
+           FROM v, $finalCent ct WHERE v.vec_id < $NQueries)) WHERE rn <= $IvfProbes),
+       cands AS (SELECT vec_id neighbor_id, q qc, nn nb, cell FROM afinal),
+       scored AS (SELECT p.query_id, c.neighbor_id,
+           list_aggregate(list_transform(range(1, len(p.qq)+1), i -> p.qq[i]*c.qc[i]), 'sum')::DOUBLE
+             / sqrt(p.na::DOUBLE * c.nb::DOUBLE) sim
+         FROM probes p JOIN cands c USING (cell)
+         WHERE p.query_id <> c.neighbor_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) rank
+         FROM scored)
+       WHERE rank <= $TopK"""
+  }
+
   val queries: Map[String, Q] = Map(
     // q28's gate id executes the BLOCKED plan: no gated query carries a
     // cartesian. The literal all-pairs formulation survives as the
@@ -341,6 +396,9 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "q28_dedup_embedding_cosine" -> q28Sql,
     "q29_knn_brute_cosine" -> q29Sql,
+    // the IVF plan is bit-stable integer arithmetic end-to-end, so it
+    // has a real oracle: the same algorithm unrolled in SQL
+    "q30_knn_ann_ivf" -> q30Sql,
     // q33 computes the identical pair set through the blocked plan —
     // same exact oracle as q28
     "q33_dedup_embedding_blocked" -> q28Sql)

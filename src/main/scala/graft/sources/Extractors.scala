@@ -155,6 +155,44 @@ object Extractors {
   def wholeFiles(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)
 
+  /** Copy `path` into `stagingDir` minus its first `n` lines — the
+    * capability shape of the reference's `rows_to_skip` option
+    * (reference: engine/etl_util.py:486 "Necessary when extracting from
+    * poorly formatted Excel files"; applied sheet-side at
+    * engine/wprdc_etl/pipeline/extractors.py:247-258). xlsx itself stays
+    * jar-blocked offline (SURVEY §2.2) — the skip-leading-garbage-rows
+    * semantics ship as this staged-file transform feeding the CSV
+    * extractor: a driver-side staging step like every fetch, with the
+    * DISTRIBUTED scan starting at the stripped result. Streams
+    * line-by-line; never materializes the file. */
+  def stripLeadingRows(spark: SparkSession, path: String, stagingDir: String,
+      n: Int): String = {
+    require(n >= 0, s"rows to skip must be >= 0, got $n")
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(path)
+    val dest = new org.apache.hadoop.fs.Path(stagingDir,
+      s"skip$n-${src.getName}")
+    val sfs = src.getFileSystem(conf)
+    val dfs = dest.getFileSystem(conf)
+    dfs.mkdirs(dest.getParent)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sfs.open(src), "UTF-8"))
+    try {
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(dfs.create(dest, true), "UTF-8"))
+      try {
+        var i = 0
+        var line = reader.readLine()
+        while (line != null) {
+          if (i >= n) { out.write(line); out.newLine() }
+          i += 1
+          line = reader.readLine()
+        }
+      } finally out.close()
+    } finally reader.close()
+    dest.toString
+  }
+
   /** List member names of a ZIP archive (any Hadoop-visible FS). */
   def zipMembers(spark: SparkSession, zipPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(zipPath)

@@ -1,0 +1,330 @@
+package graft.spec
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.{MergeApply, MergeConfig, MergeResult}
+import graft.lake.LakeTable
+import graft.sources.{BinarySink, Extractors, HttpStaging, LocalFileStaging, Staging, TabularSink}
+
+/** Where a job's input comes from — the reference's `source_type` +
+  * connector selection (reference: engine/etl_util.py:478-482, 560-590:
+  * source_type http/sftp/ftp/gcp/local → connector class). Every variant
+  * reduces to the [[graft.sources.Staging]] contract: materialize the
+  * object into the staging dir, run the distributed pipeline from there. */
+sealed trait JobSource
+object JobSource {
+  /** A Hadoop-visible file (the reference's `source_type: local`). */
+  final case class LocalFile(uri: String) extends JobSource
+  /** A URL fetched through [[graft.sources.HttpStaging]] (`source_type:
+    * http`); `file:` URLs exercise the same path in zero-egress tests. */
+  final case class Url(url: String) extends JobSource
+  /** One member of a ZIP archive (`compressed_file_to_extract`,
+    * reference: etl_util.py:488). */
+  final case class ZipMember(zip: String, member: String) extends JobSource
+  /** Bring-your-own staging (the SFTP/FTP/GCS plug point). */
+  final case class Custom(staging: Staging, uri: String) extends JobSource
+}
+
+/** How the staged file parses — the reference's extension-driven
+  * `select_extractor` (reference: engine/etl_util.py:528-545), made
+  * explicit and typed. */
+sealed trait JobExtractor
+object JobExtractor {
+  final case class Csv(opts: Extractors.CsvOptions = Extractors.CsvOptions())
+    extends JobExtractor
+  final case class Json(multiLine: Boolean = true) extends JobExtractor
+  case object GeoJson extends JobExtractor
+  /** Whole-file binary passthrough (the reference's `FileExtractor` →
+    * filestore path); requires a [[JobDestination.BinaryDir]]. */
+  case object WholeFile extends JobExtractor
+}
+
+/** Where the output lands — the reference's `destination` dispatch
+  * (reference: engine/etl_util.py:756-778: ckan datastore / file /
+  * ckan_filestore → loader class). */
+sealed trait JobDestination
+object JobDestination {
+  /** MERGE into a [[graft.lake.LakeTable]] (the datastore-loader analog:
+    * upsert/insert with the epoch guard, schema on first create). */
+  final case class Lake(dir: String, nBuckets: Int = 32) extends JobDestination
+  /** Create-or-append CSV directory ([[graft.sources.TabularSink]]). */
+  final case class CsvDir(dir: String) extends JobDestination
+  /** Raw staged-file copy ([[graft.sources.BinarySink.copyFile]]). */
+  final case class BinaryDir(dir: String) extends JobDestination
+}
+
+/** The declarative job — the Spark twin of the reference's `job_dict`
+  * (one dict per dataset feed, bound and executed by
+  * `Job.__init__`/`run_pipeline`/launchpad; reference:
+  * engine/etl_util.py:476-521, 705-772, engine/launchpad.py:249-337).
+  * A rocket-etl user's mental model carries over field-for-field:
+  *
+  *  - `source`/`stagingDir` ← source_type/source_full_url + connector
+  *  - `extractor` + `rowsToSkip` ← select_extractor + rows_to_skip
+  *  - `schema` ← the marshmallow schema (rename/cast/default/order)
+  *  - `filters` ← the row-filter triple list
+  *  - `clean` ← custom_processing (MUST stay a declarative DataFrame
+  *    transform so it fuses into the load plan)
+  *  - `keyFields` ← primary_key_fields
+  *  - `method`/`alwaysWipeData`/`alwaysClearFirst` ← upload_method +
+  *    always_wipe_data/always_clear_first
+  *  - `timeField` ← time_field (registered as the `watermark.column`
+  *    table property on create → [[graft.lake.LakeTable.incrementalTail]])
+  *  - `checksumGate` ← the input-checksum duplicate-run suppression
+  *    (reference: engine/wprdc_etl/pipeline/connectors.py:73-93,
+  *    pipeline.py:262-273, 338-341): identical input bytes — even
+  *    re-landed under a new name — skip the run.
+  */
+final case class JobSpec(
+    jobCode: String,
+    source: JobSource,
+    stagingDir: String,
+    extractor: JobExtractor,
+    destination: JobDestination,
+    /** Leading lines stripped from the staged file before extraction
+      * (the reference's rows_to_skip, etl_util.py:486). */
+    rowsToSkip: Int = 0,
+    /** Projection: rename/cast/default/order. Empty = passthrough. */
+    schema: Seq[Projection.Field] = Nil,
+    /** AND-ed row predicates ([[FilterDsl]]), applied after projection. */
+    filters: Seq[FilterDsl.Pred] = Nil,
+    /** Drop rows whose values are all null (`ignore_empty_rows`). */
+    dropEmptyRows: Boolean = false,
+    /** Custom-processing seam: a declarative DataFrame transform run
+      * after filters, before the load (reference custom_processing,
+      * etl_util.py:760-767). */
+    clean: DataFrame => DataFrame = identity,
+    /** Primary key of the feed (primary_key_fields). Required for the
+      * Lake destination: the MERGE key derives from these columns. */
+    keyFields: Seq[String] = Nil,
+    /** "upsert" (MERGE, LWW per key per run) or "insert" (blind append) —
+      * the reference upload methods (loaders.py:370-379). */
+    method: String = "upsert",
+    /** Truncate the destination before loading (always_wipe_data). */
+    alwaysWipeData: Boolean = false,
+    /** Drop + recreate the destination schema before loading
+      * (always_clear_first). */
+    alwaysClearFirst: Boolean = false,
+    /** Event-time column registered on table create (time_field). */
+    timeField: Option[String] = None,
+    /** Skip the run when the staged input's md5 equals the last
+      * successful run's (content-based: a re-land under a new NAME still
+      * skips — stricter than the reference's per-target checksum). */
+    checksumGate: Boolean = true,
+    /** Merge tuning for the Lake destination. */
+    merge: MergeConfig = MergeConfig())
+
+/** Outcome of one [[JobRunner.run]]. `applied=false` + `skipReason` is
+  * the checksum-gate no-op (the reference's "skipping the extraction and
+  * loading" console path, pipeline.py:338-341). */
+final case class JobResult(
+    applied: Boolean,
+    skipReason: Option[String],
+    stagedPath: String,
+    rows: Long,
+    merge: Option[MergeResult])
+
+/** Binds and executes a [[JobSpec]]: stage → checksum gate → strip →
+  * extract → project → filter → clean → load — the engine's
+  * `run_pipeline`/launchpad analog. Everything between "staged file" and
+  * "load" is ONE declarative Spark plan (the scan, projection, filters
+  * and clean fuse; filters push into the reader); staging and the gate
+  * are driver-side file ops, exactly like the reference's connectors. */
+object JobRunner {
+
+  /** MERGE-envelope derivation for the Lake destination. The lake's
+    * native key is (conv_id: string, turn_idx: int); a feed whose
+    * `keyFields` already ARE those columns maps through unchanged. Any
+    * other primary key is packed: conv_id = the key values joined with
+    * the `\\u0001` control separator (never legal in CSV-extracted text), turn_idx = 0, with
+    * the original columns kept as payload. Hash-bucketing, LWW and the
+    * epoch guard then work identically for any feed. */
+  private def envelope(df: DataFrame, keyFields: Seq[String],
+      epoch: Long): DataFrame = {
+    require(keyFields.nonEmpty, "Lake destination requires keyFields")
+    val native = keyFields == graft.model.Schemas.keyCols &&
+      df.schema.fieldNames.contains("turn_idx")
+    val keyed =
+      if (native) df
+        .withColumn("conv_id", col("conv_id").cast(StringType))
+        .withColumn("turn_idx", col("turn_idx").cast(IntegerType))
+      else df
+        .withColumn("conv_id",
+          concat_ws("\u0001", keyFields.map(f => col(f).cast(StringType)): _*))
+        .withColumn("turn_idx", lit(0))
+    keyed
+      .withColumn("lsn", lit(epoch))
+      .withColumn("op", lit("U"))
+  }
+
+  /** Deterministic in-batch key dedup: one row per key, the max by
+    * full-row struct ordering — permutation- and plan-invariant (the
+    * reference's server-side upsert keeps whichever duplicate arrives
+    * last in FILE order, which has no distributed meaning; a total-order
+    * rule does — same argument as [[Linkage]]'s merge rules). */
+  private def dedupKeys(df: DataFrame): DataFrame = {
+    val all = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(col("conv_id"), col("turn_idx"))
+      .agg(max_by(all, all).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  private def stage(spark: SparkSession, spec: JobSpec): String =
+    spec.source match {
+      case JobSource.LocalFile(uri) =>
+        LocalFileStaging.fetch(spark, uri, spec.stagingDir)
+      case JobSource.Url(url) => HttpStaging.fetch(spark, url, spec.stagingDir)
+      case JobSource.ZipMember(zip, member) =>
+        Extractors.zipMember(spark, zip, member, spec.stagingDir)
+      case JobSource.Custom(staging, uri) =>
+        staging.fetch(spark, uri, spec.stagingDir)
+    }
+
+  /** md5 of a staged file's bytes (driver-side stream, like the
+    * reference's connector checksum, connectors.py:73-93). */
+  def md5OfFile(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](65536)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => md.update(buf, 0, n))
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The per-job checksum state file — the analog of the reference's
+    * per-pipeline status row holding the last input checksum
+    * (pipeline.py:262-273 reads it back on the next run). */
+  private def statePath(spec: JobSpec): Path =
+    new Path(new Path(spec.stagingDir, ".graft_job_state"),
+      s"${spec.jobCode}.md5")
+
+  private def lastChecksum(spark: SparkSession, spec: JobSpec): Option[String] = {
+    val p = statePath(spec)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def recordChecksum(spark: SparkSession, spec: JobSpec,
+      md5: String): Unit = {
+    val p = statePath(spec)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(md5.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def extract(spark: SparkSession, spec: JobSpec,
+      staged: String): DataFrame = spec.extractor match {
+    case JobExtractor.Csv(opts) => Extractors.csv(spark, staged, opts)
+    case JobExtractor.Json(multiLine) => Extractors.json(spark, staged, multiLine)
+    case JobExtractor.GeoJson => Extractors.geoJson(spark, staged)
+    case JobExtractor.WholeFile => Extractors.wholeFiles(spark, staged)
+  }
+
+  /** Run one job end-to-end. Idempotent at two levels: the checksum gate
+    * skips unchanged inputs entirely, and the Lake epoch guard makes a
+    * crashed-and-rerun load a no-op for the epoch that already landed. */
+  def run(spark: SparkSession, spec: JobSpec): JobResult = {
+    require(spec.method == "upsert" || spec.method == "insert",
+      s"unknown method '${spec.method}' (upsert|insert)")
+    val staged = stage(spark, spec)
+    val md5 =
+      if (spec.checksumGate) Some(md5OfFile(spark, staged)) else None
+    if (md5.isDefined && lastChecksum(spark, spec) == md5) {
+      return JobResult(applied = false,
+        Some(s"input checksum unchanged (${md5.get.take(12)}…)"),
+        staged, 0L, None)
+    }
+    val input =
+      if (spec.rowsToSkip > 0)
+        Extractors.stripLeadingRows(spark, staged, spec.stagingDir,
+          spec.rowsToSkip)
+      else staged
+
+    val result = spec.extractor match {
+      case JobExtractor.WholeFile =>
+        val dest = spec.destination match {
+          case JobDestination.BinaryDir(dir) => dir
+          case d => throw new IllegalArgumentException(
+            s"WholeFile extractor needs a BinaryDir destination, got $d")
+        }
+        BinarySink.copyFile(spark, input,
+          new Path(dest, new Path(input).getName).toString, wipe = true)
+        JobResult(applied = true, None, staged, 1L, None)
+      case _ =>
+        val extracted = extract(spark, spec, input)
+        val projected =
+          if (spec.schema.nonEmpty) Projection(extracted, spec.schema)
+          else extracted
+        val filtered = FilterDsl(projected, spec.filters)
+        val emptied =
+          if (spec.dropEmptyRows) Projection.dropEmptyRows(filtered)
+          else filtered
+        val cleaned = spec.clean(emptied)
+        load(spark, spec, cleaned, staged)
+    }
+    md5.foreach(recordChecksum(spark, spec, _))
+    result
+  }
+
+  private def load(spark: SparkSession, spec: JobSpec, out: DataFrame,
+      staged: String): JobResult = spec.destination match {
+    case JobDestination.Lake(dir, nBuckets) =>
+      val table = new LakeTable(spark, dir)
+      val userSchema = lakeSchema(out, spec.keyFields)
+      if (!table.exists)
+        table.create(userSchema, nBuckets,
+          properties = spec.timeField
+            .map(TimeField.WatermarkColumn -> _).toMap)
+      if (spec.alwaysClearFirst) table.replaceSchema(userSchema)
+      else if (spec.alwaysWipeData) table.truncate()
+      val epoch = table.snapshot.maxCommittedEpoch + 1
+      val batch = envelope(out, spec.keyFields, epoch)
+      val deduped =
+        if (spec.method == "upsert") dedupKeys(batch) else batch
+      val res =
+        if (spec.method == "insert")
+          MergeApply.append(table, deduped, epoch, spec.merge)
+        else MergeApply.merge(table, deduped, epoch, spec.merge)
+      JobResult(res.applied, None, staged, res.rowsApplied, Some(res))
+    case JobDestination.CsvDir(dir) =>
+      require(spec.method == "insert",
+        "CsvDir is insert-only (reference loaders.py:671)")
+      if (spec.alwaysWipeData || spec.alwaysClearFirst) {
+        val p = new Path(dir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val n = out.count()
+      TabularSink.append(out, dir)
+      JobResult(applied = true, None, staged, n, None)
+    case JobDestination.BinaryDir(dir) =>
+      BinarySink.copyFile(spark, staged,
+        new Path(dir, new Path(staged).getName).toString, wipe = true)
+      JobResult(applied = true, None, staged, 1L, None)
+  }
+
+  /** Lake user schema for a job feed: conv_id/turn_idx first (the MERGE
+    * key), then every output column that isn't one of them. */
+  private def lakeSchema(out: DataFrame, keyFields: Seq[String]): StructType = {
+    val payload = out.schema.fields.toSeq
+      .filterNot(f => f.name == "conv_id" || f.name == "turn_idx")
+      .map(f => f.copy(nullable = true))
+    StructType(
+      StructField("conv_id", StringType, nullable = false) +:
+      StructField("turn_idx", IntegerType, nullable = false) +:
+      payload)
+  }
+}

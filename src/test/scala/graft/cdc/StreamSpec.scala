@@ -95,6 +95,43 @@ class StreamSpec extends SparkSpec {
     assert(table.lineageTable.count() >= 8)
   }
 
+  test("input checksum gate: same bytes under a new feed file name apply zero rows") {
+    val feed = tmpDir("feed-cksum")
+    val small = cfg.copy(nEvents = 2000L)
+    ChangeLogGen.writeBatchFile(spark, small, feed, "orig", 0L, 2000L)
+    val table = LakeTable.createTable(spark, tmpDir("lt-cksum"),
+      Schemas.transcript, nBuckets = 4)
+    val pcfg = PipelineConfig(checkpointDir = tmpDir("ckpt-cksum"),
+      maxFilesPerTrigger = 1,
+      merge = MergeConfig(inputChecksumGate = true))
+    CdcPipeline.replayAvailable(spark, feed, table, pcfg)
+    val applied1 = table.lineage.filter(_.epochId >= 0).map(_.rowsApplied).sum
+    assert(applied1 == 2000L)
+    val rows1 = finalState(table)
+
+    // the SAME bytes re-land as a NEW file: the path-based stream source
+    // treats it as new input, the content gate must not re-apply it
+    val orig = new java.io.File(feed).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orig.toPath,
+      new java.io.File(feed, "relanded-copy.parquet").toPath)
+    CdcPipeline.replayAvailable(spark, feed, table, pcfg)
+    val lin = table.lineage.filter(_.epochId >= 0)
+    assert(lin.size == 2, "the re-land must still commit its epoch (contiguity)")
+    assert(lin.last.rowsApplied == 0L, "identical content must apply zero rows")
+    assert(lin.last.rowsInBatch == 2000L)
+    assert(lin.last.inputChecksum.nonEmpty &&
+      lin.last.inputChecksum == lin.head.inputChecksum)
+    assert(finalState(table) == rows1)
+
+    // genuinely new content still applies
+    ChangeLogGen.writeBatchFile(spark, cfg.copy(nEvents = 4000L), feed,
+      "fresh", 2000L, 4000L)
+    CdcPipeline.replayAvailable(spark, feed, table, pcfg)
+    val lin3 = table.lineage.filter(_.epochId >= 0)
+    assert(lin3.last.rowsApplied == 2000L)
+  }
+
   test("late-arriving feed files are picked up on resume from checkpoint") {
     val feed = tmpDir("feed2")
     val half = cfg.copy(nEvents = cfg.nEvents / 2)
