@@ -510,9 +510,17 @@ object MergeApply {
     // no dedup, no sort: a delta file may hold several versions of a key
     // (even intra-batch) — the read path LWW-resolves and compaction
     // folds, both by __lsn, so deferring is exactly as correct and the
-    // epoch's critical path is scan -> shuffle-to-bucket -> write
+    // epoch's critical path is scan -> shuffle-to-bucket -> write.
+    // Shuffle TARGET: repartition(nBuckets, conv_id) — Spark's hash
+    // partitioning computes pmod(murmur3(conv_id), nBuckets), the exact
+    // bucket function, so shuffle partition i holds exactly bucket i.
+    // The naive repartition(col("__bucket")) re-hashes the 32 bucket
+    // VALUES into 32 partitions — balls-in-bins: ~1/e of partitions
+    // empty, the largest carrying 3-4 buckets — idling cores in the
+    // epoch's dominant stage; identity alignment keeps every write task
+    // equally loaded and each task writes exactly one __bucket=N dir.
     val deltaFiles = writeBuckets(table,
-      observed.repartition(col("__bucket")), salt = 1, snap,
+      observed.repartition(snap.nBuckets, col("conv_id")), salt = 1, snap,
       prePartitioned = true, kind = "delta")
     lap("mor-delta-write")
     // the schema probe rode the same write action; abort before commit

@@ -114,6 +114,11 @@ final case class JobSpec(
       * successful run's (content-based: a re-land under a new NAME still
       * skips — stricter than the reference's per-target checksum). */
     checksumGate: Boolean = true,
+    /** End quietly (applied=false, skipReason) when the source file does
+      * not exist, instead of failing — `ignore_if_source_is_missing`
+      * (reference: etl_util.py:501-505, 773-777: "data from the previous
+      * year in a separate file in the month of January"). */
+    ignoreIfSourceMissing: Boolean = false,
     /** Merge tuning for the Lake destination. */
     merge: MergeConfig = MergeConfig())
 
@@ -239,7 +244,16 @@ object JobRunner {
   def run(spark: SparkSession, spec: JobSpec): JobResult = {
     require(spec.method == "upsert" || spec.method == "insert",
       s"unknown method '${spec.method}' (upsert|insert)")
-    val staged = stage(spark, spec)
+    val staged =
+      try stage(spark, spec)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.nio.file.NoSuchFileException)
+            if spec.ignoreIfSourceMissing =>
+          // the reference's "that's not surprising" quiet exit
+          return JobResult(applied = false,
+            Some(s"source missing: ${e.getMessage}"), "", 0L, None)
+      }
     val md5 =
       if (spec.checksumGate) Some(md5OfFile(spark, staged)) else None
     if (md5.isDefined && lastChecksum(spark, spec) == md5) {

@@ -215,6 +215,32 @@ class JobRunnerSpec extends SparkSpec {
     assert(LakeTable.load(spark, s"$work/lake_zip").read().count() == 3)
   }
 
+  test("custom staging plug-point and ignoreIfSourceMissing quiet exit") {
+    val work = tmpDir("job-custom")
+    val src = writeCsv(work, "dogs.csv", rows1)
+    // bring-your-own Staging (the SFTP/GCS seam): reuse ZipMemberStaging
+    val zipPath = s"$work/b.zip"
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    zout.putNextEntry(new java.util.zip.ZipEntry("d.csv"))
+    zout.write(rows1.mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val spec = dogJob(src, work, s"$work/lake").copy(
+      jobCode = "custom_staging",
+      source = JobSource.Custom(
+        new graft.sources.ZipMemberStaging(zipPath, "d.csv"), "ignored"))
+    assert(JobRunner.run(spark, spec).applied)
+    assert(LakeTable.load(spark, s"$work/lake").read().count() == 3)
+
+    // missing source: quiet exit with the flag, failure without
+    val missing = dogJob(s"$work/nope.csv", work, s"$work/lake2")
+      .copy(jobCode = "missing")
+    intercept[Exception](JobRunner.run(spark, missing))
+    val quiet = JobRunner.run(spark,
+      missing.copy(ignoreIfSourceMissing = true))
+    assert(!quiet.applied && quiet.skipReason.exists(_.contains("missing")))
+  }
+
   test("stripLeadingRows streams an exact suffix") {
     val work = tmpDir("strip")
     val src = writeCsv(work, "f.txt", Seq("a", "b", "c", "d"))
