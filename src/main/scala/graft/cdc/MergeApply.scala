@@ -232,31 +232,42 @@ object MergeApply {
   }
 
   /** LWW under bucket partitioning — the single-shuffle scale path. Input
-    * must carry `__bucket`; output is hash-partitioned by
-    * (__bucket, __salt) and each partition is sorted, so the subsequent
-    * `partitionBy("__bucket")` write needs no further exchange. `salt`
-    * splits hot buckets by hash(turn_idx) — a key group still maps to
-    * exactly one (bucket, salt) pair, so dedup stays correct. */
-  def dedupLwwBucketed(df: DataFrame, salt: Int): DataFrame = {
-    val saltCol =
-      if (salt <= 1) lit(0) else pmod(hash(col("turn_idx")), lit(salt))
-    val w = Window.partitionBy(col("__bucket"), col("__salt"))
-      .orderBy(col("conv_id").asc, col("turn_idx").asc, col("__lsn").desc)
-    val k = struct(col("conv_id"), col("turn_idx"))
-    // explicit partition count when salted: an AQE-coalesced exchange
-    // would re-merge the salt cells and undo the per-file size bound
-    // (AQE coalesces by bytes, which is fine for normal writes, but the
-    // salt exists precisely to cap the worst single write task)
+    * must carry `__bucket`; each output partition is sorted, so the
+    * subsequent `partitionBy("__bucket")` write needs no further
+    * exchange. `salt` splits hot buckets by hash(turn_idx) — a key group
+    * still maps to exactly one (bucket, salt) pair, so dedup stays
+    * correct.
+    *
+    * Unsalted shuffle target: `repartition(nBuckets, conv_id)` — the
+    * exact bucket function (see the mergeMor scaladoc), so partition i
+    * holds exactly bucket i: no balls-in-bins imbalance, and the lag
+    * window clusters by conv_id (HashPartitioning(conv_id) satisfies it
+    * with NO extra exchange; a key group lives inside its conv group).
+    * Salted: the (bucket, salt) cell layout is kept — a cell must map
+    * to one write task for the per-file size bound, and with nB·salt
+    * cells over the partitions the imbalance averages out. An explicit
+    * partition count in both cases: an AQE-coalesced exchange would
+    * re-merge cells and undo the bound. */
+  def dedupLwwBucketed(df: DataFrame, salt: Int, nBuckets: Int): DataFrame = {
     val shufP = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted =
-      if (salt <= 1) df.withColumn("__salt", saltCol)
-        .repartition(col("__bucket"), col("__salt"))
-      else df.withColumn("__salt", saltCol)
+    if (salt <= 1) {
+      val w = Window.partitionBy(col("conv_id"))
+        .orderBy(col("turn_idx").asc, col("__lsn").desc)
+      df.repartition(nBuckets, col("conv_id"))
+        .withColumn("__prev", lag(col("turn_idx"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("turn_idx"))
+        .drop("__prev")
+    } else {
+      val saltCol = pmod(hash(col("turn_idx")), lit(salt))
+      val w = Window.partitionBy(col("__bucket"), col("__salt"))
+        .orderBy(col("conv_id").asc, col("turn_idx").asc, col("__lsn").desc)
+      val k = struct(col("conv_id"), col("turn_idx"))
+      df.withColumn("__salt", saltCol)
         .repartition(math.max(shufP, salt), col("__bucket"), col("__salt"))
-    parted
-      .withColumn("__prev", lag(k, 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= k)
-      .drop("__prev", "__salt")
+        .withColumn("__prev", lag(k, 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= k)
+        .drop("__prev", "__salt")
+    }
   }
 
   /** Apply one batch. `batch` must have the change-event envelope columns
@@ -456,7 +467,7 @@ object MergeApply {
         .withColumn("__bucket", LakeTable.bucketExpr(nB))
       val unioned = current.unionByName(deduped)
       val merged =
-        if (useBucket) dedupLwwBucketed(unioned, salt)
+        if (useBucket) dedupLwwBucketed(unioned, salt, nB)
         else dedupLww(unioned, cfg)
 
       val newFiles = writeBuckets(table, merged, salt, snap,
@@ -689,7 +700,8 @@ object MergeApply {
       .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
     val useBucket = cfg.dedup == "bucket"
     val deduped =
-      if (useBucket) dedupLwwBucketed(norm, 1) else dedupLww(norm, cfg)
+      if (useBucket) dedupLwwBucketed(norm, 1, snap.nBuckets)
+      else dedupLww(norm, cfg)
     // registered as deltas: append guarantees nothing about key overlap
     // with existing files, so readers must LWW-resolve (and compaction
     // may fold) — identical to the reference's insert method being
