@@ -731,22 +731,24 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
   /** LWW-resolve a raw frame that may hold several versions per key
     * (merge-on-read deltas): keep the max-__lsn row per (conv_id,
-    * turn_idx). Shuffle shape: ONE exchange to the table's bucket
-    * layout, sort within partition, lag-window under the bucket
-    * partitioning — a key group can never span buckets, and bucket-sized
-    * window partitions avoid the millions of tiny per-key groups a
-    * key-partitioned window would create at scale. */
+    * turn_idx). Shuffle shape: ONE exchange to
+    * `repartition(nBuckets, conv_id)` — the exact bucket function
+    * (pmod(murmur3(conv_id), nBuckets)), so shuffle partition i holds
+    * exactly bucket i with no balls-in-bins imbalance (hashing the
+    * bucket VALUE into nBuckets partitions leaves ~1/e of them empty) —
+    * then one sort + lag window clustered by conv_id, which the hash
+    * partitioning satisfies with NO further exchange. Partitions stay
+    * bucket-sized (never millions of tiny per-key exchanges), and a key
+    * group can never span its conv group. */
   private def lwwResolve(raw: DataFrame, nBuckets: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{lag, struct}
+    import org.apache.spark.sql.functions.lag
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b"))
-      .orderBy(col("conv_id").asc, col("turn_idx").asc, col("__lsn").desc)
-    val k = struct(col("conv_id"), col("turn_idx"))
-    raw.withColumn("__b", LakeTable.bucketExpr(nBuckets))
-      .repartition(col("__b"))
-      .withColumn("__prev", lag(k, 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= k)
-      .drop("__b", "__prev")
+      .partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").asc, col("__lsn").desc)
+    raw.repartition(nBuckets, col("conv_id"))
+      .withColumn("__prev", lag(col("turn_idx"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("turn_idx"))
+      .drop("__prev")
   }
 
   /** User-facing read: merge-on-read resolution restricted to the buckets
