@@ -1,7 +1,7 @@
 package graft.spec
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -312,7 +312,13 @@ object JobRunner {
         if (spec.method == "insert")
           MergeApply.append(table, deduped, epoch, spec.merge)
         else MergeApply.merge(table, deduped, epoch, spec.merge)
-      JobResult(res.applied, None, staged, res.rowsApplied, Some(res))
+      // applied=false here means the derived epoch was already committed
+      // (a replayed run, or a concurrent job on the same table won the
+      // epoch) — surface it as a skip, like the checksum gate does
+      JobResult(res.applied,
+        if (res.applied) None
+        else Some("epoch already committed (replayed or concurrent run)"),
+        staged, res.rowsApplied, Some(res))
     case JobDestination.CsvDir(dir) =>
       require(spec.method == "insert",
         "CsvDir is insert-only (reference loaders.py:671)")
