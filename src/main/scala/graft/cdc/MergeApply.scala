@@ -151,13 +151,16 @@ object MergeApply {
 
   /** The table's event-time column for watermark/late-data stats: the
     * registered `watermark.column` property, else a literal `ts` column
-    * when the schema has one (the transcript default), else none — job
-    * feeds with arbitrary schemas simply carry no event-time lineage
-    * stats. */
+    * (the transcript default) — in both cases only when the schema
+    * actually has it AS A TIMESTAMP (a string column that happens to be
+    * named `ts` would store a lexicographic "watermark" and feed garbage
+    * into the next epoch's late-event cast). Feeds with no event-time
+    * column simply carry no event-time lineage stats. */
   private def eventTimeCol(snap: Snapshot): Option[String] = {
-    val fields = snap.userSchema.fieldNames.toSet
-    snap.properties.get(graft.spec.TimeField.WatermarkColumn).filter(fields)
-      .orElse(Some("ts").filter(fields))
+    def tsTyped(name: String): Boolean = snap.userSchema.fields
+      .exists(f => f.name == name && f.dataType == TimestampType)
+    snap.properties.get(graft.spec.TimeField.WatermarkColumn).filter(tsTyped)
+      .orElse(Some("ts").filter(tsTyped))
   }
 
   /** Idempotence guard under either epoch space (see
@@ -192,14 +195,18 @@ object MergeApply {
     * combines (XOR and exact decimal SUM — the sum breaks XOR's
     * even-multiplicity cancellation, the decimal breaks ANSI long
     * overflow at 10^10 rows) of per-row xxhash64 over every envelope
-    * column. One aggregate action, map-side partial, no shuffle of
-    * payload. Map-typed columns (the v2 `extras`) hash via to_json. */
+    * column AND its null flag — Spark's hash functions SKIP null inputs
+    * (the seed passes through unchanged), so without the flags two rows
+    * differing only by which column holds the null would collide. One
+    * aggregate action, map-side partial, no shuffle of payload.
+    * Map-typed columns (the v2 `extras`) hash via to_json. */
   private def batchFingerprint(batch: DataFrame): (Long, String) = {
-    val cols = batch.schema.fields.toSeq.map { f =>
-      f.dataType match {
+    val cols = batch.schema.fields.toSeq.flatMap { f =>
+      val c = f.dataType match {
         case _: MapType => to_json(col(f.name))
         case _ => col(f.name)
       }
+      Seq(c, col(f.name).isNull)
     }
     val r = batch.select(xxhash64(cols: _*).as("__h"))
       .agg(count(lit(1)), expr("bit_xor(__h)"),

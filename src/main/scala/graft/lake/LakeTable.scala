@@ -487,9 +487,15 @@ class LakeTable(val spark: SparkSession, val dir: String) {
           if (attempts > maxCommitRetries)
             throw new CommitConflictException(
               s"gave up after $attempts rebase attempts at $dir", e)
-          attemptBase = rebase(attemptBase,
-            awaitBaseBeyond(attemptBase.version),
-            replacedBuckets, epochId, schemaUpdate, txn)
+          attemptBase = awaitBaseBeyond(attemptBase.version) match {
+            case Some(nb) =>
+              rebase(attemptBase, nb, replacedBuckets, epochId,
+                schemaUpdate, txn)
+            // the blocking version file was a torn crash leftover and was
+            // reclaimed: retry on the SAME base — the create-if-absent
+            // will now succeed
+            case None => attemptBase
+          }
       }
     }
     // the lineage mirror is written AFTER the snapshot is published and
@@ -514,22 +520,55 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
   /** Wait for the racing writer's snapshot to become readable (it may
     * still be mid-write when we lose the create race) and return the
-    * newest parseable one. Never deletes — unlike [[recover]], the other
-    * writer is alive. */
-  private def awaitBaseBeyond(version: Long): Snapshot = {
+    * newest parseable one, `Some(snap)`.
+    *
+    * A LIVE writer publishes its (small) snapshot JSON within
+    * milliseconds of creating the file, so a version file that stays
+    * JSON-unparseable through the ENTIRE 10 s window — and predates the
+    * window — is a dead writer's torn leftover, not a peer mid-write
+    * (the crash-while-recover()'s-grace-window-still-protects-it case:
+    * without reclaim here, a long-lived single writer would stall 10 s
+    * and fail EVERY commit until its next restart happens to run
+    * recover past the grace window). Those are deleted at the deadline
+    * and `None` is returned — the caller retries on its own base.
+    * The age bar is 30 s BEFORE this wait began: a zombie peer stalled
+    * in a long GC pause between createExclusive and its JSON write must
+    * not lose its file (deleting it would strand its imminent
+    * swapPointer on a missing snapshot) — so the first post-crash
+    * commit attempts still fail, and the retry loop's successive waits
+    * cross the bar and reclaim within ~40 s of the crash.
+    * Readable-but-unadoptable files (transient IO, format mismatch) are
+    * never deleted; if nothing is reclaimable at the deadline the
+    * conflict propagates as before. */
+  private def awaitBaseBeyond(version: Long): Option[Snapshot] = {
+    val t0 = System.currentTimeMillis() - 30000L
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
     while (true) {
       val beyond = fs.listStatus(snapsPath).toSeq.map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
         .filter(_ > version).sorted(Ordering[Long].reverse)
+      var allTornAndOld = beyond.nonEmpty
       beyond.foreach { v =>
-        try return readSnapshot(new Path(snapsPath, f"v$v%012d.json"))
-        catch { case scala.util.control.NonFatal(_) => () } // mid-write
+        val p = new Path(snapsPath, f"v$v%012d.json")
+        try return Some(readSnapshot(p))
+        catch {
+          case e if scala.util.control.NonFatal(e) => // mid-write?
+            val tornOld = LakeTable.isTornJson(e) &&
+              (try fs.getFileStatus(p).getModificationTime < t0
+               catch { case _: java.io.IOException => false })
+            if (!tornOld) allTornAndOld = false
+        }
       }
-      if (System.nanoTime() > deadline)
+      if (System.nanoTime() > deadline) {
+        if (allTornAndOld) {
+          beyond.foreach(v =>
+            fs.delete(new Path(snapsPath, f"v$v%012d.json"), false))
+          return None
+        }
         throw new CommitConflictException(
           s"commit v${version + 1} collided but no newer readable snapshot appeared within 10 s")
+      }
       Thread.sleep(5)
     }
     sys.error("unreachable")

@@ -9,13 +9,18 @@ import org.apache.spark.sql.DataFrame
   * the scan's file count is below the cluster's core count: at
   * production scale (100 TB = millions of files) the condition is false
   * and this is the identity — the exchange exists precisely when the
-  * input is small enough for it to be free. The probe is
-  * `df.inputFiles` — file-listing metadata only; converting to an RDD
-  * for `getNumPartitions` would force physical planning of the subtree
-  * once per query construction. */
+  * input is small enough for it to be free. Two-stage probe: the file
+  * COUNT (listing metadata, no planning) short-circuits the production
+  * case — at least one split per file, so files ≥ cores means enough
+  * parallelism with certainty; only when the file count alone can't
+  * prove it (few files, which may still be large and SPLITTABLE, or a
+  * non-file-backed frame) does it pay one physical planning pass for
+  * the exact split count — cheap precisely when the input is. */
 private[ops] object Spread {
   def apply(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < want) df.repartition(want) else df
+    if (df.inputFiles.length >= want) df
+    else if (df.rdd.getNumPartitions < want) df.repartition(want)
+    else df
   }
 }

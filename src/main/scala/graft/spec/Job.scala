@@ -144,9 +144,13 @@ object JobRunner {
     * native key is (conv_id: string, turn_idx: int); a feed whose
     * `keyFields` already ARE those columns maps through unchanged. Any
     * other primary key is packed: conv_id = the key values joined with
-    * the `\\u0001` control separator (never legal in CSV-extracted text), turn_idx = 0, with
-    * the original columns kept as payload. Hash-bucketing, LWW and the
-    * epoch guard then work identically for any feed. */
+    * the `\\u0001` control separator (never legal in CSV-extracted
+    * text), turn_idx = 0, with the original columns kept as payload.
+    * NULL key components render as a `\\u0001`-prefixed sentinel —
+    * `concat_ws` alone SKIPS nulls, which would collapse the distinct
+    * composite keys (null, "x") and ("x", null) into one MERGE key and
+    * silently drop a row. Hash-bucketing, LWW and the epoch guard then
+    * work identically for any feed. */
   private def envelope(df: DataFrame, keyFields: Seq[String],
       epoch: Long): DataFrame = {
     require(keyFields.nonEmpty, "Lake destination requires keyFields")
@@ -158,7 +162,8 @@ object JobRunner {
         .withColumn("turn_idx", col("turn_idx").cast(IntegerType))
       else df
         .withColumn("conv_id",
-          concat_ws("\u0001", keyFields.map(f => col(f).cast(StringType)): _*))
+          concat_ws("\u0001", keyFields.map(f =>
+            coalesce(col(f).cast(StringType), lit("\u0001\u0000"))): _*))
         .withColumn("turn_idx", lit(0))
     keyed
       .withColumn("lsn", lit(epoch))
@@ -274,10 +279,18 @@ object JobRunner {
           case d => throw new IllegalArgumentException(
             s"WholeFile extractor needs a BinaryDir destination, got $d")
         }
+        require(spec.rowsToSkip == 0,
+          "rowsToSkip has no meaning for a WholeFile (binary) job")
         BinarySink.copyFile(spark, input,
           new Path(dest, new Path(input).getName).toString, wipe = true)
         JobResult(applied = true, None, staged, 1L, None)
       case _ =>
+        // a tabular extractor's output can't land in a raw-bytes sink —
+        // silently copying the staged file would discard the user's
+        // projection/filters/clean; fail loudly instead
+        require(!spec.destination.isInstanceOf[JobDestination.BinaryDir],
+          "BinaryDir destination requires the WholeFile extractor " +
+            "(tabular output would be silently discarded)")
         val extracted = extract(spark, spec, input)
         val projected =
           if (spec.schema.nonEmpty) Projection(extracted, spec.schema)
@@ -289,7 +302,11 @@ object JobRunner {
         val cleaned = spec.clean(emptied)
         load(spark, spec, cleaned, staged)
     }
-    md5.foreach(recordChecksum(spark, spec, _))
+    // the checksum is the last-SUCCESSFUL-run marker (reference
+    // pipeline.py:262-273): an unapplied load (epoch superseded by a
+    // concurrent run) must NOT mark its content as loaded, or the next
+    // run of that content would be checksum-skipped without ever landing
+    if (result.applied) md5.foreach(recordChecksum(spark, spec, _))
     result
   }
 
@@ -306,8 +323,12 @@ object JobRunner {
       else if (spec.alwaysWipeData) table.truncate()
       val epoch = table.snapshot.maxCommittedEpoch + 1
       val batch = envelope(out, spec.keyFields, epoch)
-      val deduped =
-        if (spec.method == "upsert") dedupKeys(batch) else batch
+      // BOTH methods dedup in-batch duplicates: a run's rows all carry
+      // lsn = epoch, so leaving duplicate keys in an insert batch would
+      // make the read-time LWW winner plan-order-dependent — the
+      // opposite of the total-order determinism dedupKeys establishes.
+      // (Across runs, the later epoch's higher lsn still wins.)
+      val deduped = dedupKeys(batch)
       val res =
         if (spec.method == "insert")
           MergeApply.append(table, deduped, epoch, spec.merge)
@@ -327,13 +348,19 @@ object JobRunner {
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(p)) fs.delete(p, true)
       }
-      val n = out.count()
-      TabularSink.append(out, dir)
-      JobResult(applied = true, None, staged, n, None)
-    case JobDestination.BinaryDir(dir) =>
-      BinarySink.copyFile(spark, staged,
-        new Path(dir, new Path(staged).getName).toString, wipe = true)
-      JobResult(applied = true, None, staged, 1L, None)
+      // one pass over the extract pipeline: cache, write from the cache,
+      // count from the cache (a bare pre-count would re-run the whole
+      // scan+projection+filter subtree a second time for the write)
+      val cached = out.persist()
+      try {
+        TabularSink.append(cached, dir)
+        JobResult(applied = true, None, staged, cached.count(), None)
+      } finally cached.unpersist()
+    case JobDestination.BinaryDir(_) =>
+      // unreachable: run() routes WholeFile before load() and rejects
+      // BinaryDir for tabular extractors
+      throw new IllegalStateException(
+        "BinaryDir load without the WholeFile extractor")
   }
 
   /** Lake user schema for a job feed: conv_id/turn_idx first (the MERGE

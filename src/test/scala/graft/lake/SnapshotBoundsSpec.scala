@@ -131,6 +131,26 @@ class SnapshotBoundsSpec extends SparkSpec {
     assert(t.snapshot.version == 3L)
   }
 
+  test("a crashed writer's torn next-version file cannot wedge subsequent commits") {
+    val t = LakeTable.createTable(spark, tmpDir("bounds-wedge"), Schemas.transcript, 4)
+    t.commit(t.snapshot, Seq(DataFileEntry("a", 0, 1L, 0)), Set.empty, Some(0L), None)
+    // a writer died mid-JSON-write of v2 (CURRENT still points at v1),
+    // long enough ago that no live peer could still be publishing it
+    val torn = new java.io.File(s"${t.dir}/_snapshots/v000000000002.json")
+    java.nio.file.Files.write(torn.toPath, "{\"version\": 2, ".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(torn.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    // the next commit collides on v2, waits out one await window,
+    // reclaims the torn leftover, and lands as v2 — no restart needed
+    // (previously: CommitConflictException on every retry, forever)
+    val c = t.commit(t.snapshot, Seq(DataFileEntry("b", 1, 1L, 0)),
+      Set.empty, Some(1L), None)
+    assert(c.version == 2L)
+    assert(t.snapshot.files.map(_.path).toSet == Set("a", "b"))
+    assert(t.snapshot.isCommitted(1L))
+  }
+
   test("merge replay of an already-committed epoch is a no-op end-to-end") {
     val t = LakeTable.createTable(spark, tmpDir("bounds-replay"), Schemas.transcript, 4)
     val log = ChangeLogGen.changeLogDF(spark,
