@@ -363,6 +363,25 @@ object JobRunner {
         "BinaryDir load without the WholeFile extractor")
   }
 
+  /** Run a fleet of jobs with launchpad's selection semantics
+    * (reference: engine/launchpad.py:117-123, 222-247): `codes` empty →
+    * every job; a code ending in `-` selects by prefix; otherwise exact
+    * match. One job's failure does not stop the fleet — it is captured
+    * per job (launchpad logs and continues, notify.py:3-36) and returned
+    * as a `Left(throwable)`. Returns (jobCode → outcome) in spec order. */
+  def runAll(spark: SparkSession, specs: Seq[JobSpec],
+      codes: Seq[String] = Nil): Seq[(String, Either[Throwable, JobResult])] = {
+    val selected =
+      if (codes.isEmpty) specs
+      else specs.filter(s => codes.exists(c =>
+        if (c.endsWith("-")) s.jobCode.startsWith(c.dropRight(1))
+        else s.jobCode == c))
+    selected.map { s =>
+      s.jobCode -> (try Right(run(spark, s))
+      catch { case e if scala.util.control.NonFatal(e) => Left(e) })
+    }
+  }
+
   /** Lake user schema for a job feed: conv_id/turn_idx first (the MERGE
     * key), then every output column that isn't one of them. */
   private def lakeSchema(out: DataFrame, keyFields: Seq[String]): StructType = {

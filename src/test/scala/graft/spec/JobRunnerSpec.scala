@@ -241,6 +241,33 @@ class JobRunnerSpec extends SparkSpec {
     assert(!quiet.applied && quiet.skipReason.exists(_.contains("missing")))
   }
 
+  test("runAll: job-code selection (exact + prefix), per-job failure isolation") {
+    val work = tmpDir("job-fleet")
+    val src = writeCsv(work, "dogs.csv", rows1)
+    def spec(code: String) = dogJob(src, work, s"$work/lake_$code")
+      .copy(jobCode = code, checksumGate = false)
+    val broken = spec("ac_broken").copy(
+      source = JobSource.LocalFile(s"$work/does-not-exist.csv"))
+    val fleet = Seq(spec("ac_dogs"), broken, spec("wprdc_cats"))
+
+    // prefix selection: "ac-" matches ac_dogs + ac_broken only
+    val ran = JobRunner.runAll(spark, fleet, Seq("ac-"))
+    assert(ran.map(_._1) == Seq("ac_dogs", "ac_broken"))
+    assert(ran.head._2.exists(_.applied))
+    assert(ran(1)._2.isLeft, "missing source must fail this job only")
+    assert(LakeTable.load(spark, s"$work/lake_ac_dogs").read().count() == 3)
+    assert(!new java.io.File(s"$work/lake_wprdc_cats").exists())
+
+    // empty selection runs everything; the broken job doesn't stop the fleet
+    val all = JobRunner.runAll(spark, fleet)
+    assert(all.size == 3 && all.last._2.exists(_.applied))
+    assert(LakeTable.load(spark, s"$work/lake_wprdc_cats").read().count() == 3)
+
+    // exact selection
+    assert(JobRunner.runAll(spark, fleet, Seq("wprdc_cats")).map(_._1) ==
+      Seq("wprdc_cats"))
+  }
+
   test("stripLeadingRows streams an exact suffix") {
     val work = tmpDir("strip")
     val src = writeCsv(work, "f.txt", Seq("a", "b", "c", "d"))
