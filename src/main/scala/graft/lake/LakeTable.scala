@@ -894,6 +894,73 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       : DataFrame =
     readSince(highLsn(snapshotAt(fromVersion)), toVersion)
 
+  /** Typed change feed between two snapshots — the Delta-CDF / Debezium
+    * envelope shape of [[changesBetween]]: each changed key is emitted as
+    * row(s) in `toVersion`'s user schema plus `_change_type` ∈
+    * {`insert`, `update_preimage`, `update_postimage`, `delete`} and
+    * `_lsn` (the LSN of the change winner — pre- and post-image rows of
+    * one update carry the SAME `_lsn`, like Delta's shared
+    * `_commit_version`). Classification is against the ACTUAL state at
+    * `fromVersion`, not the producer's claimed op: an update event for a
+    * key that was deleted (or never existed) at `fromVersion` is an
+    * `insert`; a delete emits the PREIMAGE values; a key created and
+    * deleted within the window emits nothing (this is an endpoint diff,
+    * not a per-commit replay — replay granularity is [[readSince]]
+    * chained over lineage LSN ranges).
+    *
+    * Scale shape: the post side is [[readSince]] (manifest-LSN-pruned,
+    * O(changed data)); the pre side reads `fromVersion` restricted to the
+    * BUCKETS the changed files touch (bucket-pruned, resolution only
+    * where those buckets held deltas); the classify join is a
+    * (conv_id, turn_idx) equi-join whose post side is the small one —
+    * AQE broadcasts it when it fits, else both sides hash-cluster on
+    * conv_id. The per-row fan-out to change rows is one codegen'd
+    * CASE-to-array + explode — no second pass over the join.
+    * Schema evolution across the window is absorbed by projecting the
+    * pre side onto `toVersion`'s schema (added columns null in
+    * preimages, widened types upcast). */
+  def changeFeed(fromVersion: Long, toVersion: Option[Long] = None)
+      : DataFrame = {
+    val fromSnap = snapshotAt(fromVersion)
+    val toSnap = toVersion.map(snapshotAt).getOrElse(snapshot)
+    require(toSnap.version >= fromSnap.version,
+      s"changeFeed window is backwards: from v${fromSnap.version} " +
+        s"to v${toSnap.version}")
+    val cut = highLsn(fromSnap)
+    val post = readSince(cut, Some(toSnap.version))
+    // pre state only for buckets that can hold changed rows
+    val touched = sinceCandidates(toSnap, cut).map(_.bucket).toSet
+    val preRaw = readRawSnap(fromSnap,
+      Some(touched.intersect(fromSnap.files.map(_.bucket).toSet)))
+    val preResolved =
+      if (fromSnap.files.exists(f => touched.contains(f.bucket) &&
+          f.kind == "delta"))
+        lwwResolve(preRaw, fromSnap.nBuckets)
+      else preRaw
+    val want = LakeTable.withMeta(toSnap.userSchema)
+    val pre = LakeTable.align(preResolved, want)
+
+    val u = toSnap.userSchema.fieldNames.toSeq
+    val j = post.as("p").join(pre.as("q"),
+      col("p.conv_id") === col("q.conv_id") &&
+        col("p.turn_idx") === col("q.turn_idx"), "left")
+    val postLive = col("p.__op") =!= lit("D")
+    val preLive = col("q.__lsn").isNotNull && col("q.__op") =!= lit("D")
+    def img(side: String, tpe: String) = struct(
+      lit(tpe).as("_change_type") +:
+        u.map(c => col(s"$side.$c").as(c)): _*)
+    // CASE falls through to null for delete-of-absent-key; explode(null)
+    // emits zero rows, closing the created-and-deleted-in-window case
+    val changes =
+      when(postLive && preLive,
+        array(img("q", "update_preimage"), img("p", "update_postimage")))
+        .when(postLive && !preLive, array(img("p", "insert")))
+        .when(!postLive && preLive, array(img("q", "delete")))
+    j.select(col("p.__lsn").as("_lsn"), explode(changes).as("c"))
+      .select(u.map(c => col(s"c.$c")) ++
+        Seq(col("c._change_type").as("_change_type"), col("_lsn")): _*)
+  }
+
   /** The registered event-time column (`watermark.column` table property)
     * — the reference's per-resource time-field registry
     * (reference: engine/etl_util.py:314-348). */
