@@ -798,16 +798,40 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * meta columns dropped. The whole plan is pinned to ONE snapshot. */
   def read(asOf: Option[Long] = None): DataFrame = {
     val snap = asOf.map(snapshotAt).getOrElse(snapshot)
-    val deltaBuckets = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
-    val resolved =
-      if (deltaBuckets.isEmpty) readRawSnap(snap, None)
-      else {
-        val hot = lwwResolve(readRawSnap(snap, Some(deltaBuckets)), snap.nBuckets)
-        val coldBuckets = snap.files.map(_.bucket).toSet -- deltaBuckets
-        if (coldBuckets.isEmpty) hot
-        else hot.unionByName(readRawSnap(snap, Some(coldBuckets)))
-      }
-    liveRows(snap, resolved)
+    liveRows(snap, resolveBuckets(snap, None))
+  }
+
+  /** [[read]] restricted to a bucket subset — the file pruning happens in
+    * the manifest (no data scan of other buckets), MoR resolution runs
+    * only where the SELECTED buckets hold deltas. This is the read the
+    * incremental consumers use ([[graft.cdc.AggView]]): a refresh that
+    * touched k of n buckets reads k/n of the table at any table size. */
+  def readBuckets(buckets: Set[Int], asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+    liveRows(snap, resolveBuckets(snap, Some(buckets)))
+  }
+
+  /** Shared MoR resolution for [[read]]/[[readBuckets]]: base-only buckets
+    * stream straight from the scan with NO exchange (one stray delta used
+    * to trigger a full-table repartition; at 100 TB that is the
+    * difference between resolving one bucket and shuffling the world).
+    * The whole plan is pinned to ONE snapshot. */
+  private def resolveBuckets(snap: Snapshot,
+      restrict: Option[Set[Int]]): DataFrame = {
+    val inScope = restrict match {
+      case Some(bs) => (f: DataFileEntry) => bs.contains(f.bucket)
+      case None => (_: DataFileEntry) => true
+    }
+    val deltaBuckets =
+      snap.files.filter(f => f.kind == "delta" && inScope(f)).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) readRawSnap(snap, restrict)
+    else {
+      val hot = lwwResolve(readRawSnap(snap, Some(deltaBuckets)), snap.nBuckets)
+      val coldBuckets =
+        snap.files.filter(inScope).map(_.bucket).toSet -- deltaBuckets
+      if (coldBuckets.isEmpty) hot
+      else hot.unionByName(readRawSnap(snap, Some(coldBuckets)))
+    }
   }
 
   /** Shared tail of every table-state read ([[read]], [[readConv]]):

@@ -1,0 +1,145 @@
+package graft.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+import graft.model.Schemas
+
+/** [[AggView]] — incremental materialized aggregates from the change
+  * feed. The invariant under test everywhere: the maintained view equals
+  * the from-scratch recompute of the same defining aggregate, after any
+  * history of inserts / updates / deletes, refreshed at any cadence. */
+class AggViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def ev(rows: Seq[(Long, String, String, Int, String)]): DataFrame =
+    rows.map { case (lsn, op, c, t, text) =>
+      (lsn, op, c, t, "user", text, null: String, ts)
+    }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  /** The defining aggregate: turn count + whitespace token sum. */
+  private val tokens = size(split(col("text"), "\\s+"))
+
+  private def recompute(src: LakeTable): Set[(String, Long, Long)] =
+    src.read().groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), sum(coalesce(tokens, lit(0L))).as("tok"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def viewState(dst: LakeTable): Set[(String, Long, Long)] =
+    dst.read().select("conv_id", "n_turns", "n_tokens")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def mkPair(tag: String): (LakeTable, LakeTable) = {
+    val src = LakeTable.createTable(spark, tmpDir(s"av-src-$tag"),
+      Schemas.transcript, 4)
+    val dst = LakeTable.load(spark, tmpDir(s"av-dst-$tag"))
+    (src, dst)
+  }
+
+  private def refresh(src: LakeTable, dst: LakeTable): AggViewResult =
+    AggView.refresh(src, dst, Seq("n_tokens" -> tokens))
+
+  test("bootstrap recomputes; incremental tracks updates and deletes") {
+    val (src, dst) = mkPair("main")
+    MergeApply.merge(src, ev(Seq(
+      (1L, "I", "c0", 0, "one two three"),
+      (2L, "I", "c0", 1, "four"),
+      (3L, "I", "c1", 0, "alpha beta"),
+      (4L, "I", "c2", 0, "solo"))), 0L)
+
+    val r0 = refresh(src, dst)
+    assert(r0.mode == "full" && r0.applied)
+    assert(viewState(dst) == recompute(src))
+    assert(viewState(dst) == Set(("c0", 2L, 4L), ("c1", 1L, 2L),
+      ("c2", 1L, 1L)))
+
+    // update (token count changes), new turn, delete one turn,
+    // delete ALL of c2 (its view row must disappear)
+    MergeApply.merge(src, ev(Seq(
+      (10L, "U", "c0", 0, "one two three four five"),
+      (11L, "I", "c1", 1, "gamma"),
+      (12L, "D", "c0", 1, null),
+      (13L, "D", "c2", 0, null))), 1L)
+
+    val r1 = refresh(src, dst)
+    assert(r1.mode == "incremental" && r1.applied)
+    assert(viewState(dst) == recompute(src))
+    assert(viewState(dst) == Set(("c0", 1L, 5L), ("c1", 2L, 3L)))
+    assert(!viewState(dst).exists(_._1 == "c2"))
+
+    // re-refresh with nothing new: watermark holds, no work
+    val r2 = refresh(src, dst)
+    assert(r2.mode == "noop" && !r2.applied)
+  }
+
+  test("net-zero changes advance the watermark without rewriting keys") {
+    val (src, dst) = mkPair("zero")
+    MergeApply.merge(src, ev(Seq((1L, "I", "c0", 0, "same text"))), 0L)
+    refresh(src, dst)
+
+    // an update that changes neither the turn count nor the token sum
+    // (role flips, text token count identical)
+    MergeApply.merge(src,
+      Seq((10L, "U", "c0", 0, "tool", "other words", null: String, ts))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool",
+          "ts"), 1L)
+    val r = refresh(src, dst)
+    assert(r.mode == "incremental" && r.keysTouched == 0L)
+    assert(viewState(dst) == recompute(src))
+    // and the watermark DID advance — the next round is a noop
+    assert(refresh(src, dst).mode == "noop")
+  }
+
+  test("vacuumed feed window falls back to full recompute with stale deletes") {
+    val (src, dst) = mkPair("vac")
+    MergeApply.merge(src, ev(Seq(
+      (1L, "I", "c0", 0, "a b"),
+      (2L, "I", "c1", 0, "c"))), 0L)
+    refresh(src, dst)
+
+    // while the view is offline: delete c1 entirely, land several more
+    // epochs, then vacuum the source history past the view's watermark
+    MergeApply.merge(src, ev(Seq((10L, "D", "c1", 0, null))), 1L)
+    MergeApply.merge(src, ev(Seq((11L, "I", "c2", 0, "x y z"))), 2L)
+    src.vacuum(keepSnapshots = 1)
+
+    val r = refresh(src, dst)
+    assert(r.mode == "full" && r.applied)
+    assert(viewState(dst) == recompute(src))
+    assert(viewState(dst) == Set(("c0", 1L, 2L), ("c2", 1L, 3L)))
+  }
+
+  test("replayed refresh is exactly-once (txn-slot guard)") {
+    val (src, dst) = mkPair("replay")
+    MergeApply.merge(src, ev(Seq((1L, "I", "c0", 0, "a"))), 0L)
+    val r0 = refresh(src, dst)
+    val v0 = dst.snapshot.version
+    // same source version again — no data commit, no version bump
+    val r1 = refresh(src, dst)
+    assert(!r1.applied && r1.toVersion == r0.toVersion)
+    assert(dst.snapshot.version == v0)
+  }
+
+  test("incremental path reads only the changed keys' view buckets") {
+    val (src, dst) = mkPair("prune")
+    MergeApply.merge(src, ev(
+      (0 until 64).map(i => (i.toLong + 1, "I", s"c$i", 0, "w w w"))), 0L)
+    refresh(src, dst)
+    MergeApply.merge(src, ev(Seq((100L, "U", "c7", 0, "w"))), 1L)
+
+    val r = refresh(src, dst)
+    assert(r.mode == "incremental" && r.keysTouched == 1L)
+    assert(viewState(dst) == recompute(src))
+    // the merge touched exactly the one bucket c7 lives in
+    val b = LakeTable.bucketOf("c7", dst.snapshot.nBuckets)
+    assert(r.merge.get.bucketsTouched == Seq(b))
+  }
+}
