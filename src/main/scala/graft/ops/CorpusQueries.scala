@@ -41,11 +41,10 @@ object CorpusQueries {
   private def wordsCol: Column = split(lower(col("text")), " ")
 
   /** Distinct 5-word shingles (the near-dup feature set). Short docs
-    * (<5 words) contribute their whole text as one shingle. */
-  private def shinglesCol(ws: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - 4)),
-      i => concat_ws(" ", slice(ws, i, lit(5)))))
+    * (<5 words) contribute their whole text as one shingle. THE
+    * definition lives in [[DedupIndex.shingles]] — the incremental index
+    * and the batch queries must pair identically. */
+  private def shinglesCol: Column = DedupIndex.shingles(col("text"))
 
   /** (doc_id, sh) — one row per distinct shingle per doc. Persisted:
     * every consumer (signature build, candidate self-join, exact-Jaccard
@@ -53,7 +52,7 @@ object CorpusQueries {
     * re-evaluate the scan+explode subtree once per side. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), explode(shinglesCol(wordsCol)).as("sh"))
+      .select(col("doc_id"), explode(shinglesCol).as("sh"))
       .persist()
 
   /** Word -> deterministic 32-bit int, computable identically in DuckDB
@@ -296,7 +295,7 @@ object CorpusQueries {
   def exactNearDups(docsDf: DataFrame,
       maxDf: Long = HotShingleDfCutoff): DataFrame = {
     val sh = docsDf
-      .select(col("doc_id"), explode(shinglesCol(wordsCol)).as("sh"))
+      .select(col("doc_id"), explode(shinglesCol).as("sh"))
       .persist()
     try verifyJaccard(invertedIndexCandidates(sh, maxDf), sh)
       // candidates + verification both consume sh; materialize the result
@@ -317,14 +316,14 @@ object CorpusQueries {
 
   // ------------------------------------------------- q26 MinHash + LSH
 
-  private val MinhashK = 64 // signature length
-  private val Bands = 16 // 16 bands x 4 rows
-
   /** MinHash+LSH near-dup detection: 64-permutation MinHash signatures
     * (min of xxhash64(shingle, seed_j) per doc — 64 partial-aggregating
     * mins in ONE hash-aggregate pass, no window, no sort), banded into
     * 16 buckets of 4, candidate pairs from same-bucket collisions, then
-    * exact-Jaccard verification of candidates only.
+    * exact-Jaccard verification of candidates only. The signature/band/
+    * candidate math is [[DedupIndex]]'s — the SAME functions drive the
+    * incremental signature-index dedup, so batch and incremental pair
+    * sets agree by construction.
     *
     * Scale shape: the all-pairs O(n²) of q25 collapses to
     * O(n·bands + candidates); at 10^9 docs only same-band-bucket docs are
@@ -333,25 +332,11 @@ object CorpusQueries {
     * pair count. */
   private val q26: Q = (s, d) => {
     val sh = shingleRows(s, d)
-    val sigAggs = (0 until MinhashK).map(j =>
-      min(xxhash64(col("sh"), lit(j))).as(s"m$j"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(j => col(s"m$j")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * 4 + 1, 4)).as("bh"))): _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
-      .persist() // self-joined below: avoid rebuilding the 64-agg signature pass per side
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-      .distinct()
-    verifyJaccard(cand, sh)
+    val banded = DedupIndex.bandRows(DedupIndex.signatures(sh))
+      .persist() // self-joined: avoid rebuilding the 64-agg signature pass per side
+    try verifyJaccard(DedupIndex.selfCandidates(banded), sh)
+      .localCheckpoint(true)
+    finally banded.unpersist()
   }
 
   // ----------------------------------------------------- q27 SimHash
