@@ -70,17 +70,22 @@ object AggView {
     *              (default: the source's — one row per conversation needs
     *              no more).
     * @param cfg   merge tuning for the view writes; `txnApp` must be
-    *              empty (the view owns its slot). */
+    *              empty (the view owns its slot).
+    * @param asOf  pin the refresh target to a source snapshot version
+    *              instead of the latest — refresh-to-a-consistent-cut,
+    *              and the lever replay harnesses use to exercise many
+    *              incremental rounds over one committed history. */
   def refresh(src: LakeTable, dst: LakeTable,
       sums: Seq[(String, Column)] = Nil,
       app: String = "aggview",
       nBuckets: Int = -1,
-      cfg: MergeConfig = MergeConfig()): AggViewResult = {
+      cfg: MergeConfig = MergeConfig(),
+      asOf: Option[Long] = None): AggViewResult = {
     require(cfg.txnApp.isEmpty,
       "AggView tracks the consumed source version in its own txn slot; " +
         "pass the writer identity via `app`, not cfg.txnApp")
     val mcfg = cfg.copy(txnApp = Some(app))
-    val srcSnap = src.snapshot
+    val srcSnap = asOf.map(src.snapshotAt).getOrElse(src.snapshot)
     val toV = srcSnap.version
     if (!dst.exists) {
       val proto = viewRows(src.readBuckets(Set.empty), sums, toV)

@@ -135,10 +135,11 @@ object CdcPipeline {
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 
-  /** Outcome of one [[followOnce]] round. `toLsn` is the destination's new
-    * consumed-LSN high-watermark when applied (unchanged otherwise). */
-  final case class FollowResult(applied: Boolean, fromLsn: Long, toLsn: Long,
-      merge: Option[MergeResult])
+  /** Outcome of one [[followOnce]] round. `toVersion` is the destination's
+    * new consumed-source-VERSION watermark when applied (unchanged
+    * otherwise). */
+  final case class FollowResult(applied: Boolean, fromVersion: Long,
+      toVersion: Long, merge: Option[MergeResult])
 
   /** One round of table-to-table incremental sync — the downstream-
     * consumption half of CDC, chaining lake tables into multi-hop
@@ -149,13 +150,20 @@ object CdcPipeline {
     * — `max(time_field)` of the destination bounds the next fetch).
     *
     * Mechanics: the destination's committed-epoch guard doubles as the
-    * consumed-LSN watermark — each round merges `src.readSince(last)` under
-    * `epochId = src.highLsn` (pinned to one source snapshot), so a crashed
-    * or re-run round is a no-op and a fresh destination starts from -1
-    * (full copy). O(new data) per round: readSince prunes the source scan
-    * by manifest LSN ranges, and tombstone winners ride along as `op="D"`
-    * so deletes propagate. A follow-driven destination's epoch ids ARE
-    * source LSNs — don't mix `followOnce` with feed ingest on one table.
+    * consumed-source-VERSION watermark — each round merges the source's
+    * window ARRIVALS (`src.arrivalsSince(last)`, pinned to one source
+    * snapshot) under `epochId = src.snapshot.version`, so a crashed or
+    * re-run round is a no-op and a fresh destination starts from -1
+    * (full copy). The commit-version cut makes rounds robust to
+    * arbitrarily out-of-order LSN arrival at the source — an LSN-cut
+    * round silently loses a key whose winning event lands below the
+    * already-consumed high water (which is why epoch ids are snapshot
+    * versions, NOT source LSNs). O(new data) per round: exact arrival
+    * files are pruned from the manifest alone; a compaction fold inside
+    * the window degrades to re-upserting that bucket's winners, which
+    * the destination's LWW merge absorbs (tombstone winners ride along
+    * as `op="D"`, so deletes still propagate). Don't mix `followOnce`
+    * with feed ingest on one destination table.
     *
     * `transform` runs over the change envelope (`lsn`, `op`, user columns)
     * and must keep `lsn`/`op`/key columns; use it for declarative
@@ -183,17 +191,34 @@ object CdcPipeline {
     require(cfg.txnApp.isEmpty,
       "followOnce tracks progress in the table's global epoch space; " +
         "txn-scoped MergeConfig (txnApp) would silently make each round O(table)")
+    val dstSnap = dst.snapshot
+    // migration guard: a mirror synced under the legacy LSN epoch space
+    // has a huge watermark — every version-space round would silently
+    // no-op under it. Fail loudly; only a fresh mirror adopts this space.
+    val space = dstSnap.properties.get(FollowSpaceProp)
+    if (!space.contains("version")) {
+      if (dstSnap.maxCommittedEpoch >= 0 || dstSnap.txns.nonEmpty)
+        sys.error(s"destination ${dst.dir} has committed epochs outside " +
+          "the consumed-source-version space (a legacy LSN-space or " +
+          "stream-fed mirror) — rebuild it before following")
+      dst.setProperty(FollowSpaceProp, "version")
+    }
     val snap = src.snapshot
-    val high = src.highLsn(snap)
     val last = dst.snapshot.maxCommittedEpoch
-    if (high <= last) return FollowResult(applied = false, last, last, None)
+    if (snap.version <= last)
+      return FollowResult(applied = false, last, last, None)
     if (evolveSchema) propagateSchema(snap, dst)
-    val changes = src.readSince(last, asOf = Some(snap.version))
+    val changes = src.arrivalsSince(last, asOf = Some(snap.version))
       .withColumnRenamed("__lsn", "lsn")
       .withColumnRenamed("__op", "op")
-    val res = MergeApply.merge(dst, transform(changes), high, cfg)
-    FollowResult(res.applied, last, if (res.applied) high else last, Some(res))
+    val res = MergeApply.merge(dst, transform(changes), snap.version, cfg)
+    FollowResult(res.applied, last,
+      if (res.applied) snap.version else last, Some(res))
   }
+
+  /** Table property recording that a destination's epoch watermark lives
+    * in the consumed-source-version space (followOnce's contract). */
+  val FollowSpaceProp = "graft.follow.space"
 
   /** Evolve `dst` to cover the source snapshot's user schema: add missing
     * columns (carrying the source's column docs) and widen narrower types.

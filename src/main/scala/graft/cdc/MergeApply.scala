@@ -479,6 +479,7 @@ object MergeApply {
 
       val newFiles = writeBuckets(table, merged, salt, snap,
         prePartitioned = useBucket)
+        .map(_.copy(rewrite = true)) // COW carries old rows into new files
       lap("cow-write")
       val entry = LineageEntry(epochId, snap.version + 1,
         batchRows, batchRows, buckets.toSeq.sorted, newFiles.size,
@@ -663,6 +664,7 @@ object MergeApply {
       }.foreach(_.get())
     } finally pool.shutdown()
     val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, "base")
+      .map(_.copy(rewrite = true)) // folds carry old rows into new files
     val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
       buckets.toSeq.sorted, files.size,
       snap.files.count(f => !buckets.contains(f.bucket)), -1L, "",

@@ -167,6 +167,40 @@ object ReplayMain {
         if (got == ChangeLogGen.oracleFinalState(cfg)) println("OK (exact match)")
         else { println(s"MISMATCH got=${got.size}"); sys.exit(1) }
       }
+      // GRAFT_AGGVIEW=1: maintain an incremental materialized aggregate
+      // (turns + chars per conversation) ACROSS the replayed history —
+      // the view refreshes at ~8 snapshot cuts (first = bootstrap, rest
+      // = change-feed incremental rounds) and the final view is held to
+      // the SAME sequential oracle, aggregated on the driver. End-to-end
+      // evidence that IVM over the CDF reproduces exact aggregates at
+      // replay scale.
+      if (sys.env.contains("GRAFT_AGGVIEW")) {
+        import org.apache.spark.sql.functions.{col, length}
+        val view = LakeTable.load(spark, s"$workDir/aggview")
+        val sums = Seq("n_chars" -> length(col("text")))
+        val vMax = table.snapshot.version
+        val cuts = (1 to 8).map(i => vMax * i / 8).distinct
+          .filter(_ >= 1).sorted
+        val tV = System.nanoTime()
+        val rounds = cuts.map(v =>
+          AggView.refresh(table, view, sums, asOf = Some(v)))
+        val vSec = (System.nanoTime() - tV) / 1e9
+        val modes = rounds.groupBy(_.mode).view.mapValues(_.size).toMap
+        print(f"[aggview] ${rounds.size} refresh rounds ($modes) in " +
+          f"$vSec%.2f s; view vs oracle aggregate … ")
+        val want = ChangeLogGen.oracleFinalState(cfg)
+          .groupBy(_.conv_id).map { case (c, rs) =>
+            (c, rs.size.toLong,
+              rs.map(r => Option(r.text).map(_.length.toLong).getOrElse(0L))
+                .sum)
+          }.toSet
+        val got = view.read().select("conv_id", "n_turns", "n_chars")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        if (got == want) println("OK (exact match)")
+        else { println(s"MISMATCH got=${got.size} want=${want.size}"); sys.exit(1) }
+      }
+
       println(f"""{"metric":"cdc_events_per_sec","value":$rate%.1f,"events":$nEvents,"batches":$nBatches,"cores":$cores,"buckets":$nBuckets,"seconds":$sec%.3f}""")
     } finally spark.stop()
   }

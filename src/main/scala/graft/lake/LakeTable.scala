@@ -43,7 +43,23 @@ final case class DataFileEntry(
       * predicate file-skipping — the Iceberg column-stats-in-manifest
       * pattern — and feed the per-partition lineage breakdown. */
     minLsn: Long = -1L,
-    maxLsn: Long = -1L)
+    maxLsn: Long = -1L,
+    /** Snapshot version whose commit introduced this file — stamped by
+      * `commitOnce` (the only place the final version is known; rebase
+      * retries re-stamp). This is the table's ARRIVAL order, the correct
+      * cut for incremental change windows: an LSN cut silently loses a
+      * key whose winning event arrives out-of-order BELOW an
+      * already-consumed LSN high-water mark (the event is in no
+      * `__lsn > cut` range), while every arrival is in exactly one
+      * commit. -1 on manifests written before this field existed —
+      * consumers must treat unknown as "possibly in any window". */
+    addedV: Long = -1L,
+    /** True when the file's rows may PREDATE its commit — compaction
+      * folds and copy-on-write bucket rewrites carry old rows into new
+      * files. Change windows must not read a rewrite file's keys as
+      * "changed at addedV"; they fall back to bucket-level candidacy
+      * (exact after the change feed's value-equality suppression). */
+    rewrite: Boolean = false)
 
 /** A pointer to one immutable manifest file (a JSON list of
   * [[DataFileEntry]]) plus the bucket-replacement it performs. The live
@@ -613,14 +629,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       newColumnDocs: Map[String, String],
       txn: Option[(String, Long)] = None): Snapshot = {
     val v = base.version + 1
+    // stamp arrival: this attempt's version (a rebase retry re-stamps)
+    val stamped = newFiles.map(_.copy(addedV = v))
     val carried = base.files.filterNot(f => replacedBuckets.contains(f.bucket))
-    val liveFiles = carried ++ newFiles
+    val liveFiles = carried ++ stamped
 
     var manifests = base.manifests
     var unpublished = "" // delta manifest written this commit, pre-publish
-    if (newFiles.nonEmpty || replacedBuckets.nonEmpty) {
-      unpublished = if (newFiles.nonEmpty) writeManifest(newFiles, v) else ""
-      manifests = manifests :+ ManifestRef(unpublished, newFiles.size,
+    if (stamped.nonEmpty || replacedBuckets.nonEmpty) {
+      unpublished = if (stamped.nonEmpty) writeManifest(stamped, v) else ""
+      manifests = manifests :+ ManifestRef(unpublished, stamped.size,
         replacedBuckets.toSeq.sorted)
     }
     if (manifests.size > manifestCompactThreshold) {
@@ -909,11 +927,47 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     else if (snap.files.forall(_.maxLsn >= 0)) snap.files.map(_.maxLsn).max
     else readRawSnap(snap, None).agg(max(col("__lsn"))).head().getLong(0)
 
+  /** Files that hold (or may hold) rows which ARRIVED after snapshot
+    * version `sinceV`: exact files (`!rewrite`, stamped `addedV`) contain
+    * only their commit's arrivals; rewrite files (compaction folds, COW
+    * bucket rewrites) and pre-`addedV` manifests contain carried-over
+    * rows too — a superset the consumer must absorb. */
+  private[graft] def arrivalFiles(snap: Snapshot, sinceV: Long)
+      : Seq[DataFileEntry] =
+    snap.files.filter(f => f.addedV > sinceV || f.addedV < 0)
+
+  /** The change events that ARRIVED in commits `(sinceVersion, asOf]` —
+    * every version, tombstones included, meta (`__lsn`/`__op`) retained;
+    * NOT winner-resolved. This is the COMMIT-order window, the robust cut
+    * for incremental consumption: an LSN cut ([[readSince]]) silently
+    * loses a key whose winning event arrives out-of-order BELOW an
+    * already-consumed LSN high-water mark (no `__lsn > cut` range ever
+    * covers it), while every arrival lies in exactly one commit.
+    *
+    * Scale shape: exact arrival files contribute only their own rows —
+    * O(new data), file-pruned from the manifest alone. Rewrite files in
+    * the window contribute their full content: idempotent re-upserts of
+    * current winners that LWW-merging consumers absorb (and tombstone
+    * winners ride along, so deletes still propagate through a fold). */
+  def arrivalsSince(sinceVersion: Long, asOf: Option[Long] = None)
+      : DataFrame = {
+    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+    readFiles(snap, arrivalFiles(snap, sinceVersion))
+  }
+
   /** Time-travel diff: every key whose winning version changed between
     * snapshot `fromVersion` and snapshot `toVersion` (default: current),
     * with `__lsn`/`__op` retained. Exactly [[readSince]] cut at the older
     * snapshot's high LSN — LSNs are the table's total modification order,
-    * so "changed after v1" ⇔ "winner's LSN above v1's high". */
+    * so "changed after v1" ⇔ "winner's LSN above v1's high".
+    *
+    * PRECONDITION (inherited from the LSN cut): per-key arrival order
+    * must respect LSN order — a key's winning event must never arrive in
+    * a commit AFTER `fromVersion` carrying an LSN at or below
+    * `fromVersion`'s high water (true of any in-order WAL/binlog tail;
+    * NOT true of arbitrarily shuffled redelivery). For windows robust to
+    * arbitrary disorder use [[changeFeed]] / [[arrivalsSince]], which cut
+    * by commit version. */
   def changesBetween(fromVersion: Long, toVersion: Option[Long] = None)
       : DataFrame =
     readSince(highLsn(snapshotAt(fromVersion)), toVersion)
@@ -929,20 +983,29 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * key that was deleted (or never existed) at `fromVersion` is an
     * `insert`; a delete emits the PREIMAGE values; a key created and
     * deleted within the window emits nothing (this is an endpoint diff,
-    * not a per-commit replay — replay granularity is [[readSince]]
-    * chained over lineage LSN ranges).
+    * not a per-commit replay — replay granularity is [[arrivalsSince]]
+    * chained over commit versions).
     *
-    * Scale shape: the post side is [[readSince]] (manifest-LSN-pruned,
-    * O(changed data)); the pre side reads `fromVersion` restricted to the
-    * BUCKETS the changed files touch (bucket-pruned, resolution only
-    * where those buckets held deltas); the classify join is a
-    * (conv_id, turn_idx) equi-join whose post side is the small one —
-    * AQE broadcasts it when it fits, else both sides hash-cluster on
-    * conv_id. The per-row fan-out to change rows is one codegen'd
-    * CASE-to-array + explode — no second pass over the join.
-    * Schema evolution across the window is absorbed by projecting the
-    * pre side onto `toVersion`'s schema (added columns null in
-    * preimages, widened types upcast). */
+    * The window cuts by COMMIT version ([[arrivalsSince]]), not by LSN
+    * high-water — robust to arbitrarily out-of-order arrival: a key whose
+    * winning event lands after `fromVersion` with an LSN below
+    * `fromVersion`'s high water is still an arrival in the window (an
+    * LSN cut loses it silently — the hazard the replay-scale AggView
+    * check caught). An arrival that LOSES LWW to the pre-state winner
+    * changes nothing and emits nothing; a value-identical winner swap
+    * (pure redelivery under a higher LSN) is likewise suppressed — the
+    * feed is the minimal endpoint diff.
+    *
+    * Scale shape: the arrival side is O(new data) (exact files pruned
+    * from the manifest; a compaction fold inside the window degrades its
+    * bucket to full-content candidacy, absorbed by the suppressions
+    * above); the pre side reads `fromVersion` restricted to the BUCKETS
+    * the arrival files touch. The post-state winner is computed INSIDE
+    * the classify join — max-LSN of (window-arrival winner, pre winner) —
+    * so neither side is read twice. The per-row fan-out to change rows is
+    * one codegen'd CASE-to-array + explode. Schema evolution across the
+    * window is absorbed by projecting the pre side onto `toVersion`'s
+    * schema (added columns null in preimages, widened types upcast). */
   def changeFeed(fromVersion: Long, toVersion: Option[Long] = None)
       : DataFrame = {
     val fromSnap = snapshotAt(fromVersion)
@@ -950,10 +1013,11 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     require(toSnap.version >= fromSnap.version,
       s"changeFeed window is backwards: from v${fromSnap.version} " +
         s"to v${toSnap.version}")
-    val cut = highLsn(fromSnap)
-    val post = readSince(cut, Some(toSnap.version))
-    // pre state only for buckets that can hold changed rows
-    val touched = sinceCandidates(toSnap, cut).map(_.bucket).toSet
+    val arrFiles = arrivalFiles(toSnap, fromSnap.version)
+    val touched = arrFiles.map(_.bucket).toSet
+    // winner among the window's arrivals per key — O(arrivals)
+    val arrW = lwwResolve(readFiles(toSnap, arrFiles), toSnap.nBuckets)
+    // pre state (winners incl. tombstones) of the touched buckets
     val preRaw = readRawSnap(fromSnap,
       Some(touched.intersect(fromSnap.files.map(_.bucket).toSet)))
     val preResolved =
@@ -965,21 +1029,30 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val pre = LakeTable.align(preResolved, want)
 
     val u = toSnap.userSchema.fieldNames.toSeq
-    val j = post.as("p").join(pre.as("q"),
+    val j = arrW.as("p").join(pre.as("q"),
       col("p.conv_id") === col("q.conv_id") &&
         col("p.turn_idx") === col("q.turn_idx"), "left")
+    // the true post winner is max-LSN of (arrival winner, pre winner);
+    // when the pre winner holds (>= : an equal LSN is the same event
+    // redelivered), the window changed nothing for this key
+    val winnerIsPre = col("q.__lsn").isNotNull &&
+      col("q.__lsn") >= col("p.__lsn")
     val postLive = col("p.__op") =!= lit("D")
     val preLive = col("q.__lsn").isNotNull && col("q.__op") =!= lit("D")
+    // value-identical winner swap (redelivery under a higher LSN): no
+    // user-visible change — suppress
+    val valsEq = u.map(c => col(s"p.$c") <=> col(s"q.$c")).reduce(_ && _)
     def img(side: String, tpe: String) = struct(
       lit(tpe).as("_change_type") +:
         u.map(c => col(s"$side.$c").as(c)): _*)
-    // CASE falls through to null for delete-of-absent-key; explode(null)
-    // emits zero rows, closing the created-and-deleted-in-window case
-    val changes =
-      when(postLive && preLive,
+    // CASE falls through to null (→ explode emits zero rows) for: pre
+    // winner holds, delete-of-absent-key, created-and-deleted-in-window,
+    // and value-identical swaps
+    val changes = when(!winnerIsPre,
+      when(postLive && preLive && !valsEq,
         array(img("q", "update_preimage"), img("p", "update_postimage")))
         .when(postLive && !preLive, array(img("p", "insert")))
-        .when(!postLive && preLive, array(img("q", "delete")))
+        .when(!postLive && preLive, array(img("q", "delete"))))
     j.select(col("p.__lsn").as("_lsn"), explode(changes).as("c"))
       .select(u.map(c => col(s"c.$c")) ++
         Seq(col("c._change_type").as("_change_type"), col("_lsn")): _*)

@@ -128,6 +128,21 @@ class AggViewSpec extends SparkSpec {
     assert(dst.snapshot.version == v0)
   }
 
+  test("asOf pins a refresh to a historical cut; later rounds resume from it") {
+    val (src, dst) = mkPair("asof")
+    MergeApply.merge(src, ev(Seq((1L, "I", "c0", 0, "a b"))), 0L)
+    val v1 = src.snapshot.version
+    MergeApply.merge(src, ev(Seq((2L, "I", "c0", 1, "c"))), 1L)
+
+    val r0 = AggView.refresh(src, dst, Seq("n_tokens" -> tokens),
+      asOf = Some(v1))
+    assert(r0.mode == "full" && r0.toVersion == v1)
+    assert(viewState(dst) == Set(("c0", 1L, 2L))) // the v1 state, not latest
+    val r1 = refresh(src, dst) // catches up incrementally from v1
+    assert(r1.mode == "incremental" && r1.fromVersion == v1)
+    assert(viewState(dst) == recompute(src))
+  }
+
   test("incremental path reads only the changed keys' view buckets") {
     val (src, dst) = mkPair("prune")
     MergeApply.merge(src, ev(

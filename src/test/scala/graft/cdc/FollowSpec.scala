@@ -29,8 +29,8 @@ class FollowSpec extends SparkSpec {
 
     // first round: fresh destination does a full copy
     val r1 = CdcPipeline.followOnce(src, dst)
-    assert(r1.applied && r1.fromLsn == -1L)
-    assert(r1.toLsn == src.highLsn(src.snapshot))
+    assert(r1.applied && r1.fromVersion == -1L)
+    assert(r1.toVersion == src.snapshot.version)
     assert(state(dst) == state(src))
 
     // caught up: a second round applies nothing
@@ -42,18 +42,41 @@ class FollowSpec extends SparkSpec {
     MergeApply.merge(src, full.filter(col("lsn") > cut), 1L,
       MergeConfig(writeMode = "mor"))
     val srcSnap = src.snapshot
-    assert(src.sinceCandidates(srcSnap, r1.toLsn).size < srcSnap.files.size)
+    assert(src.arrivalFiles(srcSnap, r1.toVersion).size < srcSnap.files.size)
     val r2 = CdcPipeline.followOnce(src, dst)
-    assert(r2.applied && r2.fromLsn == r1.toLsn)
+    assert(r2.applied && r2.fromVersion == r1.toVersion)
     assert(state(dst) == state(src))
     assert(state(dst).nonEmpty)
 
     // crash-retry of the same round: the epoch guard makes it a no-op
-    val replay = src.readSince(r2.fromLsn)
+    val replay = src.arrivalsSince(r2.fromVersion)
       .withColumnRenamed("__lsn", "lsn").withColumnRenamed("__op", "op")
-    assert(!MergeApply.merge(dst, replay, r2.toLsn).applied)
+    assert(!MergeApply.merge(dst, replay, r2.toVersion).applied)
     assert(state(dst) == state(src))
     full.unpersist()
+  }
+
+  test("follow survives arrival below the consumed LSN high water") {
+    // the hazard that retired LSN-cut rounds: a key whose WINNING event
+    // arrives in a later commit carrying an LSN below the already-
+    // consumed high water is in no `__lsn > cut` range — an LSN-cut
+    // round loses it forever; the commit-version window cannot
+    val src = LakeTable.createTable(spark, tmpDir("flo-src"), Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("flo-dst"), Schemas.transcript, 2)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def batch(rows: Seq[(Long, String, String, Int, String)]) =
+      rows.toDF("lsn", "op", "conv_id", "turn_idx", "text")
+        .withColumn("role", lit("user"))
+        .withColumn("tool", lit(null).cast("string"))
+        .withColumn("ts", lit(ts))
+
+    MergeApply.merge(src, batch(Seq((100L, "I", "c1", 0, "first"))), 0L)
+    assert(CdcPipeline.followOnce(src, dst).applied)
+    // late arrival: NEW key, LSN far below the consumed high water (100)
+    MergeApply.merge(src, batch(Seq((50L, "I", "c2", 0, "late-low-lsn"))), 1L)
+    assert(CdcPipeline.followOnce(src, dst).applied)
+    assert(state(dst) == state(src))
+    assert(state(dst).exists(_.conv_id == "c2"))
   }
 
   test("follow propagates source schema evolution, column docs included") {

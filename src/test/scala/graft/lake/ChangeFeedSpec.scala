@@ -103,6 +103,38 @@ class ChangeFeedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("out-of-order arrival below the window's LSN high water is not lost") {
+    // the hazard the commit-version window exists for: v1's high LSN is
+    // 100; the window's arrivals carry LOWER LSNs. An LSN-cut diff
+    // (`__lsn > 100`) sees none of them.
+    val t = LakeTable.createTable(spark, tmpDir("cf-ooo"),
+      Schemas.transcript, 2)
+    MergeApply.merge(t, ev(Seq((100L, "I", "c1", 0, "keeper"))), 0L)
+    val v1 = t.snapshot.version
+    MergeApply.merge(t, ev(Seq(
+      (50L, "I", "c2", 0, "late insert"), // new key, wins at LSN 50
+      (40L, "U", "c1", 0, "loser"))), 1L) // loses LWW to LSN 100
+    val got = t.changeFeed(v1)
+      .select("conv_id", "text", "_change_type", "_lsn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // c2's insert IS in the feed; c1's losing arrival changed nothing
+    assert(got == Set(("c2", "late insert", "insert", 50L)))
+  }
+
+  test("losing and value-identical arrivals are suppressed (minimal feed)") {
+    val t = LakeTable.createTable(spark, tmpDir("cf-min"),
+      Schemas.transcript, 2)
+    MergeApply.merge(t, ev(Seq((10L, "I", "c1", 0, "same"),
+      (11L, "I", "c3", 0, "gone"))), 0L)
+    val v1 = t.snapshot.version
+    MergeApply.merge(t, ev(Seq(
+      (20L, "U", "c1", 0, "same"), // wins, but value-identical
+      (5L, "D", "c3", 0, null), // tombstone LOSES to the LSN-11 insert
+      (21L, "D", "c9", 0, null))), 1L) // delete of a key that never existed
+    assert(t.changeFeed(v1).isEmpty)
+  }
+
   test("preimages are null-projected onto an evolved to-schema") {
     val t = LakeTable.createTable(spark, tmpDir("cf-evolve"),
       Schemas.transcript, 2)
