@@ -664,7 +664,10 @@ object MergeApply {
       }.foreach(_.get())
     } finally pool.shutdown()
     val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, "base")
-      .map(_.copy(rewrite = true)) // folds carry old rows into new files
+      // folds carry ONLY old rows into new files (state-neutral rewrite);
+      // fold=true lets arrival windows starting at this commit's parent
+      // skip them outright instead of re-upserting the whole bucket
+      .map(_.copy(rewrite = true, fold = true))
     val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
       buckets.toSeq.sorted, files.size,
       snap.files.count(f => !buckets.contains(f.bucket)), -1L, "",

@@ -59,7 +59,18 @@ final case class DataFileEntry(
       * files. Change windows must not read a rewrite file's keys as
       * "changed at addedV"; they fall back to bucket-level candidacy
       * (exact after the change feed's value-equality suppression). */
-    rewrite: Boolean = false)
+    rewrite: Boolean = false,
+    /** True for PURE rewrites — compaction folds whose rows ALL predate
+      * their commit (the fold is state-neutral: it carries no arrivals of
+      * its own, unlike a COW bucket rewrite, which mixes the commit's new
+      * rows into the rewritten file). An arrival window that starts at
+      * the fold's parent version (`sinceV == addedV - 1`) has, by
+      * definition, already consumed everything the fold carries, so
+      * [[LakeTable.arrivalFiles]] skips exactly that case — the Iceberg
+      * "ignore replace snapshots" rule for incremental reads. A fold
+      * DEEPER inside a window may carry arrivals folded from commits
+      * within the window, so it stays (full-content candidacy). */
+    fold: Boolean = false)
 
 /** A pointer to one immutable manifest file (a JSON list of
   * [[DataFileEntry]]) plus the bucket-replacement it performs. The live
@@ -931,10 +942,17 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * version `sinceV`: exact files (`!rewrite`, stamped `addedV`) contain
     * only their commit's arrivals; rewrite files (compaction folds, COW
     * bucket rewrites) and pre-`addedV` manifests contain carried-over
-    * rows too — a superset the consumer must absorb. */
+    * rows too — a superset the consumer must absorb. One provable
+    * exclusion: a compaction fold committed at exactly `sinceV + 1` is a
+    * state-neutral rewrite of rows live at `sinceV` — all already inside
+    * the consumer's watermark — so it is skipped outright (the Iceberg
+    * "ignore replace snapshots" rule; window-splitting consumers like the
+    * streaming source end their windows just before a fold precisely so
+    * the next window starts at its parent and hits this case). */
   private[graft] def arrivalFiles(snap: Snapshot, sinceV: Long)
       : Seq[DataFileEntry] =
     snap.files.filter(f => f.addedV > sinceV || f.addedV < 0)
+      .filterNot(f => f.fold && f.addedV == sinceV + 1)
 
   /** The change events that ARRIVED in commits `(sinceVersion, asOf]` —
     * every version, tombstones included, meta (`__lsn`/`__op`) retained;

@@ -8,17 +8,42 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.lake.{LakeTable, Snapshot}
 
-/** Streaming offset into a lake table's change history: the snapshot
-  * version paired with that snapshot's high LSN. The LSN is the cut (the
-  * table's total modification order); the version pins `getBatch`'s scan
-  * to one immutable snapshot, so a replayed range always reproduces the
-  * same rows regardless of later commits. Equality is json-based (the
-  * Offset contract), so the json must stay byte-deterministic. */
+/** Streaming offset into a lake table's change history. Two forms share
+  * one json shape (`{"version":v,"lsn":l}`), distinguished by `lsn`:
+  *
+  *  - **version-complete** (`lsn == -2`, [[versionComplete]]): every
+  *    arrival in commits `<= version` has been delivered. The steady-state
+  *    form — windows between two such offsets cut by COMMIT version
+  *    ([[graft.lake.LakeTable.arrivalsSince]]), which is robust to
+  *    arbitrarily out-of-order LSN arrival (an LSN cut silently loses a
+  *    key whose winning event lands in a later commit BELOW the consumed
+  *    LSN high water — it sits in no `__lsn > cut` range).
+  *  - **catch-up** (`lsn >= 0`): the bootstrap/rate-limit form — winners
+  *    of the IMMUTABLE snapshot `version` delivered through LSN `lsn`.
+  *    Splitting one pinned snapshot by LSN has no out-of-order hazard
+  *    (nothing new can land inside an immutable snapshot); once the cut
+  *    reaches the snapshot's high, the offset seals to version-complete
+  *    and the stream tails by commit version from there. Checkpoints
+  *    written by the earlier LSN-cut source are exactly this form, so
+  *    they migrate losslessly: one transition batch finishes the pinned
+  *    snapshot and switches spaces.
+  *
+  * The version always pins `getBatch`'s scan to one immutable snapshot,
+  * so a replayed range reproduces the same rows regardless of later
+  * commits. Equality is json-based (the Offset contract), so the json
+  * must stay byte-deterministic. */
 final case class GraftOffset(version: Long, lsn: Long) extends V1Offset {
   override def json: String = s"""{"version":$version,"lsn":$lsn}"""
+  /** True for the steady-state form: all arrivals `<= version` delivered. */
+  def versionComplete: Boolean = lsn == GraftOffset.VersionComplete
 }
 
 object GraftOffset {
+  /** `lsn` sentinel of the version-complete form (all arrivals through
+    * `version` delivered). -2, not -1: a catch-up form with cut -1
+    * ("nothing delivered yet") must stay distinct. */
+  val VersionComplete: Long = -2L
+
   private val Re = """\{"version":(-?\d+),"lsn":(-?\d+)\}""".r
 
   /** Accept this source's own offsets or checkpoint-restored
@@ -32,21 +57,55 @@ object GraftOffset {
           s"not a graft-table offset: $j")
       }
     }
+
+  /** Strict progress order: does `a` cover more of the table than `b`?
+    * By version first; within one version the sealed (version-complete)
+    * form covers every catch-up cut. */
+  private[streaming] def isBeyond(a: GraftOffset, b: GraftOffset): Boolean =
+    a.version > b.version ||
+      (a.version == b.version && !b.versionComplete &&
+        (a.versionComplete || a.lsn > b.lsn))
 }
 
 /** `spark.readStream.format("graft-table").option("path", dir).load()` —
   * tail a lake table as a Structured Streaming source (the
   * downstream-consumption half of CDC as a first-class stream, the
-  * surface Delta calls Change Data Feed). Each micro-batch is
-  * [[LakeTable.readSince]] between two offsets' LSN cuts, pinned to the
-  * end offset's snapshot: every key whose winning version landed in the
-  * range, tombstones included (`op = "D"`), manifest-pruned to O(new
-  * data). Emitted columns are the merge-ready change envelope (user
-  * columns + `lsn` + `op`), so `foreachBatch` + [[graft.cdc.MergeApply]]
-  * gives exactly-once table-to-table replication: the streaming
-  * checkpoint replays offset ranges at-least-once, version-pinned
-  * `getBatch` makes replays byte-identical, and the destination's epoch
-  * guard makes them no-ops.
+  * surface Delta calls Change Data Feed).
+  *
+  * Two phases, matching the two [[GraftOffset]] forms:
+  *
+  *  1. **Bootstrap / catch-up** (fresh checkpoint): the pinned start
+  *     snapshot's WINNERS via [[LakeTable.readSince]], LSN-split under
+  *     `maxLsnsPerTrigger` — safe because the snapshot is immutable, so
+  *     the split ranges jointly cover it no matter what arrival order
+  *     produced it. When the cut reaches the snapshot's high LSN the
+  *     offset seals to version-complete.
+  *  2. **Steady-state tail**: each micro-batch is the commit-version
+  *     arrival window [[LakeTable.arrivalsSince]] between two sealed
+  *     offsets — raw arrivals (possibly several rows per key, tombstones
+  *     included as `op = "D"`), file-pruned from the manifest alone to
+  *     O(new data). Version cuts are the out-of-order-robust choice: a
+  *     key whose winning event lands in a later commit with an LSN below
+  *     the consumed high water is still an arrival in exactly one window
+  *     (an LSN cut loses it silently — the hazard that retired the
+  *     LSN-cut design of this source).
+  *
+  * Emitted columns are the merge-ready change envelope (user columns +
+  * `lsn` + `op`), so `foreachBatch` + [[graft.cdc.MergeApply]] gives
+  * exactly-once table-to-table replication: the streaming checkpoint
+  * replays offset ranges at-least-once, version-pinned `getBatch` makes
+  * replays byte-identical, and the destination's epoch guard (plus
+  * within-batch LWW dedup) makes them no-ops.
+  *
+  * Rewrite commits: a compaction fold at the very start of a window is
+  * skipped outright (state-neutral — everything it carries is already
+  * inside the watermark), and the source SPLITS windows just before any
+  * deeper fold so the next window starts at the fold's parent and hits
+  * that rule — compaction never re-delivers the table. A copy-on-write
+  * bucket rewrite, by contrast, mixes its commit's new rows into the
+  * rewritten file, so its full content is delivered as idempotent
+  * re-upserts the merge sink absorbs; tables tailed by streams should
+  * run merge-on-read (the default), the mode whose deltas are exact.
   *
   * Operational contract (same as Iceberg/Delta streaming reads):
   *  - vacuum retention bounds restartability — a checkpointed end
@@ -61,20 +120,30 @@ object GraftOffset {
   *  - `.option("startingLsn", n | "latest")` starts a fresh checkpoint
   *    after the given cut instead of bootstrapping the full table;
   *    "latest" is resolved once and frozen in the stream's metadata
-  *    directory so restarts keep the same cut.
-  *  - a `followOnce`-driven table uses source LSNs as epoch ids; this
-  *    source uses Spark's own micro-batch ids — don't mix the two sync
-  *    mechanisms on one destination table.
-  *  - `.option("maxLsnsPerTrigger", n)` caps the LSN range per
+  *    directory so restarts keep the same cut. The cut applies only to
+  *    the attach-time snapshot; from there the stream tails by commit
+  *    version, so even late low-LSN arrivals AFTER attach are delivered.
+  *  - a `followOnce`-driven table uses consumed-source-versions as epoch
+  *    ids; this source uses Spark's own micro-batch ids — don't mix the
+  *    two sync mechanisms on one destination table.
+  *  - `.option("maxLsnsPerTrigger", n)` caps the LSN range per catch-up
   *    micro-batch (≈ an event cap for dense LSNs): a from-scratch
   *    bootstrap of a 10^10-event table arrives as bounded batches, not
   *    one table-sized one. Batches under a cut skip keys whose winner
   *    lies beyond it; the later batch covering the winner delivers them
   *    — the LWW composition reaches the identical final state.
+  *  - `.option("maxRowsPerTrigger", n)` caps the steady-state window by
+  *    cumulative arrival-file rows (version granularity, always at least
+  *    one version of progress) — bounds the post-downtime catch-up batch.
+  *  - legacy checkpoints from the LSN-cut era of this source resume
+  *    losslessly: their offsets are the catch-up form, so the first
+  *    batch finishes the pinned snapshot past the old cut, then the
+  *    stream switches to version windows.
   */
 class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     maxLsnsPerTrigger: Option[Long] = None,
-    startingLsn: Option[Long] = None)
+    startingLsn: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -93,25 +162,26 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     * re-serves the SAME json and never looks like new data. */
   @volatile private var lastKnown: Option[GraftOffset] = None
 
-  /** Target frozen by [[prepareForTriggerAvailableNow]]: an AvailableNow
-    * run drains up to here in rate-limited batches and then STOPS, even
-    * while writers keep committing. Outer None = not prepared (tail
-    * mode, chase the live high); Some(None) = prepared on an empty
-    * table — drain nothing and stop, do NOT fall back to chasing. */
-  @volatile private var preparedTarget: Option[Option[GraftOffset]] = None
+  /** Snapshot frozen by [[prepareForTriggerAvailableNow]]: an
+    * AvailableNow run drains up to here in rate-limited batches and then
+    * STOPS, even while writers keep committing. Outer None = not
+    * prepared (tail mode, chase the live snapshot); Some(None) =
+    * prepared on an empty table — drain nothing and stop, do NOT fall
+    * back to chasing. */
+  @volatile private var preparedTarget: Option[Option[Snapshot]] = None
 
-  private def liveTarget(): Option[GraftOffset] = {
-    val snap = table.snapshot
-    val high = table.highLsn(snap) // manifest stats only — no Spark job
-    if (high < 0) None else Some(GraftOffset(snap.version, high))
-  }
+  /** The live (or frozen) target snapshot; None when the table holds no
+    * data files — nothing to deliver, don't advance offsets. */
+  private def targetSnap(): Option[Snapshot] =
+    preparedTarget.getOrElse(Some(table.snapshot)).filter(_.files.nonEmpty)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    preparedTarget = Some(liveTarget())
+    preparedTarget = Some(Some(table.snapshot).filter(_.files.nonEmpty))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def reportLatestOffset(): OffsetV2 = liveTarget().orNull
+  override def reportLatestOffset(): OffsetV2 = targetSnap()
+    .map(s => GraftOffset(s.version, GraftOffset.VersionComplete)).orNull
 
   /** The engine's offset negotiation (it prefers this over the legacy
     * [[getOffset]] because the source declares admission control, and —
@@ -119,32 +189,73 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     * instead of wrapping it in a one-shot-getOffset wrapper that would
     * freeze a rate-limited cut as the final target).
     *
-    * Rate limit: cap the LSN range per micro-batch (≈ an event cap for
-    * dense LSNs) so a from-scratch bootstrap or a long catch-up becomes
-    * a sequence of bounded batches instead of one table-sized one. The
-    * cut stays pinned to the target's snapshot; a key whose winner lies
-    * beyond the cut is simply delivered in the later batch that covers
-    * the winner — LWW composition converges to the same final state.
-    * Returning `start` verbatim (json-equal) signals no new data, so
-    * metadata-only commits never trigger micro-batches. */
+    * Returning `start` verbatim (json-equal) signals no new data; a
+    * purely-metadata commit advances the offset once with an empty
+    * batch, then the stream re-quiesces. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val target = preparedTarget.getOrElse(liveTarget()).getOrElse(return start)
-    // a fresh stream (no checkpointed start) begins at startingLsn when
-    // given — attach-without-bootstrap, Delta's startingVersion analog;
-    // "latest" resolved at source creation. Default -1 = full copy.
-    val from = Option(start).map(GraftOffset.parse(_).lsn)
-      .orElse(startingLsn).getOrElse(-1L)
-    if (target.lsn <= from)
-      // quiet fresh stream with a startingLsn: hand the engine the cut
-      // itself as the first (empty) offset, so the checkpoint RECORDS
-      // the starting point — otherwise a restart re-resolves "latest"
-      // and silently skips everything committed in between
-      return if (start == null && startingLsn.isDefined)
-        GraftOffset(target.version, from)
-      else start
-    val cut = maxLsnsPerTrigger.fold(target.lsn)(m =>
-      math.min(target.lsn, from + m))
-    GraftOffset(target.version, cut)
+    val snap = targetSnap().getOrElse(return start)
+    Option(start).map(GraftOffset.parse) match {
+      case None =>
+        // fresh checkpoint: bootstrap the pinned snapshot's winners.
+        // startingLsn (attach-without-bootstrap, Delta's startingVersion
+        // analog; "latest" resolved/frozen at source creation) cuts ONLY
+        // this attach snapshot; later arrivals flow by commit version.
+        val high = table.highLsn(snap) // manifest stats only — no job
+        val from = startingLsn.getOrElse(-1L)
+        if (high <= from)
+          // nothing beyond the attach cut: seal the snapshot so the
+          // checkpoint RECORDS the starting point — otherwise a restart
+          // re-resolves "latest" and silently skips the gap
+          return GraftOffset(snap.version, GraftOffset.VersionComplete)
+        val cut = maxLsnsPerTrigger.fold(high)(m => math.min(high, from + m))
+        if (cut >= high) GraftOffset(snap.version, GraftOffset.VersionComplete)
+        else GraftOffset(snap.version, cut)
+      case Some(s) if !s.versionComplete =>
+        // catch-up pinned to s.version (also: checkpoints written by the
+        // LSN-cut era of this source resume here and seal losslessly)
+        val pin = if (snap.version == s.version) snap
+          else table.snapshotAt(s.version)
+        val high = table.highLsn(pin)
+        val cut = maxLsnsPerTrigger.fold(high)(m => math.min(high, s.lsn + m))
+        if (cut >= high) GraftOffset(s.version, GraftOffset.VersionComplete)
+        else GraftOffset(s.version, cut)
+      case Some(s) =>
+        // steady state: commit-version arrival windows
+        if (snap.version <= s.version) return start
+        GraftOffset(nextWindowEnd(snap, s.version),
+          GraftOffset.VersionComplete)
+    }
+  }
+
+  /** End version of the next arrival window after `sinceV` against the
+    * target snapshot. Splits BEFORE the first compaction fold deeper
+    * than `sinceV + 1` — the next window then starts exactly at the
+    * fold's parent version, where [[LakeTable.arrivalFiles]] proves the
+    * fold redundant and skips it (compaction never re-delivers the
+    * table). Under `maxRowsPerTrigger`, additionally caps the window by
+    * cumulative arrival-file rows at version granularity — always at
+    * least one version of progress, so rate-limited drains terminate.
+    * With no arrival files in range (metadata-only commits) the window
+    * runs to the target version: one empty batch, then quiescence. */
+  private def nextWindowEnd(snap: Snapshot, sinceV: Long): Long = {
+    val files = table.arrivalFiles(snap, sinceV)
+    var endV = snap.version
+    files.filter(f => f.fold && f.addedV > sinceV + 1).map(_.addedV)
+      .reduceOption(_ min _).foreach(fv => endV = math.min(endV, fv - 1))
+    maxRowsPerTrigger.foreach { cap =>
+      val perV = files.filter(f => f.addedV >= 0 && f.addedV <= endV)
+        .groupBy(_.addedV).view.mapValues(_.map(_.rows).sum)
+        .toSeq.sortBy(_._1)
+      var last = -1L; var tot = 0L; var stopped = false
+      perV.foreach { case (v, r) =>
+        if (!stopped) {
+          if (last < 0 || tot + r <= cap) { tot += r; last = v }
+          else stopped = true
+        }
+      }
+      if (stopped) endV = math.min(endV, last)
+    }
+    math.max(endV, sinceV + 1)
   }
 
   /** Legacy DSv1 negotiation — kept correct for direct users of the
@@ -161,19 +272,49 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endO = GraftOffset.parse(end)
-    if (lastKnown.forall(_.lsn < endO.lsn)) lastKnown = Some(endO)
-    val fromLsn = start.map(GraftOffset.parse(_).lsn)
-      .orElse(startingLsn).getOrElse(-1L)
+    if (lastKnown.forall(o => GraftOffset.isBeyond(endO, o)))
+      lastKnown = Some(endO)
+    GraftStreamShim.asStreamingBatch(
+      batchPlan(start.map(GraftOffset.parse), endO))
+  }
+
+  /** The plain (non-streaming-flagged) plan behind [[getBatch]] — split
+    * out so tests can execute a range directly. */
+  private[streaming] def batchPlan(startO: Option[GraftOffset],
+      endO: GraftOffset): DataFrame = {
     val snap = table.snapshotAt(endO.version)
-    val changes = table.readSince(fromLsn, asOf = Some(endO.version))
-      // the rate-limit cut (and, unlimited, a guard for files registered
-      // without LSN stats): under maxLsnsPerTrigger the end offset's LSN
-      // sits BELOW the pinned snapshot's high, and a key whose winner
-      // lies beyond the cut is deferred to the batch that covers it
-      .filter(col("__lsn") <= endO.lsn)
+    val changes =
+      if (!endO.versionComplete) {
+        // catch-up form: the pinned snapshot's winners in (from, end.lsn]
+        // — the LSN filter is the rate-limit cut (a key whose winner lies
+        // beyond it is deferred to the batch that covers the winner)
+        val from = startO.map(_.lsn).orElse(startingLsn).getOrElse(-1L)
+        table.readSince(from, asOf = Some(endO.version))
+          .filter(col("__lsn") <= endO.lsn)
+      } else startO match {
+        case None =>
+          // bootstrap sealed in one window: winners at the snapshot
+          table.readSince(startingLsn.getOrElse(-1L),
+            asOf = Some(endO.version))
+        case Some(s) if !s.versionComplete =>
+          // seal transition: finish the pinned snapshot past the last
+          // LSN cut, plus every arrival in commits after it (aligned to
+          // the arrival side's schema — evolution inside the window
+          // null-fills/upcasts the older half)
+          val arr = table.arrivalsSince(s.version, asOf = Some(endO.version))
+          LakeTable.align(
+              table.readSince(s.lsn, asOf = Some(s.version)), arr.schema)
+            .unionByName(arr)
+        case Some(s) =>
+          // steady state: the commit-version arrival window — raw
+          // arrivals (several rows per key possible; the merge sink's
+          // within-batch LWW resolves), tombstones included
+          table.arrivalsSince(s.version, asOf = Some(endO.version))
+      }
+    val out = changes
       .withColumnRenamed("__lsn", "lsn")
       .withColumnRenamed("__op", "op")
-    GraftStreamShim.asStreamingBatch(alignToStart(changes, snap))
+    alignToStart(out, snap)
   }
 
   /** Project a pinned-snapshot batch into the stream's declared schema.
@@ -316,6 +457,8 @@ class LakeTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val limit = parameters.get("maxLsnsPerTrigger").map(_.toLong)
     require(limit.forall(_ > 0), "maxLsnsPerTrigger must be positive")
+    val rowLimit = parameters.get("maxRowsPerTrigger").map(_.toLong)
+    require(rowLimit.forall(_ > 0), "maxRowsPerTrigger must be positive")
     // startingLsn: first batch of a FRESH checkpoint starts after this
     // cut instead of bootstrapping the full table; "latest" = tail only
     // changes committed from now on. The resolved value is PERSISTED in
@@ -328,7 +471,7 @@ class LakeTableSourceProvider extends StreamSourceProvider
       case "latest" => resolvedLatest(sqlContext, metadataPath, dir(parameters))
       case n => n.toLong
     }
-    new LakeTableSource(sqlContext, dir(parameters), limit, startLsn)
+    new LakeTableSource(sqlContext, dir(parameters), limit, startLsn, rowLimit)
   }
 
   /** Resolve `startingLsn=latest` exactly once per stream: first call

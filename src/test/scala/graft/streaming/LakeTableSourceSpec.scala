@@ -29,6 +29,10 @@ class LakeTableSourceSpec extends SparkSpec {
     t.read().select("conv_id", "turn_idx", "text").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
 
+  /** LSNs of one offset range, via the source's plain batch plan. */
+  private def lsns(df: DataFrame): Set[Long] =
+    df.select("lsn").collect().map(_.getLong(0)).toSet
+
   /** Drain the source into dst via foreachBatch-merge on one checkpoint;
     * returns the MergeResults of the batches this run processed. */
   private def drain(srcDir: String, dst: LakeTable,
@@ -309,7 +313,106 @@ class LakeTableSourceSpec extends SparkSpec {
     val o = restarted.getOffset
     assert(o.nonEmpty,
       "restart re-resolved 'latest' to the live high and skipped the gap")
-    assert(GraftOffset.parse(o.get).lsn == 3L)
+    val g = GraftOffset.parse(o.get)
+    assert(g.versionComplete && g.version == src.snapshot.version)
+    // and the first batch delivers exactly the gap (lsn 3), not history
+    val rows = lsns(restarted.asInstanceOf[LakeTableSource]
+      .batchPlan(None, GraftOffset.parse(o.get)))
+    assert(rows == Set(3L), s"expected only the gap row, got $rows")
+  }
+
+  test("arrival below the consumed LSN high water still reaches the stream") {
+    // the hazard that retired the LSN-cut design: a key whose WINNING
+    // event arrives in a later commit carrying an LSN below the already-
+    // consumed high water sits in no `__lsn > cut` range — an LSN-cut
+    // source loses it forever; the commit-version window cannot
+    val srcDir = tmpDir("lts-ooo")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-ooo-dst"), Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-ooo-ckpt")
+    MergeApply.merge(src, batch(Seq((100L, "U", "c1", 0, "first"))), 0L, MergeConfig())
+    drain(srcDir, dst, ckpt) // consumed high water is now 100
+    // late arrival: NEW key, LSN far below 100
+    MergeApply.merge(src, batch(Seq((50L, "U", "c2", 0, "late-low-lsn"))), 1L, MergeConfig())
+    drain(srcDir, dst, ckpt)
+    assert(state(dst) == state(src))
+    assert(state(dst).exists(_._1 == "c2"), "late low-LSN arrival was lost")
+  }
+
+  test("compaction between micro-batches re-delivers nothing") {
+    val srcDir = tmpDir("lts-fold")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-fold-dst"), Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-fold-ckpt")
+    MergeApply.merge(src, batch((1 to 8).map(i =>
+      (i.toLong, "U", s"k$i", 0, s"v$i"))), 0L,
+      MergeConfig(writeMode = "mor"))
+    drain(srcDir, dst, ckpt)
+    assert(state(dst).size == 8)
+
+    // a fold alone: the window starting at its parent skips it outright
+    MergeApply.compactBuckets(src, src.snapshot.files.map(_.bucket).toSet)
+    val foldOnly = drain(srcDir, dst, ckpt)
+    assert(foldOnly.map(_.rowsApplied).sum == 0,
+      s"fold re-delivered rows: $foldOnly")
+
+    // arrivals + a DEEPER fold in the same downtime: the source must
+    // split the window before the fold — total delivered rows equal the
+    // new batch alone, never the folded table
+    MergeApply.merge(src, batch(Seq((9L, "U", "k9", 0, "v9"))), 1L,
+      MergeConfig(writeMode = "mor"))
+    MergeApply.compactBuckets(src, src.snapshot.files.map(_.bucket).toSet)
+    val catchUp = drain(srcDir, dst, ckpt)
+    assert(catchUp.map(_.rowsApplied).sum == 1,
+      s"expected exactly the new row, got $catchUp")
+    assert(state(dst) == state(src))
+  }
+
+  test("legacy LSN-cut checkpoints resume losslessly (catch-up offsets seal)") {
+    val srcDir = tmpDir("lts-legacy")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    MergeApply.merge(src, batch(Seq(
+      (1L, "U", "a", 0, "x"), (2L, "U", "b", 0, "y"),
+      (3L, "U", "c", 0, "z"))), 0L, MergeConfig())
+    val v1 = src.snapshot.version
+    MergeApply.merge(src, batch(Seq((4L, "U", "d", 0, "w"))), 1L, MergeConfig())
+
+    val s = new LakeTableSourceProvider()
+      .createSource(spark.sqlContext, "", None, "graft-table",
+        Map("path" -> srcDir)).asInstanceOf[LakeTableSource]
+    // a checkpoint written by the LSN-cut era: winners of v1 delivered
+    // through LSN 2 (mid-snapshot rate-limit cut)
+    val legacy = GraftOffset(v1, 2L)
+    assert(!legacy.versionComplete)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val sealedO = GraftOffset.parse(s.latestOffset(legacy, ReadLimit.allAvailable()))
+    assert(sealedO == GraftOffset(v1, GraftOffset.VersionComplete))
+    // the transition batch finishes v1 past the cut AND the later commit
+    val rows = lsns(s.batchPlan(Some(legacy), sealedO))
+    assert(rows == Set(3L), s"transition must finish the pinned snapshot, got $rows")
+    val next = GraftOffset.parse(s.latestOffset(sealedO, ReadLimit.allAvailable()))
+    val tail = lsns(s.batchPlan(Some(sealedO), next))
+    assert(tail == Set(4L), s"version window must deliver the later commit, got $tail")
+  }
+
+  test("maxRowsPerTrigger bounds steady-state catch-up windows by version") {
+    val srcDir = tmpDir("lts-rows")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    val dst = LakeTable.createTable(spark, tmpDir("lts-rows-dst"), Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-rows-ckpt")
+    MergeApply.merge(src, batch(Seq((1L, "U", "k0", 0, "v0"))), 0L, MergeConfig())
+    drain(srcDir, dst, ckpt, Map("maxRowsPerTrigger" -> "4"))
+    // downtime: four commits of 3 rows each land
+    (1 to 4).foreach { c =>
+      MergeApply.merge(src, batch((0 until 3).map(i =>
+        ((c * 10 + i).toLong, "U", s"k$c-$i", 0, "v"))), c.toLong, MergeConfig())
+    }
+    val runs = drain(srcDir, dst, ckpt, Map("maxRowsPerTrigger" -> "4"))
+    val data = runs.filter(_.rowsApplied > 0)
+    assert(data.size >= 3, s"expected a bounded multi-batch catch-up, got $runs")
+    assert(data.forall(_.rowsApplied <= 4), s"window exceeded the row cap: $runs")
+    assert(state(dst) == state(src))
+    assert(state(dst).size == 13)
   }
 
   test("metadata-only commits never deliver data rows downstream") {
