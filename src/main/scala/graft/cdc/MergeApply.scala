@@ -675,6 +675,108 @@ object MergeApply {
     table.commit(snap, files, buckets, None, Some(entry))
   }
 
+  /** Change the table's bucket count — partition-layout evolution, the
+    * lever that keeps per-bucket work bounded as a table grows 1000×
+    * (Iceberg's partition-spec evolution; a 10^10-row table created with
+    * 32 buckets holds ~3·10^8 rows per bucket — every bucket-sized unit
+    * of work, compaction, MoR resolve, COW rewrite, has outgrown memory
+    * and must be re-split). Rewrites the whole table once (the
+    * operation's intrinsic cost) into `newN` hash buckets of the SAME
+    * key function, folding to per-key winners — tombstones retained, a
+    * tombstone may still out-LSN a late arrival — and commits with a
+    * RESET manifest and the new bucket count; old snapshots stay
+    * readable under their own layout (nBuckets is per-snapshot).
+    *
+    * Plan shape: for ALIGNED growth (`newN % oldN == 0`, the production
+    * path — always grow by an integer factor) `h mod oldN = b` pins
+    * `h mod newN` to `{b, b+oldN, …}`, so each OLD bucket fans out into
+    * its own k = newN/oldN NEW buckets and no other: one independent
+    * bucket-sized job per old bucket from a bounded driver pool (the
+    * compaction plan shape) — NO global exchange, bounded task memory,
+    * disjoint output dirs by construction. Any other `newN` falls back
+    * to one table-wide bucket exchange over the folded winners.
+    *
+    * Concurrency: bucket-layout edits are serialized by the commit
+    * protocol — a concurrent writer's commit built in the old space
+    * fails with [[graft.lake.CommitConflictException]] and must
+    * recompute (its bucket ids are stale), and this rebucket likewise
+    * conflicts if anything lands under it. Change consumers are
+    * unaffected: the new files are pure rewrites (`fold = true`), so a
+    * window starting at the rebucket's parent skips them outright and
+    * the streaming source's fold-splitting never re-delivers the table.
+    */
+  def rebucket(table: LakeTable, newN: Int,
+      cfg: MergeConfig = MergeConfig()): Snapshot = {
+    val snap = table.snapshot
+    require(newN > 0, s"bucket count must be positive, got $newN")
+    if (newN == snap.nBuckets) return snap
+    val spark = table.spark
+    val outDir = s"${table.dir}/data/rebucket-${snap.version + 1}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val want = LakeTable.withMeta(snap.userSchema)
+    val hfs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    def readGroup(group: Seq[graft.lake.DataFileEntry]): DataFrame =
+      group.groupBy(_.schemaVersion).map { case (sv, g) =>
+        val fileSchema = LakeTable.withMeta(snap.schemaAt(sv))
+        LakeTable.align(
+          spark.read.schema(fileSchema).parquet(g.map(_.path): _*), want)
+      }.reduce(_ unionByName _)
+    def foldToNew(raw: DataFrame): DataFrame = {
+      val payload = raw.columns.toSeq
+      raw.groupBy(KEY.map(col): _*)
+        .agg(max_by(struct(payload.map(col): _*), col("__lsn")).as("__r"))
+        .select(col("__r.*"))
+        .withColumn("__bucket", LakeTable.bucketExpr(newN))
+    }
+
+    val newFiles: Seq[graft.lake.DataFileEntry] =
+      if (snap.files.isEmpty) Seq.empty
+      else if (newN % snap.nBuckets == 0) {
+        val perBucket = snap.files.groupBy(_.bucket)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(math.max(1, cfg.compactParallelism), perBucket.size))
+        try {
+          perBucket.toSeq.map { case (b, group) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                // stage under a per-job dir, then promote the new-bucket
+                // dirs (exclusively this job's — the fan-out sets are
+                // disjoint across old buckets) to the shared root
+                val tmp = new org.apache.hadoop.fs.Path(s"$outDir/stage-$b")
+                foldToNew(readGroup(group)).write
+                  .partitionBy("__bucket").mode("overwrite")
+                  .parquet(tmp.toString)
+                hfs.listStatus(tmp)
+                  .filter(_.getPath.getName.startsWith("__bucket="))
+                  .foreach { d =>
+                    if (!hfs.rename(d.getPath, new org.apache.hadoop.fs
+                        .Path(outDir, d.getPath.getName)))
+                      sys.error(s"could not promote ${d.getPath}")
+                  }
+                hfs.delete(tmp, true): Unit
+              }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+        listDataFiles(spark, outDir, snap.currentSchemaVersion, "base")
+      } else {
+        // misaligned target: one table-wide bucket exchange
+        val folded = foldToNew(table.readRawSnap(snap, None))
+        val totalRows = snap.files.map(_.rows).sum
+        val salt = math.max(1L, (totalRows / math.max(1, newN) +
+          cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
+        writeBuckets(table, folded, salt, snap)
+      }
+
+    val stamped = newFiles.map(_.copy(rewrite = true, fold = true))
+    val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
+      stamped.map(_.bucket).distinct.sorted, stamped.size, 0, -1L, "", 0L)
+    table.commit(snap, stamped, snap.files.map(_.bucket).toSet, None,
+      Some(entry), newNBuckets = Some(newN))
+  }
+
   /** Insert-only fast path (≈ the reference's Express-Loader bulk append,
     * reference: engine/post_processors.py:18-63, and `method='insert'`,
     * reference: engine/wprdc_etl/pipeline/loaders.py:370): write the batch

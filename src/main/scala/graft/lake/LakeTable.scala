@@ -500,13 +500,14 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       lineage: Option[LineageEntry],
       schemaUpdate: Option[(Int, StructType)] = None,
       newColumnDocs: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Snapshot = {
+      txn: Option[(String, Long)] = None,
+      newNBuckets: Option[Int] = None): Snapshot = {
     var attemptBase = base
     var attempts = 0
     var committed: Snapshot = null
     while (committed == null) {
       try committed = commitOnce(attemptBase, newFiles, replacedBuckets,
-        epochId, lineage, schemaUpdate, newColumnDocs, txn)
+        epochId, lineage, schemaUpdate, newColumnDocs, txn, newNBuckets)
       catch {
         case e: java.io.IOException
             if versionTaken(attemptBase.version + 1) =>
@@ -517,7 +518,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
           attemptBase = awaitBaseBeyond(attemptBase.version) match {
             case Some(nb) =>
               rebase(attemptBase, nb, replacedBuckets, epochId,
-                schemaUpdate, txn)
+                schemaUpdate, txn, newNBuckets)
             // the blocking version file was a torn crash leftover and was
             // reclaimed: retry on the SAME base — the create-if-absent
             // will now succeed
@@ -607,7 +608,17 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   private def rebase(base: Snapshot, nb: Snapshot,
       replacedBuckets: Set[Int], epochId: Option[Long],
       schemaUpdate: Option[(Int, StructType)],
-      txn: Option[(String, Long)] = None): Snapshot = {
+      txn: Option[(String, Long)] = None,
+      newNBuckets: Option[Int] = None): Snapshot = {
+    // bucket-layout edits are serialized, both ways: a commit built in
+    // the OLD bucket space carries stale bucket ids (even a pure MoR
+    // delta append would land files under the wrong layout), and a
+    // rebucket built under a concurrent writer would lose its rows
+    if (newNBuckets.nonEmpty || nb.nBuckets != base.nBuckets)
+      throw new CommitConflictException(
+        s"bucket layout changed concurrently (v${base.version} -> " +
+          s"v${nb.version}) — bucket-count edits are serialized, " +
+          "recompute from current")
     epochId.filter(nb.isCommitted).foreach { e =>
       throw new EpochSupersededException(
         s"epoch $e was committed by a concurrent writer (table now at v${nb.version})")
@@ -638,19 +649,28 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       lineage: Option[LineageEntry],
       schemaUpdate: Option[(Int, StructType)],
       newColumnDocs: Map[String, String],
-      txn: Option[(String, Long)] = None): Snapshot = {
+      txn: Option[(String, Long)] = None,
+      newNBuckets: Option[Int] = None): Snapshot = {
     val v = base.version + 1
     // stamp arrival: this attempt's version (a rebase retry re-stamps)
     val stamped = newFiles.map(_.copy(addedV = v))
-    val carried = base.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    // a bucket-count change rewrites the whole table: nothing carries
+    val carried =
+      if (newNBuckets.nonEmpty) Seq.empty
+      else base.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val liveFiles = carried ++ stamped
 
     var manifests = base.manifests
     var unpublished = "" // delta manifest written this commit, pre-publish
     if (stamped.nonEmpty || replacedBuckets.nonEmpty) {
       unpublished = if (stamped.nonEmpty) writeManifest(stamped, v) else ""
-      manifests = manifests :+ ManifestRef(unpublished, stamped.size,
-        replacedBuckets.toSeq.sorted)
+      // a rebucket manifest RESETS: bucket ids change spaces at this
+      // commit, so earlier manifests' replacement lists no longer apply
+      manifests =
+        if (newNBuckets.nonEmpty)
+          Seq(ManifestRef(unpublished, stamped.size, Nil, reset = true))
+        else manifests :+ ManifestRef(unpublished, stamped.size,
+          replacedBuckets.toSeq.sorted)
     }
     if (manifests.size > manifestCompactThreshold) {
       // consolidate: one reset manifest holding the resolved live set
@@ -689,6 +709,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
     val snap = base.copy(
       version = v,
+      nBuckets = newNBuckets.getOrElse(base.nBuckets),
       manifests = manifests,
       files = liveFiles,
       epochWatermark = newWm,
@@ -1032,10 +1053,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       s"changeFeed window is backwards: from v${fromSnap.version} " +
         s"to v${toSnap.version}")
     val arrFiles = arrivalFiles(toSnap, fromSnap.version)
-    val touched = arrFiles.map(_.bucket).toSet
     // winner among the window's arrivals per key — O(arrivals)
     val arrW = lwwResolve(readFiles(toSnap, arrFiles), toSnap.nBuckets)
-    // pre state (winners incl. tombstones) of the touched buckets
+    // pre state (winners incl. tombstones) of the touched buckets; when
+    // the window crosses a rebucket the arrival files' bucket ids live
+    // in the NEW space — meaningless against fromSnap — so the pre side
+    // falls back to all buckets (rare: rebucket is a whole-table event)
+    val touched =
+      if (fromSnap.nBuckets == toSnap.nBuckets)
+        arrFiles.map(_.bucket).toSet
+      else fromSnap.files.map(_.bucket).toSet
     val preRaw = readRawSnap(fromSnap,
       Some(touched.intersect(fromSnap.files.map(_.bucket).toSet)))
     val preResolved =
