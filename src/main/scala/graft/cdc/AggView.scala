@@ -134,18 +134,24 @@ object AggView {
   private def full(src: LakeTable, dst: LakeTable,
       sums: Seq[(String, Column)], fromV: Long, toV: Long,
       mcfg: MergeConfig): AggViewResult = {
-    val fresh = viewRows(src.read(asOf = Some(toV)), sums, toV)
-    val viewSchema = dst.snapshot.userSchema
-    val stale = dst.read()
-      .join(fresh.select("conv_id"), Seq("conv_id"), "left_anti")
-      .select(
-        lit(toV).as("lsn") +: lit("D").as("op") +:
-          col("conv_id") +: lit(0).cast(IntegerType).as("turn_idx") +:
-          viewSchema.fields.filter(f =>
-            f.name != "conv_id" && f.name != "turn_idx")
-            .map(f => lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
-    val res = MergeApply.merge(dst, fresh.unionByName(stale), toV, mcfg)
-    AggViewResult(res.applied, "full", fromV, toV, res.rowsInBatch, Some(res))
+    // persist: the full-source aggregate feeds the batch TWICE (its own
+    // upsert rows + the stale-key anti-join) and merge runs more than
+    // one action over the batch — without it the source scan+aggregate
+    // would re-execute up to 4x per full refresh
+    val fresh = viewRows(src.read(asOf = Some(toV)), sums, toV).persist()
+    try {
+      val viewSchema = dst.snapshot.userSchema
+      val stale = dst.read()
+        .join(fresh.select("conv_id"), Seq("conv_id"), "left_anti")
+        .select(
+          lit(toV).as("lsn") +: lit("D").as("op") +:
+            col("conv_id") +: lit(0).cast(IntegerType).as("turn_idx") +:
+            viewSchema.fields.filter(f =>
+              f.name != "conv_id" && f.name != "turn_idx")
+              .map(f => lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      val res = MergeApply.merge(dst, fresh.unionByName(stale), toV, mcfg)
+      AggViewResult(res.applied, "full", fromV, toV, res.rowsInBatch, Some(res))
+    } finally fresh.unpersist()
   }
 
   /** Change-feed maintenance: signed per-key deltas, old values from a

@@ -636,19 +636,13 @@ object MergeApply {
     val perBucket: Map[Int, Seq[DataFileEntry]] = snap.files
       .filter(f => buckets.contains(f.bucket)).groupBy(_.bucket)
     if (perBucket.isEmpty) return snap
-    val want = LakeTable.withMeta(snap.userSchema)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(math.max(1, cfg.compactParallelism), perBucket.size))
     try {
       perBucket.toSeq.map { case (b, fs) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = {
-            val raw = fs.groupBy(_.schemaVersion).map { case (sv, g) =>
-              val fileSchema = LakeTable.withMeta(snap.schemaAt(sv))
-              LakeTable.align(
-                spark.read.schema(fileSchema).parquet(g.map(_.path): _*),
-                want)
-            }.reduce(_ unionByName _)
+            val raw = table.readFiles(snap, fs)
             val payload = raw.columns.toSeq
             val folded = raw.groupBy(KEY.map(col): _*)
               .agg(max_by(struct(payload.map(col): _*), col("__lsn"))
@@ -713,16 +707,11 @@ object MergeApply {
     val spark = table.spark
     val outDir = s"${table.dir}/data/rebucket-${snap.version + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    val want = LakeTable.withMeta(snap.userSchema)
     val hfs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
     def readGroup(group: Seq[graft.lake.DataFileEntry]): DataFrame =
-      group.groupBy(_.schemaVersion).map { case (sv, g) =>
-        val fileSchema = LakeTable.withMeta(snap.schemaAt(sv))
-        LakeTable.align(
-          spark.read.schema(fileSchema).parquet(g.map(_.path): _*), want)
-      }.reduce(_ unionByName _)
+      table.readFiles(snap, group)
     def foldToNew(raw: DataFrame): DataFrame = {
       val payload = raw.columns.toSeq
       raw.groupBy(KEY.map(col): _*)

@@ -655,9 +655,23 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     // stamp arrival: this attempt's version (a rebase retry re-stamps)
     val stamped = newFiles.map(_.copy(addedV = v))
     // a bucket-count change rewrites the whole table: nothing carries
-    val carried =
+    val carried0 =
       if (newNBuckets.nonEmpty) Seq.empty
       else base.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    // one-time upgrade: entries from pre-addedV manifests (addedV < 0)
+    // would otherwise be RE-delivered in every change window forever —
+    // O(table) per window, exempt from row caps. Stamp them here as a
+    // fold at this commit (their content is exactly rows live at the
+    // parent version, the same contract as a compaction fold: consumers
+    // at the parent skip them, consumers further behind absorb them once
+    // as idempotent re-upserts) and force manifest consolidation below
+    // so the stamp persists across reloads.
+    val hadUnstamped = carried0.exists(_.addedV < 0)
+    val carried =
+      if (!hadUnstamped) carried0
+      else carried0.map(f =>
+        if (f.addedV >= 0) f
+        else f.copy(addedV = v, rewrite = true, fold = true))
     val liveFiles = carried ++ stamped
 
     var manifests = base.manifests
@@ -672,7 +686,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         else manifests :+ ManifestRef(unpublished, stamped.size,
           replacedBuckets.toSeq.sorted)
     }
-    if (manifests.size > manifestCompactThreshold) {
+    if (manifests.size > manifestCompactThreshold || hadUnstamped) {
       // consolidate: one reset manifest holding the resolved live set
       manifests = Seq(ManifestRef(writeManifest(liveFiles, v),
         liveFiles.size, Nil, reset = true))
@@ -803,8 +817,10 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   }
 
   /** Scan an explicit file subset of a snapshot, grouped by schema version
-    * and projected to the current user schema (+meta). */
-  private def readFiles(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    * and projected to the current user schema (+meta). The ONE place that
+    * knows how to read evolved files — compaction and rebucket call it
+    * too, so a schema-evolution rule change lands everywhere at once. */
+  private[graft] def readFiles(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
     val want = withMeta(snap.userSchema)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -963,7 +979,11 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * version `sinceV`: exact files (`!rewrite`, stamped `addedV`) contain
     * only their commit's arrivals; rewrite files (compaction folds, COW
     * bucket rewrites) and pre-`addedV` manifests contain carried-over
-    * rows too — a superset the consumer must absorb. One provable
+    * rows too — a superset the consumer must absorb. The pre-`addedV`
+    * case (`addedV < 0`) is BOUNDED: the first commit after upgrade
+    * stamps every unstamped entry as a fold at that commit (see
+    * [[commitOnce]]), so the conservative every-window inclusion here
+    * only lasts until the table is written once. One provable
     * exclusion: a compaction fold committed at exactly `sinceV + 1` is a
     * state-neutral rewrite of rows live at `sinceV` — all already inside
     * the consumer's watermark — so it is skipped outright (the Iceberg

@@ -116,12 +116,12 @@ object DedupIndex {
     * either way. */
   def round(spark: SparkSession, dir: String, newDocs: DataFrame,
       tau: Double = 0.5): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir match {
-        case d if d.contains("://") => d
-        case d => s"file://$d"
-      }),
-      spark.sparkContext.hadoopConfiguration)
+    // resolve scheme-less paths through the DEFAULT filesystem — the
+    // same one Spark's parquet reader/writer uses for `dir` below.
+    // Forcing file:// here would probe local disk while the index lives
+    // on the cluster store, silently disabling cross-batch dedup.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bandsPath = s"$dir/bands"
     val sigsPath = s"$dir/sigs"
     val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(bandsPath))

@@ -143,14 +143,21 @@ object JobRunner {
   /** MERGE-envelope derivation for the Lake destination. The lake's
     * native key is (conv_id: string, turn_idx: int); a feed whose
     * `keyFields` already ARE those columns maps through unchanged. Any
-    * other primary key is packed: conv_id = the key values joined with
-    * the `\\u0001` control separator (never legal in CSV-extracted
-    * text), turn_idx = 0, with the original columns kept as payload.
-    * NULL key components render as a `\\u0001`-prefixed sentinel —
-    * `concat_ws` alone SKIPS nulls, which would collapse the distinct
-    * composite keys (null, "x") and ("x", null) into one MERGE key and
-    * silently drop a row. Hash-bucketing, LWW and the epoch guard then
-    * work identically for any feed. */
+    * other primary key is packed injectively: each component is
+    * prefix-tagged (`n` = NULL, `v` + value otherwise — `concat_ws`
+    * alone SKIPS nulls, which would collapse the distinct composite
+    * keys (null, "x") and ("x", null) into one MERGE key and silently
+    * drop a row), the value has both control characters escaped
+    * (`\\u0000` as the escape lead), and the tagged components are
+    * joined on `\\u0001`. Escaping matters beyond CSV: the same
+    * envelope serves the JSON/GeoJSON extractors, where a literal
+    * `\\u0001` inside a key value is legal — unescaped it would make
+    * distinct composites like ("x\\u0001y","z") and ("x","y\\u0001z")
+    * pack to one key and silently drop a row. A left-to-right scan in
+    * which `\\u0000` always consumes the next character decodes the
+    * packing uniquely, so distinct key tuples always yield distinct
+    * conv_ids. Hash-bucketing, LWW and the epoch guard then work
+    * identically for any feed. */
   private def envelope(df: DataFrame, keyFields: Seq[String],
       epoch: Long): DataFrame = {
     require(keyFields.nonEmpty, "Lake destination requires keyFields")
@@ -162,8 +169,11 @@ object JobRunner {
         .withColumn("turn_idx", col("turn_idx").cast(IntegerType))
       else df
         .withColumn("conv_id",
-          concat_ws("\u0001", keyFields.map(f =>
-            coalesce(col(f).cast(StringType), lit("\u0001\u0000"))): _*))
+          concat_ws("\u0001", keyFields.map { f =>
+            val v = col(f).cast(StringType)
+            when(v.isNull, lit("n")).otherwise(concat(lit("v"),
+              regexp_replace(v, "([\u0000\u0001])", "\u0000$1")))
+          }: _*))
         .withColumn("turn_idx", lit(0))
     keyed
       .withColumn("lsn", lit(epoch))

@@ -121,8 +121,12 @@ object GraftOffset {
   *    after the given cut instead of bootstrapping the full table;
   *    "latest" is resolved once and frozen in the stream's metadata
   *    directory so restarts keep the same cut. The cut applies only to
-  *    the attach-time snapshot; from there the stream tails by commit
-  *    version, so even late low-LSN arrivals AFTER attach are delivered.
+  *    the attach-time snapshot — the attach VERSION is frozen beside the
+  *    cut, and bootstrap pins it, so a commit landing between attach and
+  *    the first trigger is delivered as a version-window arrival even
+  *    when its LSNs sit below the cut. From there the stream tails by
+  *    commit version, so late low-LSN arrivals AFTER attach are
+  *    delivered.
   *  - a `followOnce`-driven table uses consumed-source-versions as epoch
   *    ids; this source uses Spark's own micro-batch ids — don't mix the
   *    two sync mechanisms on one destination table.
@@ -143,7 +147,8 @@ object GraftOffset {
 class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     maxLsnsPerTrigger: Option[Long] = None,
     startingLsn: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    attachVersion: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -199,17 +204,24 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
         // fresh checkpoint: bootstrap the pinned snapshot's winners.
         // startingLsn (attach-without-bootstrap, Delta's startingVersion
         // analog; "latest" resolved/frozen at source creation) cuts ONLY
-        // this attach snapshot; later arrivals flow by commit version.
-        val high = table.highLsn(snap) // manifest stats only — no job
+        // the ATTACH snapshot — frozen by version at source creation,
+        // NOT the first-trigger snapshot: a commit landing between
+        // attach and the first trigger may carry an out-of-order LSN
+        // BELOW the frozen cut, and cutting the newer snapshot would
+        // drop it from every window forever. Pinning the attach version
+        // delivers it as a commit-version arrival instead.
+        val pin = attachVersion.filter(_ < snap.version)
+          .map(table.snapshotAt).getOrElse(snap)
+        val high = table.highLsn(pin) // manifest stats only — no job
         val from = startingLsn.getOrElse(-1L)
         if (high <= from)
           // nothing beyond the attach cut: seal the snapshot so the
           // checkpoint RECORDS the starting point — otherwise a restart
           // re-resolves "latest" and silently skips the gap
-          return GraftOffset(snap.version, GraftOffset.VersionComplete)
+          return GraftOffset(pin.version, GraftOffset.VersionComplete)
         val cut = maxLsnsPerTrigger.fold(high)(m => math.min(high, from + m))
-        if (cut >= high) GraftOffset(snap.version, GraftOffset.VersionComplete)
-        else GraftOffset(snap.version, cut)
+        if (cut >= high) GraftOffset(pin.version, GraftOffset.VersionComplete)
+        else GraftOffset(pin.version, cut)
       case Some(s) if !s.versionComplete =>
         // catch-up pinned to s.version (also: checkpoints written by the
         // LSN-cut era of this source resume here and seal losslessly)
@@ -468,25 +480,39 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // live table would silently skip everything committed while batch 0
     // sat unfinished in the offset log.
     val startLsn = parameters.get("startingLsn").map {
-      case "latest" => resolvedLatest(sqlContext, metadataPath, dir(parameters))
+      case "latest" => resolveOnce(sqlContext, metadataPath,
+        "graft-starting-lsn") {
+          val t = LakeTable.load(sqlContext.sparkSession, dir(parameters))
+          t.highLsn(t.snapshot)
+        }
       case n => n.toLong
     }
-    new LakeTableSource(sqlContext, dir(parameters), limit, startLsn, rowLimit)
+    // the attach VERSION is frozen with the cut: the cut applies only to
+    // the attach-time snapshot, so bootstrap must pin that snapshot —
+    // cutting whatever snapshot the first trigger happens to see would
+    // permanently lose a low-LSN out-of-order arrival committed between
+    // attach and trigger one (and batch-0 replay determinism needs the
+    // same pin on every restart, same argument as the frozen cut).
+    val attachV = startLsn.map { _ =>
+      resolveOnce(sqlContext, metadataPath, "graft-attach-version") {
+        LakeTable.load(sqlContext.sparkSession, dir(parameters))
+          .snapshot.version
+      }
+    }
+    new LakeTableSource(sqlContext, dir(parameters), limit, startLsn,
+      rowLimit, attachV)
   }
 
-  /** Resolve `startingLsn=latest` exactly once per stream: first call
-    * writes the live high LSN under the stream's metadata path
-    * (create-if-absent = the arbiter); every later call — including
-    * after a restart — reads that value back. Direct Source-API users
-    * with no metadata path get a live resolve (single-instance use). */
-  private def resolvedLatest(sqlContext: SQLContext, metadataPath: String,
-      tableDir: String): Long = {
-    def live: Long = {
-      val t = LakeTable.load(sqlContext.sparkSession, tableDir)
-      t.highLsn(t.snapshot)
-    }
+  /** Resolve a per-stream value exactly once: first call writes `live`
+    * under the stream's metadata path (create-if-absent = the arbiter);
+    * every later call — including after a restart — reads that value
+    * back. Used to freeze `startingLsn=latest` and the attach version.
+    * Direct Source-API users with no metadata path get a live resolve
+    * (single-instance use). */
+  private def resolveOnce(sqlContext: SQLContext, metadataPath: String,
+      name: String)(live: => Long): Long = {
     if (metadataPath == null || metadataPath.isEmpty) return live
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-lsn")
+    val p = new org.apache.hadoop.fs.Path(metadataPath, name)
     val fs = p.getFileSystem(
       sqlContext.sparkSession.sessionState.newHadoopConf())
     def read(): Long = {
@@ -506,7 +532,7 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // destination there. Either way the loser defers to the winner's
     // complete value, and the temp is reclaimed on every exit path.
     val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-      s"graft-starting-lsn.tmp-${java.util.UUID.randomUUID()}")
+      s"$name.tmp-${java.util.UUID.randomUUID()}")
     fs.mkdirs(p.getParent)
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]

@@ -51,6 +51,53 @@ class SnapshotBoundsSpec extends SparkSpec {
       s"snapshot not flat: $sizeAt260 -> $sizeNow bytes over 40 commits")
   }
 
+  test("pre-addedV manifest entries are stamped once, not re-delivered forever") {
+    // upgrade path: a table whose manifests predate the addedV field
+    // reads every entry as addedV = -1 — conservatively in EVERY change
+    // window. The first commit must stamp them as a fold (content = rows
+    // live at the parent), force manifest consolidation so the stamp
+    // survives reload, and thereafter windows are O(new data) again.
+    val dir = tmpDir("pre-addedv")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 2)
+    val cfg = GenConfig(nEvents = 40L, nConvs = 8L, seed = 7L)
+    val log = ChangeLogGen.changeLogDF(spark, cfg)
+    MergeApply.merge(t, log.limit(20), 0L)
+    MergeApply.merge(t, log, 1L)
+    val vBefore = t.snapshot.version
+    val stateBefore = t.read().collect().map(_.toString).sorted.toSeq
+    // simulate the pre-upgrade era: strip the stamps from every manifest
+    val mdir = new java.io.File(s"$dir/_snapshots/manifests")
+    mdir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      java.nio.file.Files.write(f.toPath,
+        txt.replaceAll("\"addedV\":\\d+", "\"addedV\":-1").getBytes("UTF-8"))
+      // drop the LocalFileSystem checksum sidecar the raw edit invalidated
+      new java.io.File(mdir, s".${f.getName}.crc").delete()
+    }
+    val t2 = LakeTable.load(spark, dir) // fresh manifest cache
+    assert(t2.snapshot.files.forall(_.addedV < 0))
+    // the pathology this guards: unstamped entries sit in EVERY window
+    assert(t2.arrivalsSince(vBefore).count() > 0)
+    // one ordinary commit stamps the carried set and consolidates
+    val epoch2 = log.limit(20)
+    MergeApply.merge(t2, epoch2, 2L)
+    val t3 = LakeTable.load(spark, dir)
+    assert(t3.snapshot.files.forall(_.addedV >= 0),
+      "stamp did not survive reload — consolidation missing")
+    val vAfter = t3.snapshot.version
+    // consumer AT the stamping commit's parent: the fold rule skips the
+    // stamped carriers outright — the window holds only epoch 2's own
+    // delta, not the whole table
+    val w = t3.arrivalsSince(vAfter - 1).count()
+    assert(w > 0 && w <= epoch2.count(),
+      s"stamped carriers leaked into the parent window ($w rows)")
+    // and once consumed, windows are empty again — no forever re-delivery
+    assert(t3.arrivalsSince(vAfter).count() == 0)
+    // a consumer further behind absorbs the carriers once as idempotent
+    // re-upserts; table state is untouched
+    assert(t3.read().collect().map(_.toString).sorted.toSeq == stateBefore)
+  }
+
   test("out-of-order epochs park in the recent-set until contiguity absorbs them") {
     val t = LakeTable.createTable(spark, tmpDir("bounds-ooo"), Schemas.transcript, 4)
     Seq(0, 5, 2).foreach(i => t.commit(t.snapshot,

@@ -61,9 +61,10 @@ class JobRunnerSpec extends SparkSpec {
     assert(got.length == 3)
     val byId = got.map(r => r.getAs[String]("conv_id") ->
       (r.getAs[String]("breed"), r.getAs[String]("color"))).toMap
-    assert(byId("1") == (("HUSKY", "grey")))
-    assert(byId("4") == (("POODLE", "unknown")))
-    assert(!byId.contains("2"), "filtered row must not load")
+    // packed keys carry the injective 'v' (value) tag
+    assert(byId("v1") == (("HUSKY", "grey")))
+    assert(byId("v4") == (("POODLE", "unknown")))
+    assert(!byId.contains("v2"), "filtered row must not load")
 
     // re-run with the SAME bytes under a NEW name: checksum gate skips
     val src2 = writeCsv(work, "dogs_copy.csv", rows1)
@@ -79,8 +80,8 @@ class JobRunnerSpec extends SparkSpec {
     val v2 = t.read().collect().map(r => r.getAs[String]("conv_id") ->
       r.getAs[String]("color")).toMap
     assert(v2.size == 4) // 1 updated, 3,4 kept, 5 added
-    assert(v2("1") == "white")
-    assert(v2("5") == "red")
+    assert(v2("v1") == "white")
+    assert(v2("v5") == "red")
   }
 
   test("insert method blind-appends; wipe_data truncates first; clear_first replaces schema") {
@@ -150,6 +151,38 @@ class JobRunnerSpec extends SparkSpec {
     assert(t.incrementalTail(2).count() == 1)
   }
 
+  test("composite-key packing is injective under control characters and nulls") {
+    // the packing serves JSON feeds too, where \u0001 inside a key value
+    // is legal: without escaping, ("x\u0001y","z") and ("x","y\u0001z")
+    // pack to one conv_id and one of the rows is silently dropped; the
+    // null sentinel has the same injection hazard. Four adversarial rows,
+    // four distinct MERGE keys.
+    val work = tmpDir("job-inject")
+    val lake = s"$work/lake"
+    val U = "\\u0001" // the six-char JSON escape for the separator
+    val json = Seq(
+      s"""{"a":"x${U}y","b":"z","v":"r1"}""",
+      s"""{"a":"x","b":"y${U}z","v":"r2"}""",
+      """{"a":null,"b":"x","v":"r3"}""",
+      """{"a":"x","b":null,"v":"r4"}""").mkString("[", ",", "]")
+    val src = Paths.get(work, "feed.json")
+    Files.write(src, json.getBytes("UTF-8"))
+    val spec = JobSpec(
+      jobCode = "inject",
+      source = JobSource.LocalFile(src.toString),
+      stagingDir = s"$work/staging",
+      extractor = JobExtractor.Json(),
+      destination = JobDestination.Lake(lake, nBuckets = 4),
+      keyFields = Seq("a", "b"))
+    val r = JobRunner.run(spark, spec)
+    assert(r.applied)
+    val t = LakeTable.load(spark, lake)
+    val vs = t.read().select("v").collect().map(_.getString(0)).toSet
+    assert(vs == Set("r1", "r2", "r3", "r4"),
+      s"composite keys collided - surviving rows: $vs")
+    assert(t.read().select("conv_id").distinct().count() == 4)
+  }
+
   test("url staging, rows_to_skip strip, and duplicate-key determinism") {
     val work = tmpDir("job-url")
     val lake = s"$work/lake"
@@ -169,7 +202,7 @@ class JobRunnerSpec extends SparkSpec {
     val t = LakeTable.load(spark, lake)
     val rows = t.read().collect()
     assert(rows.length == 2)
-    val c7 = rows.find(_.getAs[String]("conv_id") == "7").get
+    val c7 = rows.find(_.getAs[String]("conv_id") == "v7").get
     // max-by-full-row-struct rule: 'brown' > 'black' on the color field
     assert(c7.getAs[String]("color") == "brown")
   }

@@ -309,16 +309,51 @@ class LakeTableSourceSpec extends SparkSpec {
     // data lands between the stream's incarnations (the crash window
     // where batch 0 sits in the offset log unprocessed)
     MergeApply.merge(src, batch(Seq((3L, "U", "n", 0, "c"))), 1L, MergeConfig())
-    val restarted = mk()
+    val restarted = mk().asInstanceOf[LakeTableSource]
     val o = restarted.getOffset
     assert(o.nonEmpty,
       "restart re-resolved 'latest' to the live high and skipped the gap")
     val g = GraftOffset.parse(o.get)
-    assert(g.versionComplete && g.version == src.snapshot.version)
-    // and the first batch delivers exactly the gap (lsn 3), not history
-    val rows = lsns(restarted.asInstanceOf[LakeTableSource]
-      .batchPlan(None, GraftOffset.parse(o.get)))
+    // bootstrap seals at the frozen ATTACH version (not the live one):
+    // the cut belongs to the attach snapshot, the gap commit is a later
+    // version window
+    assert(g.versionComplete && g.version < src.snapshot.version)
+    assert(lsns(restarted.batchPlan(None, g)).isEmpty,
+      "the attach bootstrap must deliver nothing beyond the frozen cut")
+    val o2 = restarted.getOffset
+    assert(o2.nonEmpty)
+    val g2 = GraftOffset.parse(o2.get)
+    assert(g2.versionComplete && g2.version == src.snapshot.version)
+    val rows = lsns(restarted.batchPlan(Some(g), g2))
     assert(rows == Set(3L), s"expected only the gap row, got $rows")
+  }
+
+  test("low-LSN arrival inside the batch-0 crash window survives the frozen cut") {
+    // the attach-version freeze's reason to exist: a commit landing
+    // between source creation and the first trigger whose LSNs sit BELOW
+    // the frozen cut. Cutting the first-trigger snapshot would exclude it
+    // from the bootstrap AND from every later version window — lost
+    // forever; pinning the attach snapshot delivers it as an arrival.
+    val srcDir = tmpDir("lts-ooo-attach")
+    val src = LakeTable.createTable(spark, srcDir, Schemas.transcript, 2)
+    MergeApply.merge(src, batch(Seq(
+      (10L, "U", "h", 0, "a"), (20L, "U", "h", 1, "b"))), 0L, MergeConfig())
+    val mp = tmpDir("lts-ooo-attach-meta")
+    val p = new LakeTableSourceProvider()
+    def mk() = p.createSource(spark.sqlContext, mp, None, "graft-table",
+      Map("path" -> srcDir, "startingLsn" -> "latest"))
+      .asInstanceOf[LakeTableSource]
+    mk() // freezes cut = 20 AND attach version
+    // crash window: a NEW key arrives with an LSN below the frozen cut
+    MergeApply.merge(src, batch(Seq((5L, "U", "late", 0, "x"))), 1L,
+      MergeConfig())
+    val restarted = mk()
+    val g = GraftOffset.parse(restarted.getOffset.get)
+    assert(lsns(restarted.batchPlan(None, g)).isEmpty)
+    val g2 = GraftOffset.parse(restarted.getOffset.get)
+    val rows = lsns(restarted.batchPlan(Some(g), g2))
+    assert(rows == Set(5L),
+      s"low-LSN crash-window arrival was lost by the cut, got $rows")
   }
 
   test("arrival below the consumed LSN high water still reaches the stream") {
