@@ -123,9 +123,15 @@ object CdcPipeline {
       .trigger(trigger(cfg))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val b = cfg.preBatch(batch, epochId) // once per batch, all sinks
-        dests.foreach { case (table, method) =>
-          applyEpoch(table, b, epochId, method, cfg)
-        }
+        // each destination's merge runs 1-2 actions over the batch plan;
+        // without a persist the source scan (and preBatch) re-executes
+        // per sink — "one source scan" must hold at execution, not just
+        // plan construction. Single-sink fan-outs skip the cache (merge
+        // itself is the only consumer there).
+        val cached = if (dests.sizeIs > 1) b.persist() else b
+        try dests.foreach { case (table, method) =>
+          applyEpoch(table, cached, epochId, method, cfg)
+        } finally if (dests.sizeIs > 1) { cached.unpersist(); () }
       }
       .start()
 

@@ -676,7 +676,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
 
     var manifests = base.manifests
     var unpublished = "" // delta manifest written this commit, pre-publish
-    if (stamped.nonEmpty || replacedBuckets.nonEmpty) {
+    if ((stamped.nonEmpty || replacedBuckets.nonEmpty) && !hadUnstamped) {
       unpublished = if (stamped.nonEmpty) writeManifest(stamped, v) else ""
       // a rebucket manifest RESETS: bucket ids change spaces at this
       // commit, so earlier manifests' replacement lists no longer apply
@@ -686,6 +686,9 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         else manifests :+ ManifestRef(unpublished, stamped.size,
           replacedBuckets.toSeq.sorted)
     }
+    // hadUnstamped forces consolidation (the delta write above was
+    // skipped — the reset manifest below carries this commit's stamped
+    // entries along with the whole re-stamped live set)
     if (manifests.size > manifestCompactThreshold || hadUnstamped) {
       // consolidate: one reset manifest holding the resolved live set
       manifests = Seq(ManifestRef(writeManifest(liveFiles, v),
@@ -1156,12 +1159,32 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .json(new Path(tablePath, "_lineage").toString)
 
   /** Set one table property in a metadata-only commit. */
-  def setProperty(key: String, value: String): Snapshot = {
-    val base = snapshot
-    val snap = base.copy(version = base.version + 1,
-      properties = base.properties + (key -> value))
-    writeSnapshot(snap)
-    snap
+  def setProperty(key: String, value: String): Snapshot =
+    publishMeta(base => base.copy(version = base.version + 1,
+      properties = base.properties + (key -> value)))
+
+  /** Publish a metadata-only snapshot derived from the CURRENT base,
+    * with the same lost-race semantics as [[commit]]: on losing the
+    * create-if-absent arbiter, wait for the winner's snapshot and
+    * re-derive from it (the edit is a pure function of the base, so the
+    * rebase is just re-application) instead of surfacing a raw
+    * FileAlreadyExistsException to the caller. */
+  private def publishMeta(make: Snapshot => Snapshot): Snapshot = {
+    var base = snapshot
+    var attempts = 0
+    while (true) {
+      val snap = make(base)
+      try { writeSnapshot(snap); return snap }
+      catch {
+        case e: java.io.IOException if versionTaken(snap.version) =>
+          attempts += 1
+          if (attempts > maxCommitRetries)
+            throw new CommitConflictException(
+              s"gave up after $attempts rebase attempts at $dir", e)
+          base = awaitBaseBeyond(base.version).getOrElse(base)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Register a URL-only linked resource in the table properties — data
@@ -1188,21 +1211,22 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * reference: engine/wprdc_etl/pipeline/loaders.py:469-505). Column docs
     * are preserved for columns that still exist — the data-dictionary
     * restore (reference: engine/etl_util.py:87-115). */
-  def replaceSchema(schema: StructType): Snapshot = {
-    val base = snapshot
-    val keptDocs = base.columnDocs.filter { case (c, _) =>
-      schema.fieldNames.contains(c) }
-    val v = base.currentSchemaVersion + 1
-    val snap = base.copy(
-      version = base.version + 1,
-      manifests = Nil,
-      files = Nil,
-      currentSchemaVersion = v,
-      schemas = base.schemas + (v.toString -> schema.json),
-      columnDocs = keptDocs)
-    writeSnapshot(snap)
-    snap
-  }
+  def replaceSchema(schema: StructType): Snapshot =
+    // destructive by intent (clear_first): on a lost race the retry
+    // still clears everything, including the racer's freshly-landed
+    // commit — the same outcome as that commit landing a moment earlier
+    publishMeta { base =>
+      val keptDocs = base.columnDocs.filter { case (c, _) =>
+        schema.fieldNames.contains(c) }
+      val v = base.currentSchemaVersion + 1
+      base.copy(
+        version = base.version + 1,
+        manifests = Nil,
+        files = Nil,
+        currentSchemaVersion = v,
+        schemas = base.schemas + (v.toString -> schema.json),
+        columnDocs = keptDocs)
+    }
 
   /** Additive schema evolution: add a nullable column at the end. Old files
     * are projected with nulls at read. */

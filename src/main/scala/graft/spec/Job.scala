@@ -140,6 +140,12 @@ final case class JobResult(
   * are driver-side file ops, exactly like the reference's connectors. */
 object JobRunner {
 
+  /** Table-property stamp of the composite-key packing format (see
+    * [[envelope]]); bumped whenever the packed conv_id encoding changes
+    * so a format mismatch fails fast instead of silently duplicating. */
+  private val KeyPackProp = "graft.keypack"
+  private val KeyPackVersion = "tagged-v1"
+
   /** MERGE-envelope derivation for the Lake destination. The lake's
     * native key is (conv_id: string, turn_idx: int); a feed whose
     * `keyFields` already ARE those columns maps through unchanged. Any
@@ -325,12 +331,33 @@ object JobRunner {
     case JobDestination.Lake(dir, nBuckets) =>
       val table = new LakeTable(spark, dir)
       val userSchema = lakeSchema(out, spec.keyFields)
+      val packed = spec.keyFields != graft.model.Schemas.keyCols
       if (!table.exists)
         table.create(userSchema, nBuckets,
-          properties = spec.timeField
-            .map(TimeField.WatermarkColumn -> _).toMap)
+          properties = spec.timeField.map(TimeField.WatermarkColumn -> _)
+            .toMap ++ (if (packed) Map(KeyPackProp -> KeyPackVersion)
+                       else Map.empty))
+      else if (packed) {
+        // packed-key format guard: the injective tag+escape packing is
+        // NOT byte-compatible with any earlier packing — merging new-
+        // format keys into a table keyed under another format would
+        // silently duplicate every row instead of updating it. Stamp on
+        // create, fail fast on mismatch (re-key by replaying the feed
+        // into a fresh table, or run with alwaysClearFirst).
+        val have = table.snapshot.properties.get(KeyPackProp)
+        require(spec.alwaysClearFirst || spec.alwaysWipeData ||
+            have.contains(KeyPackVersion) ||
+            table.snapshot.files.isEmpty,
+          s"table $dir holds packed composite keys of format " +
+            s"${have.getOrElse("<unstamped>")}, this build writes " +
+            s"$KeyPackVersion - upserts would duplicate instead of " +
+            "update; replay into a fresh table or set alwaysClearFirst")
+      }
       if (spec.alwaysClearFirst) table.replaceSchema(userSchema)
       else if (spec.alwaysWipeData) table.truncate()
+      if (packed && !table.snapshot.properties.get(KeyPackProp)
+          .contains(KeyPackVersion))
+        table.setProperty(KeyPackProp, KeyPackVersion): Unit
       val epoch = table.snapshot.maxCommittedEpoch + 1
       val batch = envelope(out, spec.keyFields, epoch)
       // BOTH methods dedup in-batch duplicates: a run's rows all carry

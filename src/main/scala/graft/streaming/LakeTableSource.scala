@@ -210,8 +210,15 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
         // BELOW the frozen cut, and cutting the newer snapshot would
         // drop it from every window forever. Pinning the attach version
         // delivers it as a commit-version arrival instead.
-        val pin = attachVersion.filter(_ < snap.version)
-          .map(table.snapshotAt).getOrElse(snap)
+        val pin = attachVersion.filter(_ < snap.version).map { av =>
+          try table.snapshotAt(av)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"the attach snapshot v$av frozen for startingLsn has been " +
+              "vacuumed before batch 0 sealed; keep vacuumKeepSnapshots " +
+              "above the bootstrap window, or start a NEW checkpoint " +
+              "(a fresh metadata dir re-freezes the cut at the live " +
+              "snapshot)", e) }
+        }.getOrElse(snap)
         val high = table.highLsn(pin) // manifest stats only — no job
         val from = startingLsn.getOrElse(-1L)
         if (high <= from)
@@ -479,45 +486,66 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // resolved cut on every restart — re-resolving "latest" against the
     // live table would silently skip everything committed while batch 0
     // sat unfinished in the offset log.
-    val startLsn = parameters.get("startingLsn").map {
-      case "latest" => resolveOnce(sqlContext, metadataPath,
-        "graft-starting-lsn") {
-          val t = LakeTable.load(sqlContext.sparkSession, dir(parameters))
-          t.highLsn(t.snapshot)
-        }
-      case n => n.toLong
-    }
-    // the attach VERSION is frozen with the cut: the cut applies only to
-    // the attach-time snapshot, so bootstrap must pin that snapshot —
-    // cutting whatever snapshot the first trigger happens to see would
-    // permanently lose a low-LSN out-of-order arrival committed between
-    // attach and trigger one (and batch-0 replay determinism needs the
-    // same pin on every restart, same argument as the frozen cut).
-    val attachV = startLsn.map { _ =>
-      resolveOnce(sqlContext, metadataPath, "graft-attach-version") {
-        LakeTable.load(sqlContext.sparkSession, dir(parameters))
-          .snapshot.version
+    // the attach VERSION is frozen WITH the cut, from ONE snapshot read,
+    // in ONE record: the cut applies only to the attach-time snapshot,
+    // so bootstrap must pin that snapshot — cutting whatever snapshot
+    // the first trigger happens to see would permanently lose a low-LSN
+    // out-of-order arrival committed between attach and trigger one.
+    // Resolving cut and version from two separate snapshot reads (or two
+    // separate arbiter files) re-opens the same hole one level down: a
+    // commit landing between the reads has version <= attachV but LSNs
+    // <= cut — inside the pinned snapshot yet filtered from bootstrap,
+    // and in no later window; a crash between two file writes would
+    // re-resolve the second value against the live table. "cut:version"
+    // in a single atomically-published file closes both. Legacy
+    // metadata (a bare cut, written before the version was frozen)
+    // parses as attachVersion = None — the pre-fix first-trigger
+    // behavior, preserved for in-flight checkpoints.
+    val (startLsn, attachV): (Option[Long], Option[Long]) =
+      parameters.get("startingLsn") match {
+        case None => (None, None)
+        case Some("latest") =>
+          val rec = resolveOnce(sqlContext, metadataPath,
+            "graft-starting-lsn") {
+              val t = LakeTable.load(sqlContext.sparkSession, dir(parameters))
+              val snap = t.snapshot // ONE read feeds both fields
+              s"${t.highLsn(snap)}:${snap.version}"
+            }
+          rec.split(':') match {
+            case Array(l, v) => (Some(l.toLong), Some(v.toLong))
+            case _ => (Some(rec.toLong), None) // legacy: cut only
+          }
+        case Some(n) =>
+          // numeric cut: the value is the user's, only the version needs
+          // freezing (any pre-attach commit below a user-chosen cut is
+          // excluded BY that choice, not by a resolution race)
+          val v = resolveOnce(sqlContext, metadataPath,
+            "graft-attach-version") {
+              LakeTable.load(sqlContext.sparkSession, dir(parameters))
+                .snapshot.version.toString
+            }
+          (Some(n.toLong), Some(v.toLong))
       }
-    }
     new LakeTableSource(sqlContext, dir(parameters), limit, startLsn,
       rowLimit, attachV)
   }
 
-  /** Resolve a per-stream value exactly once: first call writes `live`
+  /** Resolve a per-stream record exactly once: first call writes `live`
     * under the stream's metadata path (create-if-absent = the arbiter);
     * every later call — including after a restart — reads that value
-    * back. Used to freeze `startingLsn=latest` and the attach version.
+    * back. Used to freeze the `startingLsn=latest` cut + attach version
+    * (one combined record — atomicity matters, see createSource).
     * Direct Source-API users with no metadata path get a live resolve
     * (single-instance use). */
   private def resolveOnce(sqlContext: SQLContext, metadataPath: String,
-      name: String)(live: => Long): Long = {
+      name: String)(live: => String): String = {
     if (metadataPath == null || metadataPath.isEmpty) return live
     val p = new org.apache.hadoop.fs.Path(metadataPath, name)
     val fs = p.getFileSystem(
       sqlContext.sparkSession.sessionState.newHadoopConf())
-    def read(): Long = {
+    def read(): String = {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
     if (fs.exists(p)) return read()
@@ -539,13 +567,13 @@ class LakeTableSourceProvider extends StreamSourceProvider
     try {
       if (local) {
         val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
-        java.nio.file.Files.write(tmpNio, v.toString.getBytes("UTF-8"))
+        java.nio.file.Files.write(tmpNio, v.getBytes("UTF-8"))
         try { java.nio.file.Files.createLink(
           java.nio.file.Paths.get(p.toUri.getPath), tmpNio); v }
         catch { case _: java.nio.file.FileAlreadyExistsException => read() }
       } else {
         val out = fs.create(tmp, true)
-        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        try out.write(v.getBytes("UTF-8")) finally out.close()
         if (fs.rename(tmp, p)) v else read()
       }
     } finally { try fs.delete(tmp, false) catch { case _: java.io.IOException => () } }
