@@ -87,13 +87,27 @@ object AggView {
     val mcfg = cfg.copy(txnApp = Some(app))
     val srcSnap = asOf.map(src.snapshotAt).getOrElse(src.snapshot)
     val toV = srcSnap.version
+    val fp = sumsFingerprint(sums)
     if (!dst.exists) {
       val proto = viewRows(src.readBuckets(Set.empty), sums, toV)
       dst.create(StructType(proto.schema.fields.filterNot(f =>
         f.name == "lsn" || f.name == "op")),
         if (nBuckets > 0) nBuckets else srcSnap.nBuckets,
+        properties = Map(SumsProp -> fp),
         columnDocs = Map(
           "n_turns" -> "live turns in the conversation (AggView-maintained)"))
+    } else dst.snapshot.properties.get(SumsProp) match {
+      // redefining an expression under an unchanged column name would
+      // otherwise add deltas of the NEW expression to stored sums of the
+      // OLD one — a silent mixture equal to neither definition. The
+      // defining expressions are stamped on create and must match on
+      // every refresh; changing a definition means a new view table (or
+      // dropping the old one).
+      case Some(have) => require(have == fp,
+        s"view ${dst.dir} was created with sums [$have], this refresh " +
+          s"passes [$fp] - incremental maintenance over a changed " +
+          "definition silently corrupts; recreate the view to redefine")
+      case None => dst.setProperty(SumsProp, fp): Unit // legacy: stamp now
     }
     val lastV = dst.snapshot.txns.get(app).map(_.batch)
     lastV match {
@@ -102,13 +116,27 @@ object AggView {
       case Some(v) =>
         try incremental(src, dst, sums, v, toV, mcfg)
         catch {
-          // the from-snapshot was vacuumed out from under the window —
-          // self-heal with a recompute rather than wedging the view
-          case _: FileNotFoundException => full(src, dst, sums, v, toV, mcfg)
+          // the from-snapshot (or its data files, mid-job) was vacuumed
+          // out from under the window — self-heal with a recompute rather
+          // than wedging the view. Executor-side misses surface wrapped
+          // in SparkException, hence the cause-chain walk.
+          case e: Exception if fnfInChain(e) =>
+            full(src, dst, sums, v, toV, mcfg)
         }
       case None => full(src, dst, sums, -1L, toV, mcfg)
     }
   }
+
+  /** Table property holding the view's defining (name, expression) list —
+    * the guard against silently refreshing with changed definitions. */
+  private val SumsProp = "graft.aggview.sums"
+
+  private def sumsFingerprint(sums: Seq[(String, Column)]): String =
+    sums.map { case (n, c) => s"$n:$c" }.mkString("; ")
+
+  private def fnfInChain(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(_.isInstanceOf[FileNotFoundException])
 
   /** Null contributions count as 0 in both maintenance paths. */
   private def z(c: Column): Column = coalesce(c, lit(0L))
@@ -172,12 +200,18 @@ object AggView {
       sums.map { case (n, _) => z(col(s"__d_$n")) =!= lit(0L) }
     val changed = delta.filter(moved.reduce(_ || _)).persist()
     try {
-      val nB = dst.snapshot.nBuckets
+      // ONE pinned view snapshot feeds both the bucket-id computation and
+      // the pruned read: resolving them from two unpinned reads races a
+      // concurrent rebucket of the view — ids computed in the old bucket
+      // space, pruning applied in the new one, changed keys' old rows
+      // silently excluded and their aggregates overwritten by bare deltas
+      val dstSnap = dst.snapshot
+      val nB = dstSnap.nBuckets
       // bounded by the view's bucket count (config, not data)
       val buckets = changed
         .select(LakeTable.bucketExpr(nB).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val old = dst.readBuckets(buckets)
+      val old = dst.readBuckets(buckets, asOf = Some(dstSnap.version))
       val joined = changed.join(old, Seq("conv_id"), "left")
       val newTurns = z(col("n_turns")) + col("__d_turns")
       val batch = joined.select(

@@ -137,9 +137,13 @@ object DedupIndex {
           val cand =
             if (!hasIndex) selfCandidates(newBands)
             else {
-              // crash-replay safety: duplicate index rows from a replayed
-              // append collapse here
-              val idxBands = spark.read.parquet(bandsPath).distinct()
+              // crash-replay duplicates in the index need NO pre-dedup
+              // here: a doubled band row only doubles a candidate pair,
+              // and crossCandidates/the union both end in a pair-level
+              // distinct. A .distinct() on the raw index would shuffle
+              // the entire O(corpus x bands) index every round — the
+              // exact cost this incremental path exists to avoid.
+              val idxBands = spark.read.parquet(bandsPath)
               selfCandidates(newBands)
                 .unionByName(crossCandidates(idxBands, newBands))
                 .distinct()

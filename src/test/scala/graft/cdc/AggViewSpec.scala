@@ -157,4 +157,23 @@ class AggViewSpec extends SparkSpec {
     val b = LakeTable.bucketOf("c7", dst.snapshot.nBuckets)
     assert(r.merge.get.bucketsTouched == Seq(b))
   }
+
+  test("refreshing with a changed sum definition fails fast, same one passes") {
+    val (src, dst) = mkPair("sumguard")
+    MergeApply.merge(src, ev(Seq((1L, "I", "c0", 0, "one two"))), 0L)
+    refresh(src, dst)
+    MergeApply.merge(src, ev(Seq((2L, "I", "c1", 0, "three"))), 1L)
+
+    // same name, different expression: deltas of the new definition over
+    // stored sums of the old one would corrupt silently — must throw
+    val changed = intercept[IllegalArgumentException] {
+      AggView.refresh(src, dst, Seq("n_tokens" -> (tokens * 2)))
+    }
+    assert(changed.getMessage.contains("recreate the view"))
+
+    // the original definition still refreshes incrementally
+    val r = refresh(src, dst)
+    assert(r.mode == "incremental")
+    assert(viewState(dst) == recompute(src))
+  }
 }
