@@ -163,6 +163,16 @@ object MergeApply {
       .orElse(Some("ts").filter(tsTyped))
   }
 
+  /** Lineage watermark string format. Rendered by `date_format` INSIDE
+    * the job — i.e. in the SESSION timezone — so the next epoch's
+    * `cast(TimestampType)` (also session-tz) round-trips to the same
+    * instant. Collecting a Timestamp and calling `toString` would render
+    * in the JVM DEFAULT timezone instead, skewing late-event counts by
+    * the zone offset whenever the two differ (and `toString`'s format
+    * changes under the java8API flag). Fixed-width microseconds keep the
+    * driver-side lexicographic max chronological. */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   /** Idempotence guard under either epoch space (see
     * [[MergeConfig.txnApp]]). */
   private def alreadyCommitted(snap: Snapshot, epochId: Long,
@@ -298,21 +308,6 @@ object MergeApply {
     // connectors.py:73-93, pipeline.py:338-341)
     val (fpRows, fp) =
       if (cfg.inputChecksumGate) batchFingerprint(batch) else (0L, "")
-    if (fp.nonEmpty && lastChecksum(snap0).contains(fp)) {
-      val entry = LineageEntry(epochId, snap0.version + 1, fpRows, 0L, Nil,
-        0, snap0.files.size, -1L, "",
-        (System.nanoTime() - t0) / 1000000L, inputChecksum = fp)
-      val (eid, txn) = epochArgs(cfg, epochId)
-      try {
-        val c = table.commit(snap0, Nil, Set.empty, eid, Some(entry), txn = txn)
-        return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
-          (System.nanoTime() - t0) / 1000000L)
-      } catch {
-        case _: graft.lake.EpochSupersededException =>
-          return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
-            Nil, (System.nanoTime() - t0) / 1000000L)
-      }
-    }
     // a copy-on-write attempt that raced another writer into the same
     // buckets must RECOMPUTE, not rebase — the bucket contents it merged
     // are stale. Recompute is the whole-operation retry of the Iceberg
@@ -320,11 +315,32 @@ object MergeApply {
     // in steady contention can invalidate each other indefinitely (a
     // recompute takes about as long as the peer's commit interval), so
     // the retry backs off with jitter to desynchronize them. (MoR appends
-    // never take this path — they rebase inside commit.)
+    // never take this path — they rebase inside commit.) The checksum-gate
+    // skip commit sits INSIDE the loop so a conflict on the 0-row commit
+    // retries like every other path instead of escaping to the caller —
+    // and each attempt re-reads the snapshot, so a racer's checksum or
+    // epoch commit is honored.
     var conflictRetries = 0
     while (true) {
-      try return mergeGuarded(table, batch, epochId, cfg, t0, fp)
-      catch {
+      try {
+        if (fp.nonEmpty) {
+          val snap = table.snapshot
+          if (alreadyCommitted(snap, epochId, cfg))
+            return MergeResult(applied = false, snap.version, 0L, 0L, Nil,
+              (System.nanoTime() - t0) / 1000000L)
+          if (lastChecksum(snap).contains(fp)) {
+            val entry = LineageEntry(epochId, snap.version + 1, fpRows, 0L,
+              Nil, 0, snap.files.size, -1L, "",
+              (System.nanoTime() - t0) / 1000000L, inputChecksum = fp)
+            val (eid, txn) = epochArgs(cfg, epochId)
+            val c = table.commit(snap, Nil, Set.empty, eid, Some(entry),
+              txn = txn)
+            return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
+              (System.nanoTime() - t0) / 1000000L)
+          }
+        }
+        return mergeGuarded(table, batch, epochId, cfg, t0, fp)
+      } catch {
         case _: graft.lake.EpochSupersededException =>
           return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
             Nil, (System.nanoTime() - t0) / 1000000L)
@@ -346,12 +362,17 @@ object MergeApply {
         checksum = checksum)
       catch {
         case e: Throwable
-            if hasExtras && scala.util.control.NonFatal(e) =>
+            if hasExtras && scala.util.control.NonFatal(e) &&
+              !e.isInstanceOf[graft.lake.CommitConflictException] &&
+              !e.isInstanceOf[graft.lake.EpochSupersededException] =>
           // the attempted action itself can FAIL under the pre-evolution
           // schema — e.g. a widen event followed by a value that only
           // fits the widened type blows up the old-type ANSI cast before
           // the probe observation resolves. Fall back to eager detection;
-          // a genuine failure (no registry rows) is rethrown.
+          // a genuine failure (no registry rows) is rethrown. The lake
+          // concurrency exceptions are EXCLUDED: they mean the attempt
+          // lost a commit race, not that the probe failed — they must
+          // reach merge()'s retry loop, not trigger a duplicate attempt.
           val events = batch.filter(col("op") === "S")
             .select(col("lsn"), col("text")).collect()
             .map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -431,8 +452,9 @@ object MergeApply {
       val lateCol = (for { c <- tsCol; w <- prevWm } yield
         count(when(col(c) < lit(w).cast(TimestampType), 1)))
         .getOrElse(lit(0L)).as("late")
-      val maxTsCol = tsCol.map(c => max(col(c)))
-        .getOrElse(max(lit(null).cast(TimestampType))).as("maxTs")
+      val maxTsCol = tsCol.map(c => date_format(max(col(c)), TsFmt))
+        .getOrElse(max(lit(null).cast(TimestampType)).cast(StringType))
+        .as("maxTs")
       val stats = deduped.groupBy(col("__bucket"))
         .agg(count(lit(1)).as("n"), max(col("__lsn")).as("maxLsn"),
           maxTsCol, lateCol,
@@ -521,8 +543,9 @@ object MergeApply {
     val obs = org.apache.spark.sql.Observation()
     val aggs = Seq(count(lit(1)).as("rows"), max(col("__lsn")).as("maxLsn"),
       min(col("__lsn")).as("minLsn"),
-      tsCol.map(c => max(col(c)))
-        .getOrElse(max(lit(null).cast(TimestampType))).as("maxTs")) ++
+      tsCol.map(c => date_format(max(col(c)), TsFmt))
+        .getOrElse(max(lit(null).cast(TimestampType)).cast(StringType))
+        .as("maxTs")) ++
       (for { c <- tsCol; w <- prevWm } yield
         count(when(col(c) < lit(w).cast(TimestampType), 1)).as("late"))
     val observed = batchNorm.observe(obs, aggs.head, aggs.tail: _*)
@@ -756,7 +779,8 @@ object MergeApply {
         val totalRows = snap.files.map(_.rows).sum
         val salt = math.max(1L, (totalRows / math.max(1, newN) +
           cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
-        writeBuckets(table, folded, salt, snap)
+        // __bucket here lives in the NEW space — size partitions by newN
+        writeBuckets(table, folded, salt, snap, targetBuckets = newN)
       }
 
     val stamped = newFiles.map(_.copy(rewrite = true, fold = true))
@@ -840,13 +864,20 @@ object MergeApply {
     * entries (rows per file read from parquet footers — metadata only). */
   private def writeBuckets(table: LakeTable, df: DataFrame, salt: Int,
       snap: Snapshot, prePartitioned: Boolean = false,
-      kind: String = "base"): Seq[DataFileEntry] = {
+      kind: String = "base", targetBuckets: Int = -1): Seq[DataFileEntry] = {
     val spark = table.spark
     val outDir = s"${table.dir}/data/commit-${snap.version + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
+    // EXPLICIT partition counts everywhere: a count-less repartition gets
+    // shuffle.partitions and — worse — AQE is allowed to coalesce it,
+    // re-merging salt cells and silently defeating the maxRowsPerFile
+    // skew defense the caller computed `salt` for. The unsalted path
+    // partitions by conv_id — pmod(murmur3(conv_id), nB) IS the bucket
+    // function, so partition i holds exactly bucket i (see mergeMor).
+    val nB = if (targetBuckets > 0) targetBuckets else snap.nBuckets
     val writeDf =
       if (prePartitioned) df // bucket dedup already exchanged to (__bucket, __salt)
-      else if (salt <= 1) df.repartition(col("__bucket"))
-      else df.repartition(col("__bucket"),
+      else if (salt <= 1) df.repartition(nB, col("conv_id"))
+      else df.repartition(nB * salt, col("__bucket"),
         pmod(hash(col("turn_idx")), lit(salt)))
     val tW = System.nanoTime()
     writeDf.write

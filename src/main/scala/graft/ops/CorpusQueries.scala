@@ -280,7 +280,15 @@ object CorpusQueries {
         s"(df=${r.getLong(1)} > $maxDf): '${r.getString(0)}'"))
     val index =
       if (hotRows.isEmpty) sh
-      else sh.join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
+      else {
+        // the anti-join side comes from the rows ALREADY collected for
+        // disclosure — rebuilding it from the `hot` plan would re-run the
+        // full groupBy/count over the shingle frame (the pipeline's
+        // largest intermediate) a second time
+        import sh.sparkSession.implicits._
+        val hotDf = hotRows.map(_.getString(0)).toSeq.toDF("sh")
+        sh.join(broadcast(hotDf), Seq("sh"), "left_anti")
+      }
     index.as("a")
       .join(index.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

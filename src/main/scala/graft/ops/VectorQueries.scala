@@ -50,6 +50,27 @@ object VectorQueries {
     col("dot").cast(DoubleType) /
       sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType))
 
+  /** cosine >= 0.45, threshold evaluated in integer arithmetic:
+    * dot/sqrt(na*nb) >= 0.45 <=> dot > 0 and 400*dot^2 >= 81*na*nb
+    * (0.45^2 = 81/400). The Long form is exact but can WRAP for
+    * large-norm inputs — Spark's non-ANSI multiply is silent, so a
+    * genuinely similar pair would silently fail the filter (the DuckDB
+    * oracle, by contrast, errors). By Cauchy-Schwarz dot^2 <= na*nb, so
+    * both sides stay under 2^63 whenever na,nb < 1.5e8 (400*(1.5e8)^2 =
+    * 9e18 < 2^63); above that bound — quantized norm ~12k, e.g.
+    * unnormalized high-dimension embeddings — fall back to the double
+    * comparison (53-bit mantissa: tie-exactness is lost only where the
+    * integer form was already unsound). */
+  private val SafeNormSq = 150000000L
+  private def cosineAtLeast045: Column = {
+    val safe = col("na") < SafeNormSq && col("nb") < SafeNormSq
+    val d = (c: Column) => c.cast(DoubleType)
+    col("dot") > 0 && when(safe,
+      col("dot") * col("dot") * 400 >= col("na") * col("nb") * 81)
+      .otherwise(
+        d(col("dot")) * d(col("dot")) * 400d >= d(col("na")) * d(col("nb")) * 81d)
+  }
+
   private val oracleQuantCte =
     """WITH e AS (SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) q
@@ -73,10 +94,7 @@ object VectorQueries {
     a.join(b, col("ia") < col("ib"))
       .withColumn("dot", dot("qa", "qb"))
       .withColumn("sim", cosine)
-      // integer-exact threshold: dot/sqrt(na*nb) >= 0.45
-      //   <=> dot > 0 and 400*dot^2 >= 81*na*nb  (0.45^2 = 81/400)
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * 400 >= col("na") * col("nb") * 81)
+      .filter(cosineAtLeast045)
       .select(col("ia"), col("ib"), col("sim"))
   }
   private val q28Sql = oracleQuantCte +
@@ -141,8 +159,7 @@ object VectorQueries {
       // same-block groups see both orders -> keep one
       .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
       .withColumn("dot", dot("qa", "qb"))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * 400 >= col("na") * col("nb") * 81)
+      .filter(cosineAtLeast045)
       .withColumn("sim", cosine)
       .select(least(col("ia"), col("ib")).as("ia"),
         greatest(col("ia"), col("ib")).as("ib"), col("sim"))
