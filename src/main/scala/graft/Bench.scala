@@ -112,6 +112,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one JSON line this main exists to print is built with f"%.3f"
+    // interpolations, which format in the JVM default locale — a comma-
+    // decimal locale would emit 0,893 and break the driver's json.load
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
@@ -176,7 +180,14 @@ object Bench {
           val b = replayRate(n4, cdcEvents, feed, work, i)
           r4a += b._1; r4 += b._2
         }
-        def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        // even sizes average the middle two — taking the upper-middle
+        // element would bias every published median (and the efficiency
+        // ratios built from them) upward under an even rep count
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
         // efficiency is a RATIO of two noisy measurements (±15-20% on
         // this shared-host VM, with machine-load phases lasting tens of
         // minutes; raw runs disclosed below). The primary estimator is

@@ -20,6 +20,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed dump must not leave stale/partial parquet under the
+        // query's name — the driver's compare would silently grade it as
+        // this run's result; a missing dir reads as an explicit failure
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name")): Unit
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

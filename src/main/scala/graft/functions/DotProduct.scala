@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: integer dot product of two
   * `array<long>` columns.
@@ -24,19 +25,50 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4;
-  // both call sites (GraftFunctions.dotLong over quantized vectors) are
-  // array<long> by construction
+  // no ExpectsInputTypes (AbstractDataType is private[sql] in Spark 4) —
+  // checkInputDataTypes below rejects non-array<bigint> inputs at
+  // ANALYSIS time instead: the function is session-registered and
+  // reachable from arbitrary SQL, and getLong() over e.g. an int-element
+  // UnsafeArrayData would read 8-byte strides across 4-byte slots — a
+  // silently wrong number, not an error
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_long"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  /** Can either array carry null ELEMENTS? Static: drives both the
+    * nullability contract and whether codegen pays for per-element null
+    * checks (the quantized-vector call sites are containsNull=false and
+    * keep the unguarded loop). */
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType
+    match { case ArrayType(_, cn) => cn; case _ => false })
+
+  override def nullable: Boolean = super.nullable || elemsNullable
+
+  /** A null element nulls the whole product — the same propagation as the
+    * composable `aggregate(zip_with(a, b, _*_), 0, _+_)` formulation this
+    * expression replaces. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (elemsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -45,11 +77,18 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullGuard =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }
+             |  """.stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |  $nullGuard$s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -48,7 +48,10 @@ object MultimodalQueries {
         array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
       encode(col("text"), "utf-8").as("content"),
-      length(col("text")).cast(LongType).as("n_bytes"))
+      // BYTE length of the payload (length() on a binary column counts
+      // bytes) — a char count would diverge from the byte-offset frame
+      // math the moment a document carries a multibyte char
+      length(encode(col("text"), "utf-8")).cast(LongType).as("n_bytes"))
       .as[MediaAsset]
   }
 
@@ -56,21 +59,25 @@ object MultimodalQueries {
 
   /** Typed metadata over the opaque binary column: byte length, content
     * hash, 8-byte header (magic-bytes sniffing position), first byte —
-    * all computed ON the binary/text without decoding. */
+    * all computed ON the bytes, never on a char view: header/magic are
+    * BYTE concepts, and a char-based reading would silently diverge on
+    * the first multibyte document (the oracle slices the hex rendering —
+    * 2 hex chars per byte — for the same reason: DuckDB md5(VARCHAR)
+    * already hashes the utf-8 bytes, but its substr is char-based). */
   private val q31: Q = (s, d) =>
     assets(s, d).toDF()
       .select(col("doc_id"), col("media_type"),
         col("n_bytes"),
         md5(col("content")).as("content_md5"),
         hex(substring(col("content"), 1, 8)).as("header_hex"),
-        ascii(substring(col("content").cast(StringType), 1, 1)).as("magic0"))
+        hex(substring(col("content"), 1, 1)).as("magic0_hex"))
   private val q31Sql =
     """SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       length(text)::BIGINT AS n_bytes,
+       octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5,
-       hex(substr(text, 1, 8)) AS header_hex,
-       ascii(substr(text, 1, 1)) AS magic0
+       substr(hex(encode(text)), 1, 16) AS header_hex,
+       substr(hex(encode(text)), 1, 2) AS magic0_hex
        FROM documents"""
 
   // --------------------------------------- q32 frame sampling (explode)
@@ -82,21 +89,24 @@ object MultimodalQueries {
     * "frame" (hex-encoded). The explode is a generator over a computed
     * sequence — whole-stage-codegen'd, no UDF; at scale each asset's
     * frames stay on the partition that holds its bytes (no join, no
-    * shuffle — one pass over the binary column). */
+    * shuffle — one pass over the binary column). Frames are sliced from
+    * the HEX rendering (2 hex chars per byte) so the offsets are byte
+    * offsets on both sides — slicing a char view would drift off the
+    * byte grid on multibyte documents (and DuckDB cannot substr a BLOB). */
   private val q32: Q = (s, d) =>
     assets(s, d).toDF()
-      .select(col("doc_id"), col("content").cast(StringType).as("txt"),
+      .select(col("doc_id"), hex(col("content")).as("hx"),
         explode(sequence(lit(0L),
           greatest(expr(s"(n_bytes - 1) div $FrameStride"), lit(0L)))).as("k"))
       .select(col("doc_id"), col("k").cast(IntegerType).as("frame_idx"),
         (col("k") * FrameStride).as("offset"),
-        hex(col("txt").substr((col("k") * FrameStride + 1).cast(IntegerType),
-          lit(FrameLen))).as("frame_hex"))
+        col("hx").substr((col("k") * (2 * FrameStride) + 1).cast(IntegerType),
+          lit(2 * FrameLen)).as("frame_hex"))
   private val q32Sql =
     s"""SELECT doc_id, k::INTEGER AS frame_idx, (k * $FrameStride)::BIGINT AS offset,
-        hex(substr(text, (k * $FrameStride + 1)::INTEGER, $FrameLen)) AS frame_hex
+        substr(hex(encode(text)), (k * ${2 * FrameStride} + 1)::INTEGER, ${2 * FrameLen}) AS frame_hex
         FROM (SELECT doc_id, text,
-              unnest(range(0, greatest((length(text)-1) // $FrameStride, 0) + 1)) AS k
+              unnest(range(0, greatest((octet_length(encode(text))-1) // $FrameStride, 0) + 1)) AS k
               FROM documents)"""
 
   val queries: Map[String, Q] = Map(

@@ -185,9 +185,14 @@ object RelationalQueries {
     o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
       .select(col("o_orderkey"))
   }
+  // NOT EXISTS, not NOT IN: a left_anti join returns every non-matching
+  // row even when the subquery side contains nulls, while NOT IN goes
+  // three-valued (one null key => zero rows) — the oracle must carry the
+  // anti-join's semantics, not a lookalike that diverges on null keys
   private val q10Sql =
-    """SELECT o_orderkey FROM orders
-       WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)"""
+    """SELECT o_orderkey FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem li
+         WHERE li.l_quantity > 49 AND li.l_orderkey = o.o_orderkey)"""
 
   // q11: multi-source union + coalescing merge per key (reference:
   // engine/payload/house_cat/_super_link.py:41-75 — union N sources, keep
@@ -211,14 +216,21 @@ object RelationalQueries {
 
   // q12: last-writer-wins per key as a plain query — the CDC dedup kernel
   // semantics (SURVEY.md §2.7) expressed over the events table
+  // the arg-extreme key carries the VALUE as a tiebreak (zero-padded id,
+  // then type, one lexicographic string both engines compare bytewise):
+  // on a bare event_id key, two rows sharing the max id would let each
+  // engine — or two runs with different partitioning — pick either type
   private val q12: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(col("user_id"))
-      .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+      .agg(max_by(col("event_type"),
+        format_string("%020d|%s", col("event_id"), col("event_type")))
+        .as("last_type"),
         max(col("event_id")).as("last_event_id"),
         count(lit(1)).as("n_events"))
   private val q12Sql =
-    """SELECT user_id, arg_max(event_type, event_id) AS last_type,
+    """SELECT user_id,
+       arg_max(event_type, printf('%020d|%s', event_id, event_type)) AS last_type,
        MAX(event_id) AS last_event_id, COUNT(*) AS n_events
        FROM events GROUP BY user_id"""
 
@@ -289,16 +301,19 @@ object RelationalQueries {
       when(col("event_type") === "error", lit(null)).otherwise(col("event_type"))
         .as("etype"),
       when(col("value") < 0, lit(null)).otherwise(col("value")).as("v"))
-    Projection.dropEmptyRows(e.select(col("etype"), col("v"), col("event_id")))
+    // the dropped frame holds ONLY the nullable columns: with the
+    // never-null event_id included, the all-null predicate could never
+    // fire and the gate would pass even if dropEmptyRows regressed to a
+    // no-op — here 'error'+negative rows genuinely get dropped
+    Projection.dropEmptyRows(e.select(col("etype"), col("v")))
       .groupBy(col("etype")).agg(count(lit(1)).as("n"))
   }
   private val q18Sql =
     """SELECT etype, COUNT(*) AS n FROM (
          SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype,
-                CASE WHEN value < 0 THEN NULL ELSE value END AS v,
-                event_id
+                CASE WHEN value < 0 THEN NULL ELSE value END AS v
          FROM events)
-       WHERE NOT (etype IS NULL AND v IS NULL AND event_id IS NULL)
+       WHERE NOT (etype IS NULL AND v IS NULL)
        GROUP BY etype"""
 
   // q19: multi-format fuzzy date parsing — first-matching-format wins,

@@ -22,6 +22,28 @@ import org.apache.spark.sql.DataFrame
   */
 object BinarySink {
 
+  /** Stream `in` into a new file at `dest` in 64 KiB chunks. On ANY
+    * failure the partial output is deleted — the package invariant:
+    * never leave a silently-truncated artifact behind. Does not close
+    * `in` (caller's stream, caller's lifecycle). The single copy loop
+    * shared by every file-producing path in this package, so the
+    * cleanup invariant cannot drift between copies. */
+  private[graft] def streamToFile(in: java.io.InputStream,
+      fs: org.apache.hadoop.fs.FileSystem, dest: Path,
+      overwrite: Boolean = true): Unit = {
+    val out = fs.create(dest, overwrite)
+    var ok = false
+    try {
+      val buf = new Array[Byte](65536)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+      ok = true
+    } finally {
+      out.close()
+      if (!ok) fs.delete(dest, false)
+    }
+  }
+
   /** Stream-copy `srcPath` to `destPath` (any Hadoop-visible FS pair).
     * `wipe` mirrors the loader's clear_first/wipe_data pre-truncate. */
   def copyFile(spark: org.apache.spark.sql.SparkSession, srcPath: String,
@@ -34,20 +56,7 @@ object BinarySink {
     if (!wipe) require(!dfs.exists(dst), s"$destPath exists and wipe=false")
     Option(dst.getParent).foreach(dfs.mkdirs)
     val in = sfs.open(src)
-    try {
-      val out = dfs.create(dst, wipe)
-      var ok = false
-      try {
-        val buf = new Array[Byte](65536)
-        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
-          .foreach(n => out.write(buf, 0, n))
-        ok = true
-      } finally {
-        out.close()
-        // never leave a silently-truncated artifact behind
-        if (!ok) dfs.delete(dst, false)
-      }
-    } finally in.close()
+    try streamToFile(in, dfs, dst, wipe) finally in.close()
   }
 
   /** Write each row of `df` — columns (`nameCol`: string, `contentCol`:
@@ -65,8 +74,23 @@ object BinarySink {
         val fs = new Path(dest).getFileSystem(confSer.value)
         fs.mkdirs(new Path(dest))
         rows.foreach { r =>
-          val out = fs.create(new Path(dest, r.getString(0)), true)
-          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          val name = r.getString(0)
+          require(name != null && name.nonEmpty,
+            "binary sink: null/empty name cell")
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes != null,
+            s"binary sink: null content for '$name' - filter or coalesce " +
+              "null artifacts before the sink")
+          val p = new Path(dest, name)
+          val out = fs.create(p, true)
+          var ok = false
+          try { out.write(bytes); ok = true }
+          finally {
+            out.close()
+            // the package invariant: a failed write never leaves a
+            // truncated artifact for downstream readers
+            if (!ok) fs.delete(p, false)
+          }
         }
     }
   }

@@ -58,19 +58,21 @@ object Extractors {
     val reader = opts.schema.fold(withNull)(withNull.schema)
     val raw = reader.csv(path)
     // a repeated embedded header row has every value equal to its own
-    // (pre-normalization) column name; null-safe AND-fold over STRING
-    // columns only — on a non-string column the comparison coerces the
-    // header literal to null and would degenerate to `col IS NULL`,
-    // silently swallowing legitimate all-null data rows under a declared
-    // numeric schema. (With a typed schema a header row fails parsing
-    // anyway; this filter exists for the all-string default.)
-    val headerNames = raw.schema.fields.toSeq
-      .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(_.name)
+    // (pre-normalization) column name; null-safe AND-fold, applied ONLY
+    // when EVERY column is a string. Under a mixed schema the fold would
+    // run over the string columns alone, and a legitimate data row whose
+    // string cells happen to equal their column names (e.g. a 'type'
+    // category literally valued "type") would be silently dropped; under
+    // a typed schema an embedded header's non-string cells fail parsing
+    // instead (DROPMALFORMED drops the row; PERMISSIVE nulls the cell,
+    // and a header row with every string cell self-naming plus nulls
+    // elsewhere is not a recoverable data row either way).
+    val allString = raw.schema.fields.nonEmpty && raw.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.StringType)
     val noEmbedded =
-      if (opts.dropEmbeddedHeaders && opts.header && headerNames.nonEmpty)
-        raw.filter(!headerNames.map(n => col(s"`$n`") <=> lit(n))
-          .reduce(_ && _))
+      if (opts.dropEmbeddedHeaders && opts.header && allString)
+        raw.filter(!raw.schema.fieldNames.toSeq
+          .map(n => col(s"`$n`") <=> lit(n)).reduce(_ && _))
       else raw
     if (opts.normalizeHeaders) Projection.normalizeHeaders(noEmbedded)
     else noEmbedded
@@ -166,7 +168,7 @@ object Extractors {
     * DISTRIBUTED scan starting at the stripped result. Streams
     * line-by-line; never materializes the file. */
   def stripLeadingRows(spark: SparkSession, path: String, stagingDir: String,
-      n: Int): String = {
+      n: Int, encoding: String = "UTF-8"): String = {
     require(n >= 0, s"rows to skip must be >= 0, got $n")
     val conf = spark.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(path)
@@ -175,11 +177,15 @@ object Extractors {
     val sfs = src.getFileSystem(conf)
     val dfs = dest.getFileSystem(conf)
     dfs.mkdirs(dest.getParent)
+    // decode AND re-encode in the feed's own charset — a UTF-8 round trip
+    // of e.g. Latin-1 bytes would mangle every non-ASCII value before the
+    // CSV reader (configured with the same encoding) ever sees the file
     val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(sfs.open(src), "UTF-8"))
+      new java.io.InputStreamReader(sfs.open(src), encoding))
     try {
       val out = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(dfs.create(dest, true), "UTF-8"))
+        new java.io.OutputStreamWriter(dfs.create(dest, true), encoding))
+      var ok = false
       try {
         var i = 0
         var line = reader.readLine()
@@ -188,7 +194,12 @@ object Extractors {
           i += 1
           line = reader.readLine()
         }
-      } finally out.close()
+        ok = true
+      } finally {
+        out.close()
+        // never leave a silently-truncated staged file behind
+        if (!ok) dfs.delete(dest, false)
+      }
     } finally reader.close()
     dest.toString
   }
@@ -228,12 +239,8 @@ object Extractors {
         member.replace('/', '_'))
       val dfs = dest.getFileSystem(conf)
       dfs.mkdirs(dest.getParent)
-      val out = dfs.create(dest, true)
-      try {
-        val buf = new Array[Byte](65536)
-        Iterator.continually(zin.read(buf)).takeWhile(_ >= 0)
-          .foreach(n => out.write(buf, 0, n))
-      } finally out.close()
+      // shared copy loop: deletes the partial member on any failure
+      BinarySink.streamToFile(zin, dfs, dest, overwrite = true)
       dest.toString
     } finally zin.close()
   }

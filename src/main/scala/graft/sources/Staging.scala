@@ -65,19 +65,9 @@ object HttpStaging extends Staging {
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dest.getParent)
     val in = url.openStream()
-    try {
-      val out = fs.create(dest, true)
-      var ok = false
-      try {
-        val buf = new Array[Byte](65536)
-        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
-          .foreach(n => out.write(buf, 0, n))
-        ok = true
-      } finally {
-        out.close()
-        if (!ok) fs.delete(dest, false) // never leave a truncated stage
-      }
-    } finally in.close()
+    // shared copy loop: deletes the partial stage on any failure
+    try BinarySink.streamToFile(in, fs, dest, overwrite = true)
+    finally in.close()
     dest.toString
   }
 }

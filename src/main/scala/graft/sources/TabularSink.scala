@@ -44,9 +44,15 @@ object TabularSink {
       df.select(existing.fieldNames.map(df.col).toIndexedSeq: _*)
         .write.mode("append").option("header", "false").csv(dir)
     } else {
-      df.write.mode("append").option("header", "false").csv(dir)
+      // sidecar FIRST: a crash between the two writes must not leave
+      // committed-looking parts without a recorded header — a rerun
+      // would take this branch again and append the same rows twice.
+      // Sidecar-without-parts just reruns down the append branch (same
+      // columns pass the compat check); the sink reads back empty until
+      // the rerun lands, never duplicated.
       val out = fs.create(sidecar, true)
       try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+      df.write.mode("append").option("header", "false").csv(dir)
     }
   }
 

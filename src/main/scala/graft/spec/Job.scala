@@ -285,7 +285,12 @@ object JobRunner {
     val input =
       if (spec.rowsToSkip > 0)
         Extractors.stripLeadingRows(spark, staged, spec.stagingDir,
-          spec.rowsToSkip)
+          spec.rowsToSkip, encoding = spec.extractor match {
+            // the strip round-trips bytes through a charset; it must be
+            // the same one the CSV reader will use
+            case JobExtractor.Csv(o) => o.encoding
+            case _ => "UTF-8"
+          })
       else staged
 
     val result = spec.extractor match {

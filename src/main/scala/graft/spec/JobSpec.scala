@@ -179,9 +179,18 @@ object Linkage {
     * next round, so without per-round lineage truncation the logical
     * plan doubles each round — Catalyst analysis, not the shuffle,
     * becomes the bottleneck — and callers also get a flat plan for
-    * free. */
+    * free.
+    *
+    * Contract: edge endpoints must be drawn from `nodes` — see
+    * [[resolveEntities]], which enforces it for curated edges (the two
+    * solver paths would otherwise disagree on stray endpoints).
+    * `broadcastEdgeLimit` bounds the DRIVER-side fast path: 500k edges
+    * collect to ~50-100 MB of boxed rows + two hash maps — safe under
+    * common 1-4g driver heaps; raise it only with driver memory to
+    * spare (the distributed path is correct at any size, just slower
+    * on small graphs). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+      maxIter: Int = 30, broadcastEdgeLimit: Long = 500000L): DataFrame = {
     // persist BEFORE the size probe: the probe's count() is then the one
     // evaluation of the (possibly expensive) edge subtree, and whichever
     // path runs next — the union-find collect or the distributed rounds'
@@ -316,7 +325,7 @@ object Linkage {
     * _deduplicate.py:937-998) → connected components → field merge. */
   def resolveEntities(records: DataFrame, idCol: String,
       keyCols: Seq[String], forcedEdges: Option[DataFrame] = None,
-      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+      broadcastEdgeLimit: Long = 500000L): DataFrame = {
     // records feeds many subtrees (both sides of each key's self-join,
     // the node list, the final merge) — persist for the duration of the
     // resolution, as any iterative graph algorithm does with its input.
@@ -324,9 +333,22 @@ object Linkage {
     // can be dropped before returning.
     val cached = records.persist()
     try {
-      val edges = forcedEdges.fold(keyEdges(cached, idCol, keyCols))(f =>
-        keyEdges(cached, idCol, keyCols)
-          .union(f.toDF("ida", "idb")).distinct())
+      val edges = forcedEdges.fold(keyEdges(cached, idCol, keyCols)) { f =>
+        // curated links may reference retired/mistyped ids. An endpoint
+        // absent from records would make the two component solvers
+        // DISAGREE on the same input: driver union-find bridges through
+        // the stray id (and can emit it as a canonical_id that exists in
+        // no record) while distributed label propagation silently drops
+        // the edge. Restricting edges to the record id set gives both
+        // paths the same graph — the [[connectedComponents]] contract
+        // (endpoints ⊆ nodes).
+        val ids = cached.select(col(idCol))
+        val clean = f.toDF("ida", "idb")
+          .join(ids.select(col(idCol).as("ida")), Seq("ida"), "left_semi")
+          .join(ids.select(col(idCol).as("idb")), Seq("idb"), "left_semi")
+          .select(col("ida"), col("idb"))
+        keyEdges(cached, idCol, keyCols).union(clean).distinct()
+      }
       val labels = connectedComponents(cached.select(col(idCol).as("id")),
         edges, broadcastEdgeLimit = broadcastEdgeLimit)
       mergeComponents(cached, idCol, labels).localCheckpoint(true)

@@ -45,8 +45,10 @@ object StreamOps {
       .select(col("conv_id"), col("s.start").as("session_start"),
         col("turns"), col("first_ts"), col("last_ts"))
 
-  /** Per-conversation running high-watermark of turn_idx. */
-  final case class ConvProgress(maxTurn: Int, events: Long)
+  /** Per-conversation running high-watermark of turn_idx — the whole
+    * per-key state (one int; anything more would multiply state-store
+    * and checkpoint bytes by key cardinality for nothing). */
+  final case class ConvProgress(maxTurn: Int)
 
   /** An out-of-order arrival: a turn below the conversation's
     * already-seen maximum (replayed/late upstream delivery — the per-key
@@ -63,23 +65,47 @@ object StreamOps {
     * merge's bucket layout. Rows are (conv_id, turn_idx, lsn); the
     * group's events are re-ordered by LSN inside the batch because the
     * shuffle does NOT preserve upstream order (a group's per-batch
-    * volume is bounded, so the in-memory sort is too). */
-  def turnRegressions(
-      events: Dataset[(String, Int, Long)]): Dataset[TurnRegression] = {
+    * volume is bounded, so the in-memory sort is too).
+    *
+    * Pass `idleEviction` on any LONG-RUNNING deployment: with it, a
+    * key's state is dropped after that long without new events — under
+    * unbounded conv_id cardinality (conversations open and close
+    * forever) un-evicted state grows monotonically until the state store
+    * OOMs or checkpointing dominates the trigger. Two explicit trades:
+    * an arrival later than the eviction window is judged against a
+    * fresh watermark and not flagged (size the window to the feed's
+    * out-of-orderness, same contract as any watermark), and Spark runs a
+    * micro-batch EVERY trigger once processing-time timeouts are
+    * registered — pair eviction with a real `Trigger.ProcessingTime`
+    * interval (the default zero-interval trigger would busy-loop, and
+    * `processAllAvailable` never quiesces — why the default here stays
+    * NoTimeout for bounded tests/backfills). */
+  def turnRegressions(events: Dataset[(String, Int, Long)],
+      idleEviction: Option[String] = None): Dataset[TurnRegression] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleEviction.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
       .flatMapGroupsWithState[ConvProgress, TurnRegression](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (conv: String, it: Iterator[(String, Int, Long)],
             state: GroupState[ConvProgress]) =>
-          var st = state.getOption.getOrElse(ConvProgress(-1, 0L))
-          val out = scala.collection.mutable.Buffer[TurnRegression]()
-          it.toSeq.sortBy(_._3).foreach { case (_, turn, _) =>
-            if (turn < st.maxTurn) out += TurnRegression(conv, turn, st.maxTurn)
-            st = ConvProgress(math.max(st.maxTurn, turn), st.events + 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ConvProgress(-1))
+            val out = scala.collection.mutable.Buffer[TurnRegression]()
+            it.toSeq.sortBy(_._3).foreach { case (_, turn, _) =>
+              if (turn < st.maxTurn)
+                out += TurnRegression(conv, turn, st.maxTurn)
+              st = ConvProgress(math.max(st.maxTurn, turn))
+            }
+            state.update(st)
+            idleEviction.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }
