@@ -70,6 +70,12 @@ object CdcPipeline {
     * queries so every PipelineConfig seam behaves identically on both. */
   private def applyEpoch(table: LakeTable, batch: DataFrame, epochId: Long,
       method: String, cfg: PipelineConfig): Unit = {
+    // same validation as the graft-table sink: anything-but-insert
+    // silently running MERGE would turn a typo ("append", "Insert") into
+    // a different semantics with an O(touched-buckets) read-back bill
+    require(method == "upsert" || method == "insert",
+      s"unknown upload method '$method' - use 'upsert' (MERGE) or " +
+        "'insert' (blind append)")
     val res =
       if (method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
       else MergeApply.merge(table, batch, epochId, cfg.merge)
@@ -188,8 +194,9 @@ object CdcPipeline {
       transform: DataFrame => DataFrame = identity,
       cfg: MergeConfig = MergeConfig(),
       evolveSchema: Boolean = true): FollowResult = {
-    // the consumed-LSN watermark IS the destination's global epoch space
-    // (epoch ids are source LSN cuts). A txn-scoped config would commit
+    // the consumed-source-VERSION watermark IS the destination's global
+    // epoch space (epoch ids are source snapshot versions — see the
+    // scaladoc above for why not LSN cuts). A txn-scoped config would commit
     // into the txn slot instead: the watermark never advances, every
     // round re-reads from -1 and re-plans an O(table) merge before the
     // txn guard no-ops it — correct final state, quadratic work. Fail
@@ -248,13 +255,21 @@ object CdcPipeline {
   }
 
   /** Drain: follow rounds until the destination has consumed everything
-    * currently in the source. Returns the rounds that applied data. */
+    * currently in the source. Returns the rounds that applied data.
+    * `evolveSchema` passes through to every [[followOnce]] round — the
+    * drain loop must honor the same opt-out (hand-authored destination
+    * schema under a reshaping `transform`) or the first round would
+    * pollute it with every source column. */
   def followAvailable(src: LakeTable, dst: LakeTable,
       transform: DataFrame => DataFrame = identity,
-      cfg: MergeConfig = MergeConfig()): Seq[FollowResult] = {
+      cfg: MergeConfig = MergeConfig(),
+      evolveSchema: Boolean = true): Seq[FollowResult] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FollowResult]
-    var r = followOnce(src, dst, transform, cfg)
-    while (r.applied) { out += r; r = followOnce(src, dst, transform, cfg) }
+    var r = followOnce(src, dst, transform, cfg, evolveSchema)
+    while (r.applied) {
+      out += r
+      r = followOnce(src, dst, transform, cfg, evolveSchema)
+    }
     out.toSeq
   }
 }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * processed for longer than the cron window — rather than when a file
   * is missing once.
   */
-final class ProgressListener extends StreamingQueryListener {
+final class ProgressListener(maxStats: Int = 4096)
+    extends StreamingQueryListener {
   final case class BatchStat(queryName: String, batchId: Long,
       numInputRows: Long, processedRowsPerSecond: Double, durationMs: Long,
       timestamp: String)
@@ -28,8 +29,18 @@ final class ProgressListener extends StreamingQueryListener {
   private val batches = new ConcurrentLinkedQueue[BatchStat]()
   private val terminal = new ConcurrentLinkedQueue[String]()
   @volatile private var lastDataMs: Long = System.currentTimeMillis()
+  // per-query-NAME freshness: listeners are session-global, so in a
+  // multi-query session (ingest feed + mirror, two feeds) the aggregate
+  // clock above is reset by ANY query's data and can mask one feed going
+  // dark forever — the exact alert this class exists to raise
+  private val lastDataByQuery =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    // baseline: a feed that never delivers a single row must still
+    // eventually trip the per-query alert
+    Option(e.name).foreach(
+      lastDataByQuery.putIfAbsent(_, System.currentTimeMillis()))
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
@@ -37,7 +48,14 @@ final class ProgressListener extends StreamingQueryListener {
       p.numInputRows, p.processedRowsPerSecond,
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
       p.timestamp))
-    if (p.numInputRows > 0) lastDataMs = System.currentTimeMillis()
+    // bounded ring: always-on deployments trigger every few seconds and
+    // an untrimmed queue grows until the driver OOMs
+    while (batches.size > maxStats) batches.poll()
+    if (p.numInputRows > 0) {
+      lastDataMs = System.currentTimeMillis()
+      Option(p.name).foreach(
+        lastDataByQuery.put(_, System.currentTimeMillis()))
+    }
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
@@ -59,10 +77,21 @@ final class ProgressListener extends StreamingQueryListener {
     b.result()
   }
 
-  /** True when no batch has carried data for longer than `maxSilentMs` —
-    * the "source went dark" alert. */
+  /** True when no batch of ANY query has carried data for longer than
+    * `maxSilentMs` — the "source went dark" alert for the single-query
+    * session. With several queries on the session, use the per-query
+    * overload: here one healthy feed keeps resetting the shared clock
+    * and would mask another going dark. */
   def stalenessAlert(maxSilentMs: Long): Boolean =
     System.currentTimeMillis() - lastDataMs > maxSilentMs
+
+  /** Per-query staleness: true when the NAMED query (writeStream
+    * `.queryName(...)`) has carried no data for `maxSilentMs` — also true
+    * for a name never seen at all (a feed that failed to start is the
+    * darkest kind of dark). */
+  def stalenessAlert(maxSilentMs: Long, queryName: String): Boolean =
+    System.currentTimeMillis() -
+      lastDataByQuery.getOrDefault(queryName, 0L) > maxSilentMs
 }
 
 object ProgressListener {

@@ -82,8 +82,11 @@ object ReplayMain {
 
       val snap = table.snapshot
       // the complete epoch count comes from the append-only mirror; the
-      // in-snapshot log is a bounded tail (maxLineageInSnapshot)
-      val totalEpochs = table.lineageTable.count()
+      // in-snapshot log is a bounded tail (maxLineageInSnapshot). Filter
+      // to FEED epochs: compaction/rebucket commits mirror as epochId=-1
+      // rows and would overstate the count this line reports throughput
+      // against.
+      val totalEpochs = table.lineageTable.where("epochId >= 0").count()
       println(f"[replay] applied $totalEpochs epochs in $sec%.2f s → $rate%.0f events/s")
       snap.lineage.takeRight(50).foreach { l =>
         println(f"[lineage] epoch=${l.epochId} v=${l.version} rows=${l.rowsApplied} buckets=${l.bucketsTouched.size} files+${l.filesRewritten}/~${l.filesCarried} maxLsn=${l.maxLsn} ${l.durationMs} ms")
@@ -92,9 +95,13 @@ object ReplayMain {
       println(s"[replay] final table rows = $rows (snapshot v${snap.version})")
       table.read().orderBy("conv_id", "turn_idx").show(5, truncate = false)
 
+      // ONE driver-side sequential replay shared by all three checks —
+      // each recompute is an O(nEvents) single-threaded loop, and the
+      // full evidence configuration (check + FOLLOW + AGGVIEW) needs it
+      // three times
+      lazy val oracle = ChangeLogGen.oracleFinalState(cfg)
       if (check) {
         print("[replay] checking final state vs sequential oracle … ")
-        val oracle = ChangeLogGen.oracleFinalState(cfg)
         import spark.implicits._
         val got = table.read().as[graft.model.TranscriptRow]
           .collect().sortBy(r => (r.conv_id, r.turn_idx)).toSeq
@@ -116,7 +123,8 @@ object ReplayMain {
           val d = LakeTable.load(spark, s"$workDir/downstream")
           if (d.exists) {
             // the two sync mechanisms use incompatible epoch-id spaces
-            // (follow: source LSNs; stream: Spark micro-batch ids) — a
+            // (follow: consumed source snapshot VERSIONS; stream: Spark
+            // micro-batch ids) — a
             // mode switch on an existing mirror would silently no-op
             // every merge under the old watermark. An unstamped mirror
             // adopts the current mode ONLY while it has never committed
@@ -164,7 +172,7 @@ object ReplayMain {
         import spark.implicits._
         val got = down.read().as[graft.model.TranscriptRow]
           .collect().sortBy(r => (r.conv_id, r.turn_idx)).toSeq
-        if (got == ChangeLogGen.oracleFinalState(cfg)) println("OK (exact match)")
+        if (got == oracle) println("OK (exact match)")
         else { println(s"MISMATCH got=${got.size}"); sys.exit(1) }
       }
       // GRAFT_AGGVIEW=1: maintain an incremental materialized aggregate
@@ -188,7 +196,7 @@ object ReplayMain {
         val modes = rounds.groupBy(_.mode).view.mapValues(_.size).toMap
         print(f"[aggview] ${rounds.size} refresh rounds ($modes) in " +
           f"$vSec%.2f s; view vs oracle aggregate … ")
-        val want = ChangeLogGen.oracleFinalState(cfg)
+        val want = oracle
           .groupBy(_.conv_id).map { case (c, rs) =>
             (c, rs.size.toLong,
               rs.map(r => Option(r.text).map(_.length.toLong).getOrElse(0L))

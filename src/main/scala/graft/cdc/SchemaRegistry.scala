@@ -75,7 +75,14 @@ object SchemaRegistry {
         if (schema.fieldNames.contains(c.name)) false
         else { table.addColumn(c.name, c.dt, c.doc.orNull); true }
       case "widen" =>
-        if (schema(c.name).dataType == c.dt) false
+        val current = schema(c.name).dataType
+        // no-op not only when the type already matches but when it has
+        // ALREADY BEEN WIDENED FURTHER: one redelivered batch can carry
+        // widen int->long AND widen long->double; after a crash between
+        // the schema apply and the data commit, the replayed first event
+        // sees double and re-widening to long would throw — a permanent
+        // poison-batch loop, breaking the idempotence contract above
+        if (current == c.dt || LakeTable.canWiden(c.dt, current)) false
         else { table.widenColumn(c.name, c.dt); true }
     }
   }

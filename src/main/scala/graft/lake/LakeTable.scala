@@ -955,8 +955,14 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * version per key); delta files may hold several versions of a key
     * (MergeApply.mergeMor defers dedup to read), so delta candidates
     * always resolve — an exchange over the NEW rows only. */
-  def readSince(sinceLsn: Long, asOf: Option[Long] = None): DataFrame = {
-    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+  def readSince(sinceLsn: Long, asOf: Option[Long] = None): DataFrame =
+    readSinceSnap(sinceLsn, asOf.map(snapshotAt).getOrElse(snapshot))
+
+  /** [[readSince]] against an ALREADY-RESOLVED snapshot — the per-trigger
+    * hot path of the streaming source resolves one snapshot per batch and
+    * must not pay another version-JSON read + manifest fold per call. */
+  private[graft] def readSinceSnap(sinceLsn: Long, snap: Snapshot)
+      : DataFrame = {
     val cand = sinceCandidates(snap, sinceLsn)
     val (single, multi) = cand.groupBy(_.bucket).values
       .partition(g => g.size == 1 && g.head.kind == "base")
@@ -1012,10 +1018,14 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * current winners that LWW-merging consumers absorb (and tombstone
     * winners ride along, so deletes still propagate through a fold). */
   def arrivalsSince(sinceVersion: Long, asOf: Option[Long] = None)
-      : DataFrame = {
-    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+      : DataFrame =
+    arrivalsSinceSnap(sinceVersion, asOf.map(snapshotAt).getOrElse(snapshot))
+
+  /** [[arrivalsSince]] against an already-resolved snapshot (see
+    * [[readSinceSnap]]). */
+  private[graft] def arrivalsSinceSnap(sinceVersion: Long, snap: Snapshot)
+      : DataFrame =
     readFiles(snap, arrivalFiles(snap, sinceVersion))
-  }
 
   /** Time-travel diff: every key whose winning version changed between
     * snapshot `fromVersion` and snapshot `toVersion` (default: current),

@@ -301,6 +301,9 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
     * out so tests can execute a range directly. */
   private[streaming] def batchPlan(startO: Option[GraftOffset],
       endO: GraftOffset): DataFrame = {
+    // ONE snapshot resolution per batch: readSinceSnap/arrivalsSinceSnap
+    // reuse it — the asOf overloads would each re-read the version JSON
+    // and re-fold the manifests on the per-trigger hot path
     val snap = table.snapshotAt(endO.version)
     val changes =
       if (!endO.versionComplete) {
@@ -308,19 +311,18 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
         // — the LSN filter is the rate-limit cut (a key whose winner lies
         // beyond it is deferred to the batch that covers the winner)
         val from = startO.map(_.lsn).orElse(startingLsn).getOrElse(-1L)
-        table.readSince(from, asOf = Some(endO.version))
+        table.readSinceSnap(from, snap)
           .filter(col("__lsn") <= endO.lsn)
       } else startO match {
         case None =>
           // bootstrap sealed in one window: winners at the snapshot
-          table.readSince(startingLsn.getOrElse(-1L),
-            asOf = Some(endO.version))
+          table.readSinceSnap(startingLsn.getOrElse(-1L), snap)
         case Some(s) if !s.versionComplete =>
           // seal transition: finish the pinned snapshot past the last
           // LSN cut, plus every arrival in commits after it (aligned to
           // the arrival side's schema — evolution inside the window
           // null-fills/upcasts the older half)
-          val arr = table.arrivalsSince(s.version, asOf = Some(endO.version))
+          val arr = table.arrivalsSinceSnap(s.version, snap)
           LakeTable.align(
               table.readSince(s.lsn, asOf = Some(s.version)), arr.schema)
             .unionByName(arr)
@@ -328,7 +330,7 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
           // steady state: the commit-version arrival window — raw
           // arrivals (several rows per key possible; the merge sink's
           // within-batch LWW resolves), tombstones included
-          table.arrivalsSince(s.version, asOf = Some(endO.version))
+          table.arrivalsSinceSnap(s.version, snap)
       }
     val out = changes
       .withColumnRenamed("__lsn", "lsn")
@@ -466,14 +468,21 @@ class LakeTableSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-table derives its schema from the table")
-    val user = LakeTable.load(sqlContext.sparkSession, dir(parameters))
-      .snapshot.userSchema
-    (shortName(), LakeTableSourceProvider.changeSchema(user))
+    val t = LakeTable.load(sqlContext.sparkSession, dir(parameters))
+    // same fail-fast as the sink: a typo'd path would otherwise die in
+    // the snapshot read with a bare FileNotFoundException — after
+    // resolveOnce may already have frozen stream metadata
+    require(t.exists, s"no lake table at ${dir(parameters)} — create it " +
+      "first (LakeTable.createTable)")
+    (shortName(), LakeTableSourceProvider.changeSchema(t.snapshot.userSchema))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
+    require(LakeTable.load(sqlContext.sparkSession, dir(parameters)).exists,
+      s"no lake table at ${dir(parameters)} — create it first " +
+        "(LakeTable.createTable)")
     val limit = parameters.get("maxLsnsPerTrigger").map(_.toLong)
     require(limit.forall(_ > 0), "maxLsnsPerTrigger must be positive")
     val rowLimit = parameters.get("maxRowsPerTrigger").map(_.toLong)

@@ -102,6 +102,21 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got == Map("c1" -> 5L, "c2" -> 9999999999L))
   }
 
+  test("replayed widen is a no-op when the column was widened further") {
+    val table = LakeTable.createTable(spark, tmpDir("evo-rewiden"),
+      Schemas.transcript, nBuckets = 2)
+    MergeApply.merge(table, v2(Seq(
+      (1L, "S", null, 0, """{"add":{"name":"score","type":"int"}}""", null, null))), 0L)
+    // one batch carrying TWO widen steps for the same column — after a
+    // crash between schema apply and data commit, redelivery re-applies
+    // the FIRST step against the already-double schema; it must no-op,
+    // not throw (the poison-batch loop)
+    assert(SchemaRegistry(table, """{"widen":{"name":"score","type":"long"}}"""))
+    assert(SchemaRegistry(table, """{"widen":{"name":"score","type":"double"}}"""))
+    assert(!SchemaRegistry(table, """{"widen":{"name":"score","type":"long"}}"""))
+    assert(table.snapshot.userSchema("score").dataType == DoubleType)
+  }
+
   test("registry application is idempotent under epoch redelivery") {
     val table = LakeTable.createTable(spark, tmpDir("evo-idem"),
       Schemas.transcript, nBuckets = 2)
