@@ -675,31 +675,29 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val liveFiles = carried ++ stamped
 
     var manifests = base.manifests
-    var unpublished = "" // delta manifest written this commit, pre-publish
-    if ((stamped.nonEmpty || replacedBuckets.nonEmpty) && !hadUnstamped) {
-      unpublished = if (stamped.nonEmpty) writeManifest(stamped, v) else ""
+    // consolidation is decided BEFORE any manifest write — deciding it
+    // after would write a delta manifest and delete it within the same
+    // commit on every size-triggered consolidation. hadUnstamped forces
+    // consolidation: the reset manifest is what persists the one-time
+    // restamping above across reloads.
+    val appendDelta =
+      (stamped.nonEmpty || replacedBuckets.nonEmpty) && !hadUnstamped
+    val sizeAfterAppend =
+      if (appendDelta && newNBuckets.nonEmpty) 1 // rebucket delta RESETS
+      else manifests.size + (if (appendDelta) 1 else 0)
+    if (sizeAfterAppend > manifestCompactThreshold || hadUnstamped) {
+      // consolidate: one reset manifest holding the resolved live set
+      manifests = Seq(ManifestRef(writeManifest(liveFiles, v),
+        liveFiles.size, Nil, reset = true))
+    } else if (appendDelta) {
+      val delta = if (stamped.nonEmpty) writeManifest(stamped, v) else ""
       // a rebucket manifest RESETS: bucket ids change spaces at this
       // commit, so earlier manifests' replacement lists no longer apply
       manifests =
         if (newNBuckets.nonEmpty)
-          Seq(ManifestRef(unpublished, stamped.size, Nil, reset = true))
-        else manifests :+ ManifestRef(unpublished, stamped.size,
+          Seq(ManifestRef(delta, stamped.size, Nil, reset = true))
+        else manifests :+ ManifestRef(delta, stamped.size,
           replacedBuckets.toSeq.sorted)
-    }
-    // hadUnstamped forces consolidation (the delta write above was
-    // skipped — the reset manifest below carries this commit's stamped
-    // entries along with the whole re-stamped live set)
-    if (manifests.size > manifestCompactThreshold || hadUnstamped) {
-      // consolidate: one reset manifest holding the resolved live set
-      manifests = Seq(ManifestRef(writeManifest(liveFiles, v),
-        liveFiles.size, Nil, reset = true))
-      // the just-written delta manifest was never referenced by any
-      // published snapshot — reclaim it now (vacuum only GCs manifests
-      // that expired snapshots reference)
-      if (unpublished.nonEmpty) {
-        fs.delete(new Path(unpublished), false)
-        manifestCache.remove(unpublished)
-      }
     }
 
     // advance the committed-epoch watermark; out-of-order epochs park in
@@ -759,7 +757,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         // commit lost the optimistic-concurrency race (or failed): the
         // manifests written this attempt were never published and no
         // later vacuum would find them — reclaim before rethrowing
-        (manifests.map(_.path).toSet + unpublished - "")
+        (manifests.map(_.path).toSet - "")
           .diff(base.manifests.map(_.path).toSet)
           .foreach { m =>
             try { fs.delete(new Path(m), false); manifestCache.remove(m) }
@@ -989,10 +987,13 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * only their commit's arrivals; rewrite files (compaction folds, COW
     * bucket rewrites) and pre-`addedV` manifests contain carried-over
     * rows too — a superset the consumer must absorb. The pre-`addedV`
-    * case (`addedV < 0`) is BOUNDED: the first commit after upgrade
-    * stamps every unstamped entry as a fold at that commit (see
-    * [[commitOnce]]), so the conservative every-window inclusion here
-    * only lasts until the table is written once. One provable
+    * case (`addedV < 0`) is BOUNDED: the first DATA-PATH commit after
+    * upgrade (anything through [[commitOnce]] — merge, append, compact,
+    * truncate, addColumn; NOT the metadata-only publishes like
+    * setProperty/linkResource, which bypass stamping) stamps every
+    * unstamped entry as a fold at that commit, so the conservative
+    * every-window inclusion here only lasts until the table is written
+    * once through the commit path. One provable
     * exclusion: a compaction fold committed at exactly `sinceV + 1` is a
     * state-neutral rewrite of rows live at `sinceV` — all already inside
     * the consumer's watermark — so it is skipped outright (the Iceberg
@@ -1171,15 +1172,25 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   /** Set one table property in a metadata-only commit. */
   def setProperty(key: String, value: String): Snapshot =
     publishMeta(base => base.copy(version = base.version + 1,
-      properties = base.properties + (key -> value)))
+      properties = base.properties + (key -> value)),
+      applied = _.properties.get(key).contains(value))
 
   /** Publish a metadata-only snapshot derived from the CURRENT base,
     * with the same lost-race semantics as [[commit]]: on losing the
     * create-if-absent arbiter, wait for the winner's snapshot and
     * re-derive from it (the edit is a pure function of the base, so the
     * rebase is just re-application) instead of surfacing a raw
-    * FileAlreadyExistsException to the caller. */
-  private def publishMeta(make: Snapshot => Snapshot): Snapshot = {
+    * FileAlreadyExistsException to the caller.
+    *
+    * `applied` is the self-race guard: when a writeSnapshot fails AFTER
+    * its version file became durable (e.g. the pointer swap threw), the
+    * retry can adopt the writer's OWN snapshot as the new base — without
+    * the guard it would re-apply the edit on top of itself, burning a
+    * duplicate version (and for replaceSchema, a duplicate schema
+    * entry). commit() guards the same class of race with its epoch/txn
+    * checks. */
+  private def publishMeta(make: Snapshot => Snapshot,
+      applied: Snapshot => Boolean): Snapshot = {
     var base = snapshot
     var attempts = 0
     while (true) {
@@ -1192,6 +1203,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
             throw new CommitConflictException(
               s"gave up after $attempts rebase attempts at $dir", e)
           base = awaitBaseBeyond(base.version).getOrElse(base)
+          if (applied(base)) return base
       }
     }
     sys.error("unreachable")
@@ -1224,8 +1236,11 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   def replaceSchema(schema: StructType): Snapshot =
     // destructive by intent (clear_first): on a lost race the retry
     // still clears everything, including the racer's freshly-landed
-    // commit — the same outcome as that commit landing a moment earlier
-    publishMeta { base =>
+    // commit — the same outcome as that commit landing a moment earlier.
+    // applied: an adopted base that is already empty under this exact
+    // schema needs no re-clear (the self-race case, or a racer that ran
+    // the identical clear_first)
+    publishMeta(base => {
       val keptDocs = base.columnDocs.filter { case (c, _) =>
         schema.fieldNames.contains(c) }
       val v = base.currentSchemaVersion + 1
@@ -1236,7 +1251,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         currentSchemaVersion = v,
         schemas = base.schemas + (v.toString -> schema.json),
         columnDocs = keptDocs)
-    }
+    }, applied = b => b.files.isEmpty && b.manifests.isEmpty &&
+      b.userSchema == schema)
 
   /** Additive schema evolution: add a nullable column at the end. Old files
     * are projected with nulls at read. */
