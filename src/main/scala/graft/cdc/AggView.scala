@@ -131,8 +131,18 @@ object AggView {
     * the guard against silently refreshing with changed definitions. */
   private val SumsProp = "graft.aggview.sums"
 
+  /** Length-prefixed encoding — injective regardless of ':' or '; ' in
+    * names/renderings (a plain join could let two different definitions
+    * collide across a shifted separator). Note the rendering is
+    * Column.toString: rebuild the SAME definition the same way (e.g.
+    * always `col("x") * 2`, not sometimes `expr("x * 2")`) — two
+    * renderings of one logical expression read as a changed definition,
+    * which fails safe (a require, never corruption). */
   private def sumsFingerprint(sums: Seq[(String, Column)]): String =
-    sums.map { case (n, c) => s"$n:$c" }.mkString("; ")
+    sums.map { case (n, c) =>
+      val r = c.toString
+      s"${n.length}:$n=${r.length}:$r"
+    }.mkString("; ")
 
   private def fnfInChain(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)

@@ -803,23 +803,47 @@ object MergeApply {
     if (alreadyCommitted(snap0, epochId, cfg))
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
-    // duplicate-INPUT suppression — same gate as [[merge]]
+    // duplicate-INPUT suppression — same gate as [[merge]], and the same
+    // conflict-retry loop: a CommitConflictException (schema-version
+    // change mid-flight, retry exhaustion in the rebase) must retry with
+    // a fresh snapshot like every other path, not escape through
+    // foreachBatch and kill the stream. A failed attempt's written files
+    // are unpublished orphans — vacuumOrphans' job, same as COW retries.
     val (fpRows, fp) =
       if (cfg.inputChecksumGate) batchFingerprint(batch) else (0L, "")
+    var conflictRetries = 0
+    while (true) {
+      try return appendOnce(table, batch, epochId, cfg, t0, fpRows, fp)
+      catch {
+        case _: graft.lake.EpochSupersededException =>
+          return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
+            Nil, (System.nanoTime() - t0) / 1000000L)
+        case e: graft.lake.CommitConflictException =>
+          conflictRetries += 1
+          if (conflictRetries > 8) throw e
+          Thread.sleep(
+            (math.min(400, 25 << (conflictRetries - 1)) * math.random()).toLong)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def appendOnce(table: LakeTable, batch: DataFrame, epochId: Long,
+      cfg: MergeConfig, t0: Long, fpRows: Long, fp: String): MergeResult = {
+    // every attempt re-reads the snapshot: a racer's epoch or checksum
+    // commit between attempts is honored
+    val snap0 = table.snapshot
+    if (alreadyCommitted(snap0, epochId, cfg))
+      return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
+        (System.nanoTime() - t0) / 1000000L)
     if (fp.nonEmpty && lastChecksum(snap0).contains(fp)) {
       val entry = LineageEntry(epochId, snap0.version + 1, fpRows, 0L, Nil,
         0, snap0.files.size, -1L, "",
         (System.nanoTime() - t0) / 1000000L, inputChecksum = fp)
       val (eid, txn) = epochArgs(cfg, epochId)
-      try {
-        val c = table.commit(snap0, Nil, Set.empty, eid, Some(entry), txn = txn)
-        return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
-          (System.nanoTime() - t0) / 1000000L)
-      } catch {
-        case _: graft.lake.EpochSupersededException =>
-          return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
-            Nil, (System.nanoTime() - t0) / 1000000L)
-      }
+      val c = table.commit(snap0, Nil, Set.empty, eid, Some(entry), txn = txn)
+      return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
+        (System.nanoTime() - t0) / 1000000L)
     }
     val dataBatch = applySchemaEvents(table, batch)
     val snap = table.snapshot
@@ -845,17 +869,12 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L,
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
       partitions = parts, inputChecksum = fp)
-    try {
-      val (eid, txn) = epochArgs(cfg, epochId)
-      val c = table.commit(snap, newFiles, Set.empty, eid, Some(entry), txn = txn)
-      MergeResult(applied = true, c.version, rows, rows,
-        newFiles.map(_.bucket).distinct.sorted,
-        (System.nanoTime() - t0) / 1000000L)
-    } catch {
-      case _: graft.lake.EpochSupersededException =>
-        MergeResult(applied = false, table.snapshot.version, 0L, 0L, Nil,
-          (System.nanoTime() - t0) / 1000000L)
-    }
+    // EpochSuperseded/CommitConflict propagate to append()'s retry loop
+    val (eid, txn) = epochArgs(cfg, epochId)
+    val c = table.commit(snap, newFiles, Set.empty, eid, Some(entry), txn = txn)
+    MergeResult(applied = true, c.version, rows, rows,
+      newFiles.map(_.bucket).distinct.sorted,
+      (System.nanoTime() - t0) / 1000000L)
   }
 
   /** Write `df` (user cols + __lsn + __op + __bucket) under

@@ -27,6 +27,7 @@ final class ProgressListener(maxStats: Int = 4096)
       timestamp: String)
 
   private val batches = new ConcurrentLinkedQueue[BatchStat]()
+  private val batchCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val terminal = new ConcurrentLinkedQueue[String]()
   @volatile private var lastDataMs: Long = System.currentTimeMillis()
   // per-query-NAME freshness: listeners are session-global, so in a
@@ -48,9 +49,15 @@ final class ProgressListener(maxStats: Int = 4096)
       p.numInputRows, p.processedRowsPerSecond,
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
       p.timestamp))
-    // bounded ring: always-on deployments trigger every few seconds and
-    // an untrimmed queue grows until the driver OOMs
-    while (batches.size > maxStats) batches.poll()
+    // bounded ring, one-in-one-out at capacity: always-on deployments
+    // trigger every few seconds and an untrimmed queue grows until the
+    // driver OOMs. The explicit counter keeps this O(1) —
+    // ConcurrentLinkedQueue.size is an O(n) traversal, and this runs on
+    // the shared listener-bus thread.
+    if (batchCount.incrementAndGet() > maxStats) {
+      batches.poll()
+      batchCount.decrementAndGet(): Unit
+    }
     if (p.numInputRows > 0) {
       lastDataMs = System.currentTimeMillis()
       Option(p.name).foreach(

@@ -49,9 +49,11 @@ case class DotProductLong(left: Expression, right: Expression)
   /** Can either array carry null ELEMENTS? Static: drives both the
     * nullability contract and whether codegen pays for per-element null
     * checks (the quantized-vector call sites are containsNull=false and
-    * keep the unguarded loop). */
-  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType
-    match { case ArrayType(_, cn) => cn; case _ => false })
+    * keep the unguarded loop). Lazy val, not def: nullSafeEval consults
+    * it inside the per-element loop on the interpreted path. */
+  @transient private lazy val elemsNullable: Boolean =
+    Seq(left, right).exists(_.dataType
+      match { case ArrayType(_, cn) => cn; case _ => false })
 
   override def nullable: Boolean = super.nullable || elemsNullable
 

@@ -69,6 +69,14 @@ object Extractors {
     // elsewhere is not a recoverable data row either way).
     val allString = raw.schema.fields.nonEmpty && raw.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.StringType)
+    if (opts.dropEmbeddedHeaders && opts.header && !allString)
+      // disclosed, not silent: the caller asked for header dropping but
+      // a typed schema disables the value-equality filter; under
+      // DROPMALFORMED the typed cells reject header rows anyway — under
+      // PERMISSIVE they survive as junk rows (nulls + self-named strings)
+      System.err.println(s"[csv] dropEmbeddedHeaders skipped for $path: " +
+        "schema has non-string columns (use dropMalformed=true to shed " +
+        "embedded header rows under a typed schema)")
     val noEmbedded =
       if (opts.dropEmbeddedHeaders && opts.header && allString)
         raw.filter(!raw.schema.fieldNames.toSeq

@@ -145,6 +145,8 @@ object JobRunner {
     * so a format mismatch fails fast instead of silently duplicating. */
   private val KeyPackProp = "graft.keypack"
   private val KeyPackVersion = "tagged-v1"
+  /** Stamp for tables keyed by the lake's native (conv_id, turn_idx). */
+  private val KeyPackNative = "native"
 
   /** MERGE-envelope derivation for the Lake destination. The lake's
     * native key is (conv_id: string, turn_idx: int); a feed whose
@@ -337,32 +339,37 @@ object JobRunner {
       val table = new LakeTable(spark, dir)
       val userSchema = lakeSchema(out, spec.keyFields)
       val packed = spec.keyFields != graft.model.Schemas.keyCols
+      val wantStamp = if (packed) KeyPackVersion else KeyPackNative
       if (!table.exists)
         table.create(userSchema, nBuckets,
           properties = spec.timeField.map(TimeField.WatermarkColumn -> _)
-            .toMap ++ (if (packed) Map(KeyPackProp -> KeyPackVersion)
-                       else Map.empty))
-      else if (packed) {
-        // packed-key format guard: the injective tag+escape packing is
-        // NOT byte-compatible with any earlier packing — merging new-
-        // format keys into a table keyed under another format would
-        // silently duplicate every row instead of updating it. Stamp on
-        // create, fail fast on mismatch (re-key by replaying the feed
-        // into a fresh table, or run with alwaysClearFirst).
+            .toMap + (KeyPackProp -> wantStamp))
+      else {
+        // key-format guard, BOTH directions: a packed-key spec writing
+        // into a table keyed under another packing, OR a native-key spec
+        // writing into a packed-stamped table, would silently duplicate
+        // every row instead of updating it (the conv_id values never
+        // collide across formats). Stamp on create, fail fast on any
+        // mismatch (re-key by replaying the feed into a fresh table, or
+        // run with alwaysClearFirst). An UNSTAMPED non-empty table is
+        // accepted only by a native-key spec — the pre-stamp builds'
+        // common case; a packed spec cannot know which packing an
+        // unstamped table used.
         val have = table.snapshot.properties.get(KeyPackProp)
-        require(spec.alwaysClearFirst || spec.alwaysWipeData ||
-            have.contains(KeyPackVersion) ||
+        val ok =
+          if (packed) have.contains(KeyPackVersion)
+          else have.forall(_ == KeyPackNative)
+        require(spec.alwaysClearFirst || spec.alwaysWipeData || ok ||
             table.snapshot.files.isEmpty,
-          s"table $dir holds packed composite keys of format " +
-            s"${have.getOrElse("<unstamped>")}, this build writes " +
-            s"$KeyPackVersion - upserts would duplicate instead of " +
-            "update; replay into a fresh table or set alwaysClearFirst")
+          s"table $dir is keyed under format " +
+            s"${have.getOrElse("<unstamped>")}, this spec writes " +
+            s"$wantStamp - upserts would duplicate instead of update; " +
+            "replay into a fresh table or set alwaysClearFirst")
       }
       if (spec.alwaysClearFirst) table.replaceSchema(userSchema)
       else if (spec.alwaysWipeData) table.truncate()
-      if (packed && !table.snapshot.properties.get(KeyPackProp)
-          .contains(KeyPackVersion))
-        table.setProperty(KeyPackProp, KeyPackVersion): Unit
+      if (!table.snapshot.properties.get(KeyPackProp).contains(wantStamp))
+        table.setProperty(KeyPackProp, wantStamp): Unit
       val epoch = table.snapshot.maxCommittedEpoch + 1
       val batch = envelope(out, spec.keyFields, epoch)
       // BOTH methods dedup in-batch duplicates: a run's rows all carry

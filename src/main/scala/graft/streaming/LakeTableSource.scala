@@ -212,12 +212,22 @@ class LakeTableSource(sqlContext: SQLContext, tableDir: String,
         // delivers it as a commit-version arrival instead.
         val pin = attachVersion.filter(_ < snap.version).map { av =>
           try table.snapshotAt(av)
-          catch { case e: Exception => throw new IllegalStateException(
-            s"the attach snapshot v$av frozen for startingLsn has been " +
-              "vacuumed before batch 0 sealed; keep vacuumKeepSnapshots " +
-              "above the bootstrap window, or start a NEW checkpoint " +
-              "(a fresh metadata dir re-freezes the cut at the live " +
-              "snapshot)", e) }
+          catch {
+            // ONLY a missing snapshot means vacuumed — rewording a
+            // transient read error with discard-the-checkpoint advice
+            // would talk an operator into abandoning the frozen cut (and
+            // the gap it protects) over a blip a retry survives
+            case e: Exception
+                if Iterator.iterate(e: Throwable)(_.getCause)
+                  .takeWhile(_ != null).take(16)
+                  .exists(_.isInstanceOf[java.io.FileNotFoundException]) =>
+              throw new IllegalStateException(
+                s"the attach snapshot v$av frozen for startingLsn has " +
+                  "been vacuumed before batch 0 sealed; keep " +
+                  "vacuumKeepSnapshots above the bootstrap window, or " +
+                  "start a NEW checkpoint (a fresh metadata dir " +
+                  "re-freezes the cut at the live snapshot)", e)
+          }
         }.getOrElse(snap)
         val high = table.highLsn(pin) // manifest stats only — no job
         val from = startingLsn.getOrElse(-1L)
@@ -507,9 +517,12 @@ class LakeTableSourceProvider extends StreamSourceProvider
     // and in no later window; a crash between two file writes would
     // re-resolve the second value against the live table. "cut:version"
     // in a single atomically-published file closes both. Legacy
-    // metadata (a bare cut, written before the version was frozen)
-    // parses as attachVersion = None — the pre-fix first-trigger
-    // behavior, preserved for in-flight checkpoints.
+    // metadata (a bare cut, written before the combined record): the
+    // intermediate build froze the version in a SEPARATE
+    // graft-attach-version file — honor it if present (discarding it
+    // would revert those checkpoints to the unpinned first-trigger cut
+    // and re-open the out-of-order loss the pin closed); with neither,
+    // fall back to attachVersion = None, the oldest builds' behavior.
     val (startLsn, attachV): (Option[Long], Option[Long]) =
       parameters.get("startingLsn") match {
         case None => (None, None)
@@ -522,7 +535,9 @@ class LakeTableSourceProvider extends StreamSourceProvider
             }
           rec.split(':') match {
             case Array(l, v) => (Some(l.toLong), Some(v.toLong))
-            case _ => (Some(rec.toLong), None) // legacy: cut only
+            case _ => (Some(rec.toLong), // legacy: cut only
+              readMeta(sqlContext, metadataPath, "graft-attach-version")
+                .map(_.toLong))
           }
         case Some(n) =>
           // numeric cut: the value is the user's, only the version needs
@@ -546,6 +561,22 @@ class LakeTableSourceProvider extends StreamSourceProvider
     * (one combined record — atomicity matters, see createSource).
     * Direct Source-API users with no metadata path get a live resolve
     * (single-instance use). */
+  /** Read an already-frozen per-stream record, never resolving one — the
+    * read-only probe for legacy metadata layouts. */
+  private def readMeta(sqlContext: SQLContext, metadataPath: String,
+      name: String): Option[String] = {
+    if (metadataPath == null || metadataPath.isEmpty) return None
+    val p = new org.apache.hadoop.fs.Path(metadataPath, name)
+    val fs = p.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
   private def resolveOnce(sqlContext: SQLContext, metadataPath: String,
       name: String)(live: => String): String = {
     if (metadataPath == null || metadataPath.isEmpty) return live

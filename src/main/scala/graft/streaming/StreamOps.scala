@@ -47,7 +47,11 @@ object StreamOps {
 
   /** Per-conversation running high-watermark of turn_idx — the whole
     * per-key state (one int; anything more would multiply state-store
-    * and checkpoint bytes by key cardinality for nothing). */
+    * and checkpoint bytes by key cardinality for nothing). NOTE: this
+    * shape IS the flatMapGroupsWithState state schema — changing it
+    * invalidates existing query checkpoints (Spark's state-schema check
+    * rejects the restart); treat any field change as a
+    * new-checkpoint-required migration. */
   final case class ConvProgress(maxTurn: Int)
 
   /** An out-of-order arrival: a turn below the conversation's
