@@ -310,4 +310,56 @@ class JobRunnerSpec extends SparkSpec {
         .getPath)), "UTF-8")
     assert(got == "c\nd\n")
   }
+
+  test("stripLeadingRows round-trips bytes in the feed's own charset") {
+    // a hardcoded UTF-8 round trip of Latin-1 bytes would mangle every
+    // non-ASCII value into U+FFFD before the CSV reader ever sees it
+    val work = tmpDir("strip-enc")
+    val src = Paths.get(work, "latin1.csv")
+    Files.write(src, "junk\nname\ncafé\n".getBytes("ISO-8859-1"))
+    val out = Extractors.stripLeadingRows(spark, src.toString,
+      s"$work/stage", 1, encoding = "ISO-8859-1")
+    val got = new String(Files.readAllBytes(Paths.get(
+      new java.net.URI(if (out.startsWith("file:")) out else s"file://$out")
+        .getPath)), "ISO-8859-1")
+    assert(got == "name\ncafé\n")
+  }
+
+  test("key-format guard rejects mismatched specs in BOTH directions") {
+    val work = tmpDir("job-keyguard")
+    val lake = s"$work/lake"
+    val packedSrc = writeCsv(work, "p.csv", Seq("a,b,v", "x,y,r1"))
+    val nativeSrc = writeCsv(work, "n.csv", Seq(
+      "conv_id,turn_idx,text", "c1,0,hello"))
+    def packedSpec = JobSpec(jobCode = "packed",
+      source = JobSource.LocalFile(packedSrc),
+      stagingDir = s"$work/staging", extractor = JobExtractor.Csv(),
+      destination = JobDestination.Lake(lake, nBuckets = 2),
+      keyFields = Seq("a", "b"), checksumGate = false)
+    def nativeSpec = JobSpec(jobCode = "native",
+      source = JobSource.LocalFile(nativeSrc),
+      stagingDir = s"$work/staging", extractor = JobExtractor.Csv(),
+      destination = JobDestination.Lake(lake, nBuckets = 2),
+      schema = Seq(
+        Projection.Field("conv_id", "conv_id"),
+        Projection.Field("turn_idx", "turn_idx", Some(IntegerType)),
+        Projection.Field("text", "text")),
+      keyFields = Seq("conv_id", "turn_idx"), checksumGate = false)
+
+    assert(JobRunner.run(spark, packedSpec).applied)
+    // native spec into a packed-stamped table: the conv_id value spaces
+    // never collide — upserts would duplicate, must fail fast
+    val e1 = intercept[IllegalArgumentException](
+      JobRunner.run(spark, nativeSpec))
+    assert(e1.getMessage.contains("keyed under format"))
+    // clear_first re-keys legitimately, and re-stamps to native
+    assert(JobRunner.run(spark,
+      nativeSpec.copy(alwaysClearFirst = true)).applied)
+    // ...after which a packed spec is the mismatch
+    val e2 = intercept[IllegalArgumentException](
+      JobRunner.run(spark, packedSpec))
+    assert(e2.getMessage.contains("keyed under format"))
+    // and the native spec upserts normally
+    assert(LakeTable.load(spark, lake).read().count() == 1)
+  }
 }
