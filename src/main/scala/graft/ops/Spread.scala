@@ -6,28 +6,38 @@ import org.apache.spark.sql.DataFrame
   * as one or two splits, so every downstream per-row expression (shingle
   * explode, 64-way signature aggs, quantized dot products) would run on
   * one or two cores of the cluster. Repartitioning is applied ONLY when
-  * the scan's file count is below the cluster's core count: at
-  * production scale (100 TB = millions of files) the condition is false
-  * and this is the identity — the exchange exists precisely when the
-  * input is small enough for it to be free. Two-stage probe: the file
-  * COUNT (listing metadata, no planning) short-circuits the production
-  * case. files ≥ cores proves scan partitions ≥ cores even though Spark
-  * BIN-PACKS small files: maxSplitBytes = min(maxPartitionBytes,
-  * max(openCost, totalCost/defaultParallelism)) where totalCost counts
-  * openCost per file, so either (a) bytesPerCore ≥ openCost and bins ≥
-  * totalCost/bytesPerCore = defaultParallelism, or (b) bytesPerCore <
-  * openCost, maxSplit = openCost, and bins ≥ totalCost/openCost ≥ file
-  * count ≥ cores; first-fit closing bins early only ever ADDS bins, and
-  * the maxPartitionBytes cap only shrinks maxSplit (more bins again).
-  * Only when the file count alone can't prove it (few files, which may
-  * still be large and SPLITTABLE, or a non-file-backed frame) does it
-  * pay one physical planning pass for the exact split count — cheap
-  * precisely when the input is. */
+  * the scan is provably small: at production scale (100 TB = millions of
+  * files) the probes below prove the scan wide and this is the
+  * identity — the exchange exists precisely when the input is small
+  * enough for it to be free. Two metadata-only probes, no physical
+  * planning and no RDD conversion:
+  *
+  *  1. file COUNT (`inputFiles` — file-index listing). files ≥ cores
+  *     proves scan partitions ≥ cores even though Spark BIN-PACKS small
+  *     files: maxSplitBytes = min(maxPartitionBytes, max(openCost,
+  *     totalCost/defaultParallelism)) where totalCost counts openCost
+  *     per file, so either (a) bytesPerCore ≥ openCost and bins ≥
+  *     totalCost/bytesPerCore = defaultParallelism, or (b) bytesPerCore
+  *     < openCost, maxSplit = openCost, and bins ≥ totalCost/openCost ≥
+  *     file count ≥ cores; first-fit closing bins early only ever ADDS
+  *     bins, and the maxPartitionBytes cap only shrinks maxSplit (more
+  *     bins again).
+  *  2. total BYTES (logical-plan stats — the same file-index size, no
+  *     physical planning): few files may still be large and SPLITTABLE.
+  *     bytes ≥ cores × maxPartitionBytes proves splits ≥ cores, because
+  *     then maxSplitBytes = min(maxPartitionBytes, …) ≤ bytes/cores, so
+  *     packing bytes into maxSplit-sized bins yields ≥ cores bins.
+  *
+  * Only when both probes fail is the input genuinely sub-core-count and
+  * the repartition cheap by construction. */
 private[ops] object Spread {
   def apply(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.inputFiles.length >= want) df
-    else if (df.rdd.getNumPartitions < want) df.repartition(want)
-    else df
+    else {
+      val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes >= BigInt(maxSplit) * want) df else df.repartition(want)
+    }
   }
 }

@@ -169,12 +169,12 @@ object Extractors {
     * capability shape of the reference's `rows_to_skip` option
     * (reference: engine/etl_util.py:486 "Necessary when extracting from
     * poorly formatted Excel files"; applied sheet-side at
-    * engine/wprdc_etl/pipeline/extractors.py:247-258). xlsx itself stays
-    * jar-blocked offline (SURVEY §2.2) — the skip-leading-garbage-rows
-    * semantics ship as this staged-file transform feeding the CSV
-    * extractor: a driver-side staging step like every fetch, with the
-    * DISTRIBUTED scan starting at the stripped result. Streams
-    * line-by-line; never materializes the file. */
+    * engine/wprdc_etl/pipeline/extractors.py:247-258) for LINE-based
+    * formats; xlsx jobs skip rows sheet-side instead
+    * ([[XlsxExtractor.XlsxOptions.skipRows]] — stripping lines from a ZIP
+    * container would corrupt it). A driver-side staging step like every
+    * fetch, with the DISTRIBUTED scan starting at the stripped result.
+    * Streams line-by-line; never materializes the file. */
   def stripLeadingRows(spark: SparkSession, path: String, stagingDir: String,
       n: Int, encoding: String = "UTF-8"): String = {
     require(n >= 0, s"rows to skip must be >= 0, got $n")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.{MergeApply, MergeConfig, MergeResult}
 import graft.lake.LakeTable
-import graft.sources.{BinarySink, Extractors, HttpStaging, LocalFileStaging, Staging, TabularSink}
+import graft.sources.{BinarySink, Extractors, HttpStaging, LocalFileStaging, Staging, TabularSink, XlsxExtractor}
 
 /** Where a job's input comes from — the reference's `source_type` +
   * connector selection (reference: engine/etl_util.py:478-482, 560-590:
@@ -36,6 +36,12 @@ object JobExtractor {
   final case class Csv(opts: Extractors.CsvOptions = Extractors.CsvOptions())
     extends JobExtractor
   final case class Json(multiLine: Boolean = true) extends JobExtractor
+  /** XLSX workbook ([[XlsxExtractor]]); [[JobSpec.rowsToSkip]] maps onto
+    * the sheet-row skip (the reference's Excel `rows_to_skip`,
+    * etl_util.py:486) — the line-strip staging step would corrupt a ZIP. */
+  final case class Xlsx(
+      opts: XlsxExtractor.XlsxOptions = XlsxExtractor.XlsxOptions())
+    extends JobExtractor
   case object GeoJson extends JobExtractor
   /** Whole-file binary passthrough (the reference's `FileExtractor` →
     * filestore path); requires a [[JobDestination.BinaryDir]]. */
@@ -256,6 +262,8 @@ object JobRunner {
   private def extract(spark: SparkSession, spec: JobSpec,
       staged: String): DataFrame = spec.extractor match {
     case JobExtractor.Csv(opts) => Extractors.csv(spark, staged, opts)
+    case JobExtractor.Xlsx(opts) => XlsxExtractor.xlsx(spark, staged,
+      opts.copy(skipRows = opts.skipRows + spec.rowsToSkip))
     case JobExtractor.Json(multiLine) => Extractors.json(spark, staged, multiLine)
     case JobExtractor.GeoJson => Extractors.geoJson(spark, staged)
     case JobExtractor.WholeFile => Extractors.wholeFiles(spark, staged)
@@ -285,7 +293,9 @@ object JobRunner {
         staged, 0L, None)
     }
     val input =
-      if (spec.rowsToSkip > 0)
+      // Xlsx skips rows sheet-side (see extract): line-stripping a ZIP
+      // container would corrupt it
+      if (spec.rowsToSkip > 0 && !spec.extractor.isInstanceOf[JobExtractor.Xlsx])
         Extractors.stripLeadingRows(spark, staged, spec.stagingDir,
           spec.rowsToSkip, encoding = spec.extractor match {
             // the strip round-trips bytes through a charset; it must be
