@@ -226,6 +226,34 @@ class XlsxSpec extends SparkSpec {
       Seq("1970-01-01 00:00:00", "2023-03-15 12:00:00"))
   }
 
+  test("xlsx: real Excel-produced workbook (reference's own mock fixture)") {
+    // Validation against an INDEPENDENT producer (a genuine Excel save,
+    // with styles/theme parts, \r\n XML prologs, xml:space-preserved
+    // strings, dimension/sheetView elements) — everything the in-test
+    // builder doesn't emit. Expected values mirror the reference's own
+    // unit test (reference: engine/wprdc_etl/test/unit/
+    // test_extractor.py:62-79: headers One/Two/Three Things/
+    // 'Trailing spaces   ' → one/two/three_things/trailing_spaces).
+    // Cancels (not fails) when the reference checkout is absent — the
+    // suite stays standalone.
+    val fixture =
+      "/root/reference/engine/wprdc_etl/test/mock/excel_mock.xlsx"
+    assume(Files.exists(Paths.get(fixture)), "reference fixture not present")
+    val df = XlsxExtractor.xlsx(spark, fixture)
+    assert(df.columns.toSeq ==
+      Seq("one", "two", "three_things", "trailing_spaces"))
+    val rows = df.orderBy("one").collect()
+    assert(rows.map(_.toSeq).toSeq == Seq(
+      Seq("1", "aaa", "42370", "123"),
+      Seq("2", "b", "42370", "456")))
+    // the styled date cell is a raw 1900-system serial; the helper
+    // converts it in-plan
+    val day = df.select(date_format(
+      XlsxExtractor.excelSerialToTimestamp(col("three_things")),
+      "yyyy-MM-dd").as("d")).distinct().collect()
+    assert(day.map(_.getString(0)).toSeq == Seq("2016-01-01"))
+  }
+
   test("job end-to-end: Xlsx extractor with rowsToSkip maps sheet-side") {
     val work = tmpDir("job-xlsx")
     val bytes = workbook(
