@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spec.Projection
+
+/** Shared plumbing for workbook-shaped extractors ([[XlsxExtractor]],
+  * [[XlsExtractor]]): a workbook is a single compressed/binary stream
+  * with no split points, so the unit of parallelism is the FILE —
+  * `binaryFile` scan → per-file parse on the executors, a directory of
+  * workbooks parsing across the cluster (the gzip-CSV shape; workbooks
+  * cap at ~10^6 rows, so per-file cost is bounded). Header names come
+  * from a driver-side peek of the first matched file (exactly how
+  * Spark's CSV reader resolves headers); every file then drops its own
+  * `skipRows` + header rows, rows wider than the header are truncated
+  * to it, narrower ones null-padded (`try_element_at` past the end is
+  * null — ANSI-safe). */
+private[sources] object SheetFrame {
+
+  /** Pure function of the file bytes → present rows of the selected
+    * sheet as column-positioned cell strings. Must be executor-safe
+    * (no session capture). */
+  type Parser = (Array[Byte], Option[String], Int) => Vector[Vector[String]]
+
+  final case class Options(
+      sheet: Option[String],
+      sheetIndex: Int,
+      skipRows: Int,
+      header: Boolean,
+      normalizeHeaders: Boolean,
+      emptyAsNull: Boolean)
+
+  def frame(spark: SparkSession, pathGlob: String, opts: Options,
+      parse: Parser): DataFrame = {
+    require(opts.skipRows >= 0, s"skipRows must be >= 0, got ${opts.skipRows}")
+    val names = headerNames(spark, pathGlob, opts, parse)
+    // captured by the executor closure: plain values only, no session
+    val (sheet, sheetIndex, dropN) =
+      (opts.sheet, opts.sheetIndex, opts.skipRows + (if (opts.header) 1 else 0))
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes =>
+        parse(bytes, sheet, sheetIndex).iterator.drop(dropN)
+          .map(r => r.toSeq): Iterator[Seq[String]])
+    // try_element_at, not element_at: under ANSI (Spark 4 default) a
+    // plain element_at THROWS past the array end; short rows must pad
+    val named = rows.select(names.zipWithIndex.map { case (n, i) =>
+      val v = try_element_at(col("value"), lit(i + 1))
+      (if (opts.emptyAsNull) nullif(v, lit("")) else v).as(n)
+    }: _*)
+    if (opts.normalizeHeaders) Projection.normalizeHeaders(named) else named
+  }
+
+  /** Driver-side peek at the first matched file for the column names —
+    * header values when `opts.header` (null/empty header cells fall back
+    * to positional `cN`), else positional names over the first data row's
+    * width. */
+  private def headerNames(spark: SparkSession, pathGlob: String,
+      opts: Options, parse: Parser): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap(st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st))
+      .map(_.getPath).sortBy(_.toString)
+    require(matched.nonEmpty, s"no workbook files match $pathGlob")
+    val in = fs.open(matched.head)
+    val bytes = try in.readAllBytes() finally in.close()
+    val first = parse(bytes, opts.sheet, opts.sheetIndex)
+      .drop(opts.skipRows).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"${matched.head}: no rows left after skipRows=${opts.skipRows}"))
+    first.zipWithIndex.map { case (v, i) =>
+      if (opts.header && v != null && v.nonEmpty) v else s"c$i"
+    }.toSeq
+  }
+}

@@ -9,8 +9,6 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.spec.Projection
-
 /** XLSX (SpreadsheetML, ECMA-376) extractor — the reference's
   * `ExcelExtractor` (reference: engine/wprdc_etl/pipeline/extractors.py:
   * 234-296: openpyxl, sheet pick + `rows_to_skip` + header row), built on
@@ -18,15 +16,11 @@ import graft.spec.Projection
   * `java.util.zip` + StAX (`javax.xml.stream`) read it with zero extra
   * jars. The legacy binary `.xls` (OLE2) stays jar-blocked (SURVEY §2.2).
   *
-  * Scale shape: an xlsx is a single compressed stream (no split points),
-  * so the unit of parallelism is the FILE — `binaryFile` scan → typed
-  * `flatMap`, one task per file, a directory of workbooks parsing across
-  * the cluster. Within a file the parse is streaming (StAX pull over the
-  * zip entry; only the shared-string pool and one row buffer are held),
-  * and the emitted rows enter a normal codegen'd plan. That matches the
-  * format's reality: workbooks cap at ~10^6 rows, so per-file parse cost
-  * is bounded and fleet-level parallelism is across files — the same
-  * shape as gzip'd CSV.
+  * Scale shape and header/padding semantics: [[SheetFrame]] (per-FILE
+  * parallelism over a `binaryFile` scan — the gzip-CSV shape). Within a
+  * file the parse is streaming (StAX pull over the zip entry; only the
+  * shared-string pool and one row buffer are held), and the emitted rows
+  * enter a normal codegen'd plan.
   *
   * Semantics, mirroring [[Extractors.csv]]'s declared-schema stance:
   * every cell surfaces as a STRING (shared/inline/formula-cached strings
@@ -35,11 +29,7 @@ import graft.spec.Projection
   * serials, convertible in-plan with [[XlsxExtractor.excelSerialToTimestamp]].
   * Sparse cells (Excel omits empty cells and whole empty rows) surface as
   * nulls in their column positions; absent rows are simply not emitted,
-  * so `skipRows` counts PRESENT leading rows. Header names come from a
-  * driver-side peek of the first file (exactly how Spark's CSV reader
-  * resolves headers); every file then drops its own `skipRows` + header
-  * rows, and rows wider than the header are truncated to it, narrower
-  * ones null-padded (`try_element_at` past the end is null).
+  * so `skipRows` counts PRESENT leading rows.
   */
 object XlsxExtractor {
 
@@ -58,27 +48,11 @@ object XlsxExtractor {
       emptyAsNull: Boolean = true)
 
   def xlsx(spark: SparkSession, pathGlob: String,
-      opts: XlsxOptions = XlsxOptions()): DataFrame = {
-    require(opts.skipRows >= 0, s"skipRows must be >= 0, got ${opts.skipRows}")
-    val names = headerNames(spark, pathGlob, opts)
-    val width = names.length
-    // captured by the executor closure: plain values only, no session
-    val (sheet, sheetIndex, dropN) =
-      (opts.sheet, opts.sheetIndex, opts.skipRows + (if (opts.header) 1 else 0))
-    import spark.implicits._
-    val rows = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(bytes =>
-        sheetRows(bytes, sheet, sheetIndex).iterator.drop(dropN)
-          .map(r => r.toSeq): Iterator[Seq[String]])
-    // try_element_at, not element_at: under ANSI (Spark 4 default) a
-    // plain element_at THROWS past the array end; short rows must pad
-    val named = rows.select(names.zipWithIndex.map { case (n, i) =>
-      val v = try_element_at(col("value"), lit(i + 1))
-      (if (opts.emptyAsNull) nullif(v, lit("")) else v).as(n)
-    }: _*)
-    if (opts.normalizeHeaders) Projection.normalizeHeaders(named) else named
-  }
+      opts: XlsxOptions = XlsxOptions()): DataFrame =
+    SheetFrame.frame(spark, pathGlob,
+      SheetFrame.Options(opts.sheet, opts.sheetIndex, opts.skipRows,
+        opts.header, opts.normalizeHeaders, opts.emptyAsNull),
+      sheetRows)
 
   /** Excel serial date/time → timestamp, for casting the raw serial
     * strings [[xlsx]] surfaces: days since the 1900 epoch (1899-12-30 —
@@ -89,32 +63,6 @@ object XlsxExtractor {
   def excelSerialToTimestamp(c: Column): Column =
     timestamp_seconds(
       round((c.cast("double") - lit(25569.0)) * 86400d).cast("long"))
-
-  /** Driver-side peek at the first matched file for the column names —
-    * header values when `opts.header` (null/empty header cells fall back
-    * to positional `cN`), else positional names over the first data row's
-    * width. */
-  private def headerNames(spark: SparkSession, pathGlob: String,
-      opts: XlsxOptions): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(pathGlob)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
-      .flatMap(st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-        else Array(st))
-      .map(_.getPath).sortBy(_.toString)
-    require(matched.nonEmpty, s"no xlsx files match $pathGlob")
-    val in = fs.open(matched.head)
-    val bytes = try in.readAllBytes() finally in.close()
-    val first = sheetRows(bytes, opts.sheet, opts.sheetIndex)
-      .drop(opts.skipRows).headOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"${matched.head}: no rows left after skipRows=${opts.skipRows}"))
-    first.zipWithIndex.map { case (v, i) =>
-      if (opts.header && v != null && v.nonEmpty) v else s"c$i"
-    }.toSeq
-  }
 
   // ------------------------------------------------------------- parsing
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.cdc.{MergeApply, MergeConfig, MergeResult}
 import graft.lake.LakeTable
-import graft.sources.{BinarySink, Extractors, HttpStaging, LocalFileStaging, Staging, TabularSink, XlsxExtractor}
+import graft.sources.{BinarySink, Extractors, HttpStaging, LocalFileStaging, Staging, TabularSink, XlsExtractor, XlsxExtractor}
 
 /** Where a job's input comes from — the reference's `source_type` +
   * connector selection (reference: engine/etl_util.py:478-482, 560-590:
@@ -41,6 +41,12 @@ object JobExtractor {
     * etl_util.py:486) — the line-strip staging step would corrupt a ZIP. */
   final case class Xlsx(
       opts: XlsxExtractor.XlsxOptions = XlsxExtractor.XlsxOptions())
+    extends JobExtractor
+  /** Legacy binary XLS workbook ([[XlsExtractor]], BIFF8) — the
+    * reference's `OldExcelExtractor` (extractors.py:310-352); same
+    * sheet-side `rowsToSkip` mapping as [[Xlsx]]. */
+  final case class Xls(
+      opts: XlsExtractor.XlsOptions = XlsExtractor.XlsOptions())
     extends JobExtractor
   case object GeoJson extends JobExtractor
   /** Whole-file binary passthrough (the reference's `FileExtractor` →
@@ -264,6 +270,8 @@ object JobRunner {
     case JobExtractor.Csv(opts) => Extractors.csv(spark, staged, opts)
     case JobExtractor.Xlsx(opts) => XlsxExtractor.xlsx(spark, staged,
       opts.copy(skipRows = opts.skipRows + spec.rowsToSkip))
+    case JobExtractor.Xls(opts) => XlsExtractor.xls(spark, staged,
+      opts.copy(skipRows = opts.skipRows + spec.rowsToSkip))
     case JobExtractor.Json(multiLine) => Extractors.json(spark, staged, multiLine)
     case JobExtractor.GeoJson => Extractors.geoJson(spark, staged)
     case JobExtractor.WholeFile => Extractors.wholeFiles(spark, staged)
@@ -292,10 +300,12 @@ object JobRunner {
         Some(s"input checksum unchanged (${md5.get.take(12)}…)"),
         staged, 0L, None)
     }
+    val workbook = spec.extractor.isInstanceOf[JobExtractor.Xlsx] ||
+      spec.extractor.isInstanceOf[JobExtractor.Xls]
     val input =
-      // Xlsx skips rows sheet-side (see extract): line-stripping a ZIP
-      // container would corrupt it
-      if (spec.rowsToSkip > 0 && !spec.extractor.isInstanceOf[JobExtractor.Xlsx])
+      // workbooks skip rows sheet-side (see extract): line-stripping a
+      // ZIP or OLE2 container would corrupt it
+      if (spec.rowsToSkip > 0 && !workbook)
         Extractors.stripLeadingRows(spark, staged, spec.stagingDir,
           spec.rowsToSkip, encoding = spec.extractor match {
             // the strip round-trips bytes through a charset; it must be
