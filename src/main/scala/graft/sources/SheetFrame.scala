@@ -11,17 +11,22 @@ import graft.spec.Projection
   * `binaryFile` scan → per-file parse on the executors, a directory of
   * workbooks parsing across the cluster (the gzip-CSV shape; workbooks
   * cap at ~10^6 rows, so per-file cost is bounded). Header names come
-  * from a driver-side peek of the first matched file (exactly how
-  * Spark's CSV reader resolves headers); every file then drops its own
-  * `skipRows` + header rows, rows wider than the header are truncated
-  * to it, narrower ones null-padded (`try_element_at` past the end is
-  * null — ANSI-safe). */
+  * from a driver-side peek of the first matched file — bounded by the
+  * parser's row limit to `skipRows + 1` rows, so the peek is O(header)
+  * like Spark's CSV header resolution, not a full parse. Every file
+  * then drops its own `skipRows` + header rows, rows wider than the
+  * header are truncated to it, narrower ones null-padded
+  * (`try_element_at` past the end is null — ANSI-safe). A parse
+  * failure on an executor is rethrown with the failing file's path —
+  * in a many-thousand-file scan the operator must know which file to
+  * quarantine. */
 private[sources] object SheetFrame {
 
-  /** Pure function of the file bytes → present rows of the selected
-    * sheet as column-positioned cell strings. Must be executor-safe
-    * (no session capture). */
-  type Parser = (Array[Byte], Option[String], Int) => Vector[Vector[String]]
+  /** `(bytes, sheetName, sheetIndex, maxRows)` → the first `maxRows`
+    * present rows of the selected sheet as column-positioned cell
+    * strings. Must be a pure executor-safe function of the bytes (no
+    * session capture); `maxRows = Int.MaxValue` parses fully. */
+  type Parser = (Array[Byte], Option[String], Int, Int) => Vector[Vector[String]]
 
   final case class Options(
       sheet: Option[String],
@@ -40,10 +45,18 @@ private[sources] object SheetFrame {
       (opts.sheet, opts.sheetIndex, opts.skipRows + (if (opts.header) 1 else 0))
     import spark.implicits._
     val rows = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(bytes =>
-        parse(bytes, sheet, sheetIndex).iterator.drop(dropN)
-          .map(r => r.toSeq): Iterator[Seq[String]])
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        // parse is strict (full Vector), so its failures are caught
+        // here and carry the file that caused them
+        val parsed =
+          try parse(bytes, sheet, sheetIndex, Int.MaxValue)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$path: ${e.getMessage}", e)
+          }
+        parsed.iterator.drop(dropN).map(r => r.toSeq): Iterator[Seq[String]]
+      }
     // try_element_at, not element_at: under ANSI (Spark 4 default) a
     // plain element_at THROWS past the array end; short rows must pad
     val named = rows.select(names.zipWithIndex.map { case (n, i) =>
@@ -54,9 +67,10 @@ private[sources] object SheetFrame {
   }
 
   /** Driver-side peek at the first matched file for the column names —
-    * header values when `opts.header` (null/empty header cells fall back
-    * to positional `cN`), else positional names over the first data row's
-    * width. */
+    * header values when `opts.header` (null/blank header cells fall
+    * back to positional `cN` — a whitespace-only name would normalize
+    * to the unreferenceable empty column name), else positional names
+    * over the first data row's width. */
   private def headerNames(spark: SparkSession, pathGlob: String,
       opts: Options, parse: Parser): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -70,12 +84,12 @@ private[sources] object SheetFrame {
     require(matched.nonEmpty, s"no workbook files match $pathGlob")
     val in = fs.open(matched.head)
     val bytes = try in.readAllBytes() finally in.close()
-    val first = parse(bytes, opts.sheet, opts.sheetIndex)
+    val first = parse(bytes, opts.sheet, opts.sheetIndex, opts.skipRows + 1)
       .drop(opts.skipRows).headOption.getOrElse(
         throw new IllegalArgumentException(
           s"${matched.head}: no rows left after skipRows=${opts.skipRows}"))
     first.zipWithIndex.map { case (v, i) =>
-      if (opts.header && v != null && v.nonEmpty) v else s"c$i"
+      if (opts.header && v != null && v.trim.nonEmpty) v else s"c$i"
     }.toSeq
   }
 }

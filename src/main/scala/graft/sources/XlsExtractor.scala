@@ -30,11 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * "true"/"false"; error cells null), the caller casts, and numeric
   * Excel dates are serials convertible in-plan with
   * [[XlsxExtractor.excelSerialToTimestamp]] (workbooks saved in the
-  * 1904 date system differ by a constant 1462 days — subtract it
-  * first; the flag is BIFF's `DATE1904` record). Only BIFF8 (Excel
+  * 1904 date system carry serials 1462 days lower — probe with
+  * [[isDate1904]] and add the constant first). Only BIFF8 (Excel
   * 97-2003, the format every surviving .xls feed uses) is supported —
   * BIFF5 workbooks fail fast with a clear error. */
 object XlsExtractor {
+
+  import LE.{u8, u16, u32}
 
   /** Same surface as [[XlsxExtractor.XlsxOptions]]. */
   final case class XlsOptions(
@@ -52,11 +54,19 @@ object XlsExtractor {
         opts.header, opts.normalizeHeaders, opts.emptyAsNull),
       sheetRows)
 
-  /** All present rows of the selected sheet, as column-positioned cell
-    * strings (null = absent/blank/error cell). Pure function of the
-    * bytes — executor-safe. */
+  /** Driver-side probe for the 1904 date system (Mac Excel legacy,
+    * BIFF `DATE1904` record): when true, every date serial in this
+    * workbook is 1462 days lower than the 1900-system serials
+    * [[XlsxExtractor.excelSerialToTimestamp]] expects — add 1462
+    * before converting. */
+  def isDate1904(bytes: Array[Byte]): Boolean =
+    parseGlobals(Cfb.stream(bytes, Set("Workbook", "Book"))).date1904
+
+  /** The first `limit` present rows of the selected sheet, as
+    * column-positioned cell strings (null = absent/blank/error cell).
+    * Pure function of the bytes — executor-safe. */
   private[sources] def sheetRows(bytes: Array[Byte], sheet: Option[String],
-      sheetIndex: Int): Vector[Vector[String]] = {
+      sheetIndex: Int, limit: Int): Vector[Vector[String]] = {
     val wb = Cfb.stream(bytes, Set("Workbook", "Book"))
     val g = parseGlobals(wb)
     val (_, pos) = sheet match {
@@ -68,7 +78,7 @@ object XlsExtractor {
           s"sheetIndex $sheetIndex out of range (workbook has ${g.sheets.size})")
         g.sheets(sheetIndex)
     }
-    parseSheet(wb, pos, g.sst)
+    parseSheet(wb, pos, g.sst, limit)
   }
 
   // ------------------------------------------------------ BIFF8 records
@@ -146,11 +156,18 @@ object XlsExtractor {
     Globals(sheets.result(), sst, date1904)
   }
 
-  /** One sheet substream (from its BOUNDSHEET offset) → present rows.
-    * Nested substreams (embedded chart BOF/EOF pairs) are skipped by
-    * depth tracking. */
+  /** Cell-record opcodes — the records that can open a new row. Used by
+    * the `limit` early-stop: BIFF8 cell records are row-major within a
+    * sheet substream, so once `limit` rows exist, the first cell record
+    * addressing a NEW row proves the collected rows are complete. */
+  private val cellOps =
+    Set(LABELSST, NUMBER, RK, MULRK, BOOLERR, LABEL, BLANK, MULBLANK, FORMULA)
+
+  /** One sheet substream (from its BOUNDSHEET offset) → the first
+    * `limit` present rows. Nested substreams (embedded chart BOF/EOF
+    * pairs) are skipped by depth tracking. */
   private def parseSheet(wb: Array[Byte], start: Int,
-      sst: Vector[String]): Vector[Vector[String]] = {
+      sst: Vector[String], limit: Int): Vector[Vector[String]] = {
     require(start + 4 <= wb.length && u16(wb, start) == BOF,
       "BOUNDSHEET offset does not point at a BOF")
     val rows = mutable.TreeMap.empty[Int, ArrayBuffer[String]]
@@ -169,7 +186,9 @@ object XlsExtractor {
       val op = u16(wb, i)
       val len = u16(wb, i + 2)
       val b = i + 4
-      op match {
+      if (rows.size >= limit && cellOps(op) && !rows.contains(u16(wb, b))) {
+        done = true
+      } else op match {
         case BOF => depth += 1
         case EOF => depth -= 1; if (depth <= 0) done = true
         case _ if depth > 1 => () // inside an embedded object's substream
@@ -223,7 +242,7 @@ object XlsExtractor {
       }
       i = b + len
     }
-    rows.valuesIterator.map(_.toVector).toVector
+    rows.valuesIterator.map(_.toVector).take(limit).toVector
   }
 
   /** RK-encoded number: bit 0 = /100, bit 1 = 30-bit int vs truncated
@@ -336,10 +355,6 @@ object XlsExtractor {
 
   // --------------------------------------------------- byte-level reads
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-  private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def u32(b: Array[Byte], i: Int): Int =
-    u16(b, i) | (u16(b, i + 2) << 16)
   private def f64(b: Array[Byte], i: Int): Double = {
     var bits = 0L
     var k = 7
@@ -355,6 +370,8 @@ object XlsExtractor {
   * cycle-guarded; everything else in the container (storages, property
   * sets, summary info) is ignored. */
 private[sources] object Cfb {
+
+  import LE.{u16, u32}
 
   private val FreeSect = 0xFFFFFFFF
   private val EndOfChain = 0xFFFFFFFE
@@ -490,9 +507,12 @@ private[sources] object Cfb {
       out
     }
   }
+}
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-  private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def u32(b: Array[Byte], i: Int): Int =
-    u16(b, i) | (u16(b, i + 2) << 16)
+/** Little-endian primitive reads shared by the two binary layers
+  * ([[XlsExtractor]]'s BIFF records and [[Cfb]]'s container). */
+private object LE {
+  def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  def u32(b: Array[Byte], i: Int): Int = u16(b, i) | (u16(b, i + 2) << 16)
 }

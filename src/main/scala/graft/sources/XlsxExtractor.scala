@@ -66,52 +66,71 @@ object XlsxExtractor {
 
   // ------------------------------------------------------------- parsing
 
-  /** All present rows of the selected sheet, as column-positioned cell
-    * strings (null = absent/error cell). Pure function of the bytes —
-    * executor-safe. Two passes over the zip stream: pass A resolves the
-    * sheet part (workbook.xml sheet list + its .rels id→part map) and
-    * loads the shared-string pool; pass B stream-parses just that sheet. */
+  /** The first `limit` present rows of the selected sheet, as
+    * column-positioned cell strings (null = absent/error cell). Pure
+    * function of the bytes — executor-safe. Two passes over the zip
+    * stream, each stopping as soon as it has what it needs: pass A
+    * resolves the sheet part (workbook.xml sheet list + its .rels
+    * id→part map) and loads the shared-string pool; pass B
+    * stream-parses just that sheet, at most `limit` rows. Only
+    * WORKSHEETS participate in name/index selection (chartsheets and
+    * macro sheets are excluded, keeping the index space identical to
+    * [[XlsExtractor]]'s, whose BOUNDSHEET filter does the same). */
   private[sources] def sheetRows(bytes: Array[Byte], sheet: Option[String],
-      sheetIndex: Int): Vector[Vector[String]] = {
-    var sheets = Vector.empty[(String, String)] // (name, relId)
+      sheetIndex: Int, limit: Int): Vector[Vector[String]] = {
+    var sheetDecls = Vector.empty[(String, String)] // (name, relId)
     var rels = Map.empty[String, String] // relId -> target part
     var sst = Vector.empty[String]
-    forEachZipEntry(bytes) {
-      case ("xl/workbook.xml", in) => sheets = parseWorkbook(in)
-      case ("xl/_rels/workbook.xml.rels", in) => rels = parseRels(in)
-      case ("xl/sharedStrings.xml", in) => sst = parseSharedStrings(in)
-      case _ => ()
+    var seen = 0
+    forEachZipEntry(bytes) { (entry, in) =>
+      entry match {
+        case "xl/workbook.xml" => sheetDecls = parseWorkbook(in); seen += 1
+        case "xl/_rels/workbook.xml.rels" => rels = parseRels(in); seen += 1
+        // the OPC spec locates the pool via the relationship, not a
+        // fixed name; accept the conventional name anywhere under xl/
+        case e if e == "xl/sharedStrings.xml" ||
+            e.endsWith("/sharedStrings.xml") =>
+          sst = parseSharedStrings(in); seen += 1
+        case _ => ()
+      }
+      seen == 3 // all parts found: stop inflating the rest
     }
-    require(sheets.nonEmpty, "not an xlsx workbook (no xl/workbook.xml sheets)")
-    val (name, relId) = sheet match {
+    require(sheetDecls.nonEmpty,
+      "not an xlsx workbook (no xl/workbook.xml sheets)")
+    // resolve every declared sheet to its part; keep only worksheets
+    def partOf(relId: String): Option[String] =
+      rels.get(relId).map(t =>
+        if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t")
+    val sheets = sheetDecls.flatMap { case (n, relId) =>
+      partOf(relId).filter(_.contains("worksheets/")).map(p => (n, p))
+    }
+    val (name, part) = sheet match {
       case Some(n) => sheets.find(_._1 == n).getOrElse(
         throw new IllegalArgumentException(
-          s"no sheet named '$n' (have: ${sheets.map(_._1).mkString(", ")})"))
+          s"no worksheet named '$n' (have: ${sheets.map(_._1).mkString(", ")})"))
       case None =>
         require(sheetIndex >= 0 && sheetIndex < sheets.size,
-          s"sheetIndex $sheetIndex out of range (workbook has ${sheets.size})")
+          s"sheetIndex $sheetIndex out of range (workbook has " +
+            s"${sheets.size} worksheets)")
         sheets(sheetIndex)
     }
-    val target = rels.getOrElse(relId,
-      throw new IllegalArgumentException(
-        s"sheet '$name' ($relId) has no workbook relationship"))
-    // targets are relative to xl/ unless rooted ("/xl/worksheets/…")
-    val part =
-      if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
     var rows: Vector[Vector[String]] = null
-    forEachZipEntry(bytes) {
-      case (`part`, in) => rows = parseSheet(in, sst)
-      case _ => ()
+    forEachZipEntry(bytes) { (entry, in) =>
+      if (entry == part) rows = parseSheet(in, sst, limit)
+      rows != null
     }
     require(rows != null, s"workbook has no part '$part' (sheet '$name')")
     rows
   }
 
+  /** Applies `f` to each zip entry until it returns true (found what it
+    * was looking for — the remaining entries are not inflated). */
   private def forEachZipEntry(bytes: Array[Byte])(
-      f: (String, InputStream) => Unit): Unit = {
+      f: (String, InputStream) => Boolean): Unit = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-      .filterNot(_.isDirectory).foreach(e => f(e.getName, zin))
+      .filterNot(_.isDirectory).map(e => f(e.getName, zin))
+      .find(identity): Unit
     finally zin.close()
   }
 
@@ -190,10 +209,18 @@ object XlsxExtractor {
     out.result()
   }
 
-  /** One worksheet part → present rows as positioned cell values. */
-  private def parseSheet(in: InputStream, sst: Vector[String])
+  /** One worksheet part → the first `limit` present rows as positioned
+    * cell values. A `<row>` with no `<c>` children (a styled-but-empty
+    * row) is NOT a present row — emitting it would let pure formatting
+    * shift `skipRows`/header counting, and [[XlsExtractor]] (which only
+    * sees cell records) could never agree with it. Phonetic runs
+    * (`<rPh>`, furigana annotations) are excluded from inline strings
+    * here exactly as [[parseSharedStrings]] excludes them from pooled
+    * ones. */
+  private def parseSheet(in: InputStream, sst: Vector[String], limit: Int)
       : Vector[Vector[String]] = {
     val rows = Vector.newBuilder[Vector[String]]
+    var nRows = 0
     val row = new ArrayBuffer[String]
     val sb = new java.lang.StringBuilder
     var cellCol = 0 // 0-based column of the open cell
@@ -201,27 +228,36 @@ object XlsxExtractor {
     var cellType = "n"
     var sawValue = false
     var capture = false
+    var hadCell = false // did this <row> contain any <c>?
+    var phonetic = 0
     val r = xmlReader(in)
-    try while (r.hasNext) r.next() match {
+    try while (nRows < limit && r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-        case "row" => row.clear(); nextCol = 0
+        case "row" => row.clear(); nextCol = 0; hadCell = false
         case "c" =>
           cellCol = attr(r, "r").map(colIndex).getOrElse(nextCol)
           cellType = attr(r, "t").getOrElse("n")
-          sb.setLength(0); sawValue = false
-        case "v" | "t" => capture = true; sawValue = true
+          sb.setLength(0); sawValue = false; hadCell = true
+        case "rPh" => phonetic += 1
+        case "v" => capture = true; sawValue = true
+        case "t" if phonetic == 0 => capture = true; sawValue = true
         case _ => ()
       }
       case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
           if capture => sb.append(r.getText)
       case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
         case "v" | "t" => capture = false
+        case "rPh" => phonetic -= 1
         case "c" =>
           val text = sb.toString
           val value: String =
             if (!sawValue) null
             else cellType match {
-              case "s" => sst(text.trim.toInt)
+              // guard like the .xls twin: a corrupt/out-of-range pool
+              // index surfaces as null, not an executor-killing throw
+              case "s" =>
+                val i = text.trim.toInt
+                if (i >= 0 && i < sst.size) sst(i) else null
               case "b" => if (text.trim == "1") "true" else "false"
               case "e" => null
               case _ => text // n, str (formula cache), inlineStr
@@ -229,7 +265,7 @@ object XlsxExtractor {
           while (row.size <= cellCol) row += null
           row(cellCol) = value
           nextCol = cellCol + 1
-        case "row" => rows += row.toVector
+        case "row" => if (hadCell) { rows += row.toVector; nRows += 1 }
         case _ => ()
       }
       case _ => ()

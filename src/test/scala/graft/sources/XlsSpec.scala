@@ -335,6 +335,20 @@ class XlsSpec extends SparkSpec {
     assert(e2.getMessage.contains("BIFF8"))
   }
 
+  test("xls: isDate1904 probe; sheetRows limit early-stops the record walk") {
+    val dir = tmpDir("xls-1904")
+    val plain = cfb(dogStream, forceRegular = false)
+    assert(!XlsExtractor.isDate1904(plain))
+    val with1904 = cfb(biffStream(
+      rec(0x0022, u16b(1)) ++ sstRec(Seq("h")),
+      Seq("Sheet1" -> labelSst(0, 0, 0))), forceRegular = false)
+    assert(XlsExtractor.isDate1904(with1904))
+    // limit: the driver header peek parses only skipRows+1 rows
+    assert(XlsExtractor.sheetRows(plain, None, 0, 1).size == 1)
+    assert(XlsExtractor.sheetRows(plain, None, 0, 2).size == 2)
+    assert(XlsExtractor.sheetRows(plain, None, 0, Int.MaxValue).size == 3)
+  }
+
   test("job end-to-end: Xls extractor with rowsToSkip maps sheet-side") {
     val work = tmpDir("job-xls")
     val stream = biffStream(

@@ -226,6 +226,79 @@ class XlsxSpec extends SparkSpec {
       Seq("1970-01-01 00:00:00", "2023-03-15 12:00:00"))
   }
 
+  test("xlsx: styled-but-empty rows are not present rows; rPh never leaks; blank headers fall back") {
+    // row 1 is a formatted-but-cell-less <row/> (must NOT count for
+    // skipRows/header); header has a whitespace-only cell (must fall
+    // back to positional, or normalization would name the column "");
+    // the data row's inline string carries a phonetic run (excluded,
+    // as in shared strings)
+    val sheetXml =
+      """<row ht="15"/>""" +
+      rowXml(inlineCell("Name"), inlineCell("   ")) +
+      rowXml(
+        s"""<c t="inlineStr"><is><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></is></c>""",
+        inlineCell("x"))
+    val bytes = workbook(Seq("Sheet1" -> sheetXml))
+    val dir = tmpDir("xlsx-edge")
+    val f = write(dir, "e.xlsx", bytes)
+    val df = XlsxExtractor.xlsx(spark, f)
+    assert(df.columns.toSeq == Seq("name", "c1"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "東京", "phonetic run must not leak into the value")
+    assert(r.getString(1) == "x")
+  }
+
+  test("xlsx: sheetRows limit stops the parse; executor errors carry the file path") {
+    val dir = tmpDir("xlsx-lim")
+    write(dir, "a.xlsx", dogBytes)
+    // driver-peek path: limit bounds the parse to skipRows+1 rows
+    val bytes = Files.readAllBytes(Paths.get(dir, "a.xlsx"))
+    assert(XlsxExtractor.sheetRows(bytes, None, 0, 2).size == 2)
+    assert(XlsxExtractor.sheetRows(bytes, None, 0, Int.MaxValue).size == 3)
+    // executor path: a corrupt second file must name itself in the error
+    write(dir, "b.xlsx", Array[Byte](1, 2, 3, 4))
+    val e = intercept[org.apache.spark.SparkException] {
+      XlsxExtractor.xlsx(spark, dir).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("b.xlsx")),
+      s"error must identify the corrupt file: ${chain(e).mkString(" | ")}")
+  }
+
+  test("xlsx: chartsheets are excluded from name/index selection") {
+    // hand-built workbook: decl order [Chart1 -> chartsheets/…, Data ->
+    // worksheets/…]; index 0 must resolve Data, matching the xls
+    // BOUNDSHEET-type filter
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val entries = Seq(
+      "xl/workbook.xml" ->
+        s"""<?xml version="1.0"?><workbook xmlns="$ns" xmlns:r="$rns"><sheets><sheet name="Chart1" sheetId="1" r:id="rId1"/><sheet name="Data" sheetId="2" r:id="rId2"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="$rns/chartsheet" Target="chartsheets/sheet1.xml"/><Relationship Id="rId2" Type="$rns/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/chartsheets/sheet1.xml" ->
+        s"""<?xml version="1.0"?><chartsheet xmlns="$ns"/>""",
+      "xl/worksheets/sheet1.xml" ->
+        s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>${rowXml(inlineCell("h")) + rowXml(inlineCell("from-data"))}</sheetData></worksheet>""")
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    entries.foreach { case (name, xml) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(xml.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val dir = tmpDir("xlsx-chart")
+    val f = write(dir, "c.xlsx", bos.toByteArray)
+    assert(XlsxExtractor.xlsx(spark, f).collect()(0).getString(0) == "from-data")
+    val err = intercept[IllegalArgumentException] {
+      XlsxExtractor.xlsx(spark, f,
+        XlsxExtractor.XlsxOptions(sheet = Some("Chart1")))
+    }
+    assert(err.getMessage.contains("no worksheet named"))
+  }
+
   test("xlsx: real Excel-produced workbook (reference's own mock fixture)") {
     // Validation against an INDEPENDENT producer (a genuine Excel save,
     // with styles/theme parts, \r\n XML prologs, xml:space-preserved
