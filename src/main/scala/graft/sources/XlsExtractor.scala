@@ -480,6 +480,11 @@ private[sources] object Cfb {
       throw new IllegalArgumentException(
         s"no stream named ${names.mkString("/")} (have: " +
           s"${entries.filter(_.objType == 2).map(_.name).mkString(", ")})"))
+    // CFB is uncompressed, so no stream can exceed the file itself — a
+    // corrupt size field must not drive a multi-GB allocation
+    require(target.size <= bytes.length,
+      s"stream '${target.name}' claims ${target.size} bytes in a " +
+        s"${bytes.length}-byte file")
 
     if (target.size >= miniCutoff) readChain(target.start, target.size)
     else {

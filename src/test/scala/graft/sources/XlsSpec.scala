@@ -349,6 +349,36 @@ class XlsSpec extends SparkSpec {
     assert(XlsExtractor.sheetRows(plain, None, 0, Int.MaxValue).size == 3)
   }
 
+  test("xls: corruption fuzz — mutated/truncated files throw cleanly, never hang or error") {
+    // at fleet scale one malformed feed file must fail with an
+    // Exception the scan can attribute (SheetFrame wraps it with the
+    // path), never an Error (OOM from a corrupt size field, stack
+    // overflow) or a hang (FAT/record-walk cycle). Deterministic
+    // seeded mutations over both container layouts.
+    val bases = Seq(
+      cfb(dogStream, forceRegular = false),
+      cfb(dogStream, forceRegular = true))
+    var parsed = 0
+    var threw = 0
+    for (seed <- 0 until 150; base <- bases) {
+      val rnd = new scala.util.Random(seed)
+      val mutated =
+        if (seed % 3 == 0) base.take(rnd.nextInt(base.length)).toArray // truncate
+        else {
+          val b = base.clone()
+          for (_ <- 0 until 8)
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      try {
+        XlsExtractor.sheetRows(mutated, None, 0, Int.MaxValue)
+        parsed += 1
+      } catch { case _: Exception => threw += 1 } // Errors propagate → fail
+    }
+    assert(threw > 0, "fuzz must actually hit failure paths")
+    assert(parsed + threw == 300)
+  }
+
   test("job end-to-end: Xls extractor with rowsToSkip maps sheet-side") {
     val work = tmpDir("job-xls")
     val stream = biffStream(

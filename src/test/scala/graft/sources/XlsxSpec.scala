@@ -299,6 +299,29 @@ class XlsxSpec extends SparkSpec {
     assert(err.getMessage.contains("no worksheet named"))
   }
 
+  test("xlsx: corruption fuzz — mutated/truncated files throw cleanly, never hang or error") {
+    val base = dogBytes
+    var parsed = 0
+    var threw = 0
+    for (seed <- 0 until 200) {
+      val rnd = new scala.util.Random(seed)
+      val mutated =
+        if (seed % 3 == 0) base.take(rnd.nextInt(base.length)).toArray
+        else {
+          val b = base.clone()
+          for (_ <- 0 until 8)
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      try {
+        XlsxExtractor.sheetRows(mutated, None, 0, Int.MaxValue)
+        parsed += 1
+      } catch { case _: Exception => threw += 1 } // Errors propagate → fail
+    }
+    assert(threw > 0, "fuzz must actually hit failure paths")
+    assert(parsed + threw == 200)
+  }
+
   test("xlsx: real Excel-produced workbook (reference's own mock fixture)") {
     // Validation against an INDEPENDENT producer (a genuine Excel save,
     // with styles/theme parts, \r\n XML prologs, xml:space-preserved
