@@ -29,15 +29,33 @@ import org.apache.spark.sql.DataFrame
   *     packing bytes into maxSplit-sized bins yields ≥ cores bins.
   *
   * Only when both probes fail is the input genuinely sub-core-count and
-  * the repartition cheap by construction. */
+  * the repartition cheap by construction.
+  *
+  * The probes are only SOUND for file-backed frames over splittable
+  * formats: a non-file-backed frame (LogicalRDD from createDataFrame)
+  * reports `defaultSizeInBytes = Long.MaxValue` when no stats exist —
+  * the bytes probe would pass trivially on a 1-partition frame — and a
+  * few large NON-splittable files (gzip) yield one scan partition per
+  * file no matter the bytes. Both fall back to the physical partition
+  * probe (`rdd.getNumPartitions`, one-off planning of the subtree) —
+  * the cases are rare in this engine and the probe is exact there. */
 private[ops] object Spread {
+
+  /** Single-stream compression suffixes Spark cannot split. */
+  private val NonSplittable =
+    Seq(".gz", ".zip", ".zst", ".lz4", ".deflate", ".br")
+
   def apply(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= want) df
-    else {
+    val files = df.inputFiles
+    if (files.length >= want) df
+    else if (files.nonEmpty &&
+        !files.exists(f => NonSplittable.exists(f.toLowerCase.endsWith))) {
       val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (bytes >= BigInt(maxSplit) * want) df else df.repartition(want)
+    } else {
+      if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
     }
   }
 }

@@ -76,9 +76,19 @@ private[sources] object SheetFrame {
     import org.apache.hadoop.fs.Path
     val p = new Path(pathGlob)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // match the binaryFile scan's listing filter: Spark's file index
+    // skips `.`/`_`-prefixed names (checksums, _SUCCESS, dotfiles), so
+    // the driver peek must never land on a side file the executors
+    // will not read
+    def visible(q: Path): Boolean = {
+      val n = q.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(st => visible(st.getPath))
       .flatMap(st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(s => s.isFile && visible(s.getPath))
         else Array(st))
       .map(_.getPath).sortBy(_.toString)
     require(matched.nonEmpty, s"no workbook files match $pathGlob")
@@ -88,8 +98,22 @@ private[sources] object SheetFrame {
       .drop(opts.skipRows).headOption.getOrElse(
         throw new IllegalArgumentException(
           s"${matched.head}: no rows left after skipRows=${opts.skipRows}"))
-    first.zipWithIndex.map { case (v, i) =>
+    val names = first.zipWithIndex.map { case (v, i) =>
       if (opts.header && v != null && v.trim.nonEmpty) v else s"c$i"
     }.toSeq
+    // fail fast on duplicate headers like the CSV reader does — a
+    // duplicate (or normalize-colliding) pair would otherwise surface
+    // far downstream as AMBIGUOUS_REFERENCE or land twice in the lake
+    val effective =
+      if (opts.normalizeHeaders) names.map(Projection.normalizeHeader)
+      else names
+    val dups = effective.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n
+    }
+    require(dups.isEmpty,
+      s"${matched.head}: duplicate header column(s)" +
+        (if (opts.normalizeHeaders) " after normalization" else "") +
+        s": ${dups.mkString(", ")}")
+    names
   }
 }

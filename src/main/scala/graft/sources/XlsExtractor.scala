@@ -393,7 +393,10 @@ private[sources] object Cfb {
     val perSec = ssz / 4
     val maxSectors = bytes.length / ssz + 1
 
-    def secOff(id: Int): Int = (id + 1) << secShift
+    // Long arithmetic: a corrupt/adversarial 30-bit sector id shifted
+    // by secShift wraps Int and can alias offset 0, turning the bounds
+    // check into a silent wrong-bytes read
+    def secOff(id: Int): Long = (id.toLong + 1) << secShift
     def valid(id: Int): Boolean = id >= 0 && secOff(id) + ssz <= bytes.length
 
     // ---- FAT sector list: 109 header DIFAT slots + chained DIFAT sectors
@@ -408,7 +411,7 @@ private[sources] object Cfb {
     var guard = 0
     while (ds != EndOfChain && ds != FreeSect && guard < maxSectors) {
       require(valid(ds), s"DIFAT sector $ds out of bounds")
-      val off = secOff(ds)
+      val off = secOff(ds).toInt // fits: valid() proved off + ssz <= length
       var j = 0
       while (j < perSec - 1) {
         val v = u32(bytes, off + 4 * j)
@@ -426,7 +429,7 @@ private[sources] object Cfb {
     fatSectors.foreach { fs =>
       require(valid(fs), s"FAT sector $fs out of bounds")
       var j = 0
-      while (j < perSec) { fat(fi) = u32(bytes, secOff(fs) + 4 * j); fi += 1; j += 1 }
+      while (j < perSec) { fat(fi) = u32(bytes, secOff(fs).toInt + 4 * j); fi += 1; j += 1 }
     }
 
     def chain(start: Int): Vector[Int] = {
@@ -449,7 +452,7 @@ private[sources] object Cfb {
       ids.foreach { id =>
         require(valid(id), s"sector $id out of bounds")
         val n = math.min(ssz, out.length - pos)
-        if (n > 0) System.arraycopy(bytes, secOff(id), out, pos, n)
+        if (n > 0) System.arraycopy(bytes, secOff(id).toInt, out, pos, n)
         pos += n
       }
       out
@@ -496,14 +499,17 @@ private[sources] object Cfb {
       var pos = 0
       var n = 0
       while (id != EndOfChain && id != FreeSect && pos < out.length) {
-        require(n * 4 <= miniFatBytes.length, "mini-FAT chain cycle")
-        val off = id * miniSize
+        require(n.toLong * 4 <= miniFatBytes.length, "mini-FAT chain cycle")
+        // Long products: a corrupt 26-bit mini-sector id times 64 wraps
+        // Int and can alias offset 0, silently reading the wrong bytes
+        val off = id.toLong * miniSize
         require(id >= 0 && off + miniSize <= container.length,
           s"mini sector $id out of bounds")
         val take = math.min(miniSize, out.length - pos)
-        System.arraycopy(container, off, out, pos, take)
+        System.arraycopy(container, off.toInt, out, pos, take)
         pos += take
-        require(id * 4 + 4 <= miniFatBytes.length, s"mini sector $id beyond mini-FAT")
+        require(id.toLong * 4 + 4 <= miniFatBytes.length,
+          s"mini sector $id beyond mini-FAT")
         id = u32(miniFatBytes, id * 4)
         n += 1
       }

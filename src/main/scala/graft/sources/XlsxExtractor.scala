@@ -253,11 +253,12 @@ object XlsxExtractor {
           val value: String =
             if (!sawValue) null
             else cellType match {
-              // guard like the .xls twin: a corrupt/out-of-range pool
-              // index surfaces as null, not an executor-killing throw
+              // guard like the .xls twin: a corrupt/out-of-range OR
+              // non-numeric pool index surfaces as null, not an
+              // executor-killing throw
               case "s" =>
-                val i = text.trim.toInt
-                if (i >= 0 && i < sst.size) sst(i) else null
+                text.trim.toIntOption
+                  .filter(i => i >= 0 && i < sst.size).map(sst).orNull
               case "b" => if (text.trim == "1") "true" else "false"
               case "e" => null
               case _ => text // n, str (formula cache), inlineStr

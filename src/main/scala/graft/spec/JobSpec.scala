@@ -72,9 +72,11 @@ object Projection {
   /** Header normalization, as the reference does on extract (lowercase,
     * strip, spaces/hyphens → underscores; reference:
     * engine/wprdc_etl/pipeline/extractors.py:141-155). */
+  def normalizeHeader(c: String): String =
+    c.trim.toLowerCase.replaceAll("[ -]+", "_")
+
   def normalizeHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(c =>
-      c.trim.toLowerCase.replaceAll("[ -]+", "_")): _*)
+    df.toDF(df.columns.map(normalizeHeader): _*)
 
   /** Drop rows whose values are all null (`ignore_empty_rows`,
     * reference: pipeline.py:203-204). */

@@ -408,4 +408,24 @@ class XlsSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getInt(1))).toSeq ==
       Seq(("don", 63), ("mojo", 7)))
   }
+
+  test("cfb: 31-bit sector ids are rejected, not Int-wrapped into aliased offsets") {
+    // FAT sector id 0x007FFFFF: (id+1)<<9 == 2^32 Int-wraps to offset 0,
+    // which a 32-bit bounds check accepts — the header bytes would be
+    // silently read as the FAT. Patch header DIFAT slot 0 (offset 76).
+    val reg = cfb(dogStream, forceRegular = true)
+    System.arraycopy(u32b(0x007FFFFF), 0, reg, 76, 4)
+    val e1 = intercept[IllegalArgumentException](
+      Cfb.stream(reg, Set("Workbook")))
+    assert(e1.getMessage.contains("out of bounds"), e1.getMessage)
+    // Mini-stream start id 0x04000000: id*64 == 2^32 Int-wraps to
+    // offset 0, aliasing the container head. Patch the Workbook
+    // directory entry's start field (dir sector 1 → byte 1024, second
+    // 128-byte entry, start at +116).
+    val mini = cfb(dogStream, forceRegular = false)
+    System.arraycopy(u32b(0x04000000), 0, mini, 1024 + 128 + 116, 4)
+    val e2 = intercept[IllegalArgumentException](
+      Cfb.stream(mini, Set("Workbook")))
+    assert(e2.getMessage.contains("mini sector"), e2.getMessage)
+  }
 }

@@ -350,6 +350,47 @@ class XlsxSpec extends SparkSpec {
     assert(day.map(_.getString(0)).toSeq == Seq("2016-01-01"))
   }
 
+  test("xlsx: corrupt shared-string indices (non-numeric, empty, out-of-range) surface as null") {
+    val bytes = workbook(
+      sheets = Seq("Sheet1" ->
+        (rowXml(inlineCell("h1"), inlineCell("h2"), inlineCell("h3")) +
+         rowXml(
+           s"""<c t="s"><v>abc</v></c>""",
+           s"""<c t="s"><v/></c>""",
+           s"""<c t="s"><v>99</v></c>"""))),
+      sst = Seq("<si><t>only</t></si>"))
+    val dir = tmpDir("xlsx-badsst")
+    val f = write(dir, "bad.xlsx", bytes)
+    val r = XlsxExtractor.xlsx(spark, f).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"corrupt pool indices must null out, got ${r.toSeq}")
+  }
+
+  test("xlsx: hidden/side files in a workbook directory are skipped like the scan skips them") {
+    // the driver header peek must apply the same `.`/`_` listing filter
+    // as Spark's file index, or a .crc/_SUCCESS side file (which sorts
+    // FIRST) poisons the peek while the executors ignore it
+    val dir = tmpDir("xlsx-hidden")
+    write(dir, "dogs.xlsx", dogBytes)
+    write(dir, ".dogs.xlsx.crc", Array[Byte](1, 2, 3))
+    write(dir, "_SUCCESS", Array.empty[Byte])
+    val df = XlsxExtractor.xlsx(spark, dir)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.count() == 2)
+  }
+
+  test("xlsx: duplicate / normalize-colliding headers fail fast at plan time") {
+    val bytes = workbook(
+      sheets = Seq("Sheet1" ->
+        (rowXml(inlineCell("Total Cost"), inlineCell("total-cost")) +
+         rowXml(nCell("1"), nCell("2")))))
+    val dir = tmpDir("xlsx-dup")
+    val f = write(dir, "d.xlsx", bytes)
+    val e = intercept[IllegalArgumentException](XlsxExtractor.xlsx(spark, f))
+    assert(e.getMessage.contains("duplicate header"), e.getMessage)
+    assert(e.getMessage.contains("total_cost"), e.getMessage)
+  }
+
   test("job end-to-end: Xlsx extractor with rowsToSkip maps sheet-side") {
     val work = tmpDir("job-xlsx")
     val bytes = workbook(
