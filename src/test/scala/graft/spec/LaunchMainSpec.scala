@@ -1,0 +1,180 @@
+package graft.spec
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+
+/** [[LaunchMain]] — the launchpad-CLI twin: jobs-file JSON → [[JobSpec]]s,
+  * launchpad's flags and job-code selection, fleet run with per-job
+  * failure isolation (reference: engine/launchpad.py:42-144, 222-337). */
+class LaunchMainSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, text: String): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, text.getBytes("UTF-8"))
+    p.toString
+  }
+
+  private def fixture(work: String): String = {
+    val dogs = write(work, "dogs.csv",
+      "License ID,Breed,Color\n1,husky,grey\n2,pug,tan\n3,beagle,tri")
+    val cats = write(work, "cats.csv", "Cat ID,Name\n1,mojo\n2,don")
+    write(work, "jobs.json", s"""
+      [
+        { "job_code": "dog_licenses",
+          "source": {"type": "local", "path": "$dogs"},
+          "staging_dir": "$work/staging",
+          "extractor": {"type": "csv"},
+          "destination": {"type": "lake", "dir": "$work/lake/dogs", "n_buckets": 4},
+          "schema": [
+            {"from": "license_id", "type": "int"},
+            {"from": "breed"},
+            {"from": "color", "to": "colour", "default": "unknown"}],
+          "filters": [["breed", "!=", "pug"]],
+          "key_fields": ["license_id"] },
+        { "job_code": "cat_licenses",
+          "source": {"type": "local", "path": "$cats"},
+          "staging_dir": "$work/staging",
+          "extractor": {"type": "csv"},
+          "destination": {"type": "lake", "dir": "$work/lake/cats", "n_buckets": 4},
+          "key_fields": ["cat_id"] }
+      ]""")
+  }
+
+  test("launch: jobs file runs end-to-end, JSON schema/filters/defaults applied") {
+    val work = tmpDir("launch-e2e")
+    val jobs = fixture(work)
+    assert(LaunchMain.run(spark, Seq(jobs)) == 0)
+    val dogs = LakeTable.load(spark, s"$work/lake/dogs").read().collect()
+    assert(dogs.length == 2, "pug must be filtered by the JSON filter triple")
+    val byId = dogs.map(r => r.getAs[String]("conv_id") ->
+      r.getAs[String]("colour")).toMap
+    assert(byId == Map("v1" -> "grey", "v3" -> "tri"))
+    // the "type": "int" cast landed
+    assert(dogs.head.schema("license_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(LakeTable.load(spark, s"$work/lake/cats").read().count() == 2)
+  }
+
+  test("launch: job-code exact and prefix selection, unknown code warns not fails") {
+    val work = tmpDir("launch-sel")
+    val jobs = fixture(work)
+    assert(LaunchMain.run(spark, Seq(jobs, "cat_licenses")) == 0)
+    assert(LakeTable.load(spark, s"$work/lake/cats").read().count() == 2)
+    assert(!new java.io.File(s"$work/lake/dogs").exists,
+      "unselected job must not run")
+    assert(LaunchMain.run(spark, Seq(jobs, "dog-")) == 0) // prefix
+    assert(LakeTable.load(spark, s"$work/lake/dogs").read().count() == 2)
+    // a code that selects nothing: warns, runs zero jobs, exits clean
+    assert(LaunchMain.run(spark, Seq(jobs, "zebra")) == 0)
+  }
+
+  test("launch: --test redirects destinations and disables the checksum gate") {
+    val work = tmpDir("launch-test")
+    val jobs = fixture(work)
+    assert(LaunchMain.run(spark, Seq(jobs, "--test", "dog_licenses")) == 0)
+    assert(LakeTable.load(spark, s"$work/lake/dogs_test").read().count() == 2)
+    assert(!new java.io.File(s"$work/lake/dogs").exists,
+      "--test must not touch the production table")
+    // gate off under --test: the same bytes run again and still apply
+    assert(LaunchMain.run(spark, Seq(jobs, "--test", "dog_licenses")) == 0)
+    // and the test runs must not poison the production gate
+    assert(LaunchMain.run(spark, Seq(jobs, "dog_licenses")) == 0)
+    assert(LakeTable.load(spark, s"$work/lake/dogs").read().count() == 2)
+  }
+
+  test("launch: one failing job does not stop the fleet; exit count reflects it") {
+    val work = tmpDir("launch-fail")
+    val cats = write(work, "cats.csv", "Cat ID,Name\n1,mojo")
+    val jobs = write(work, "jobs.json", s"""
+      [
+        { "job_code": "broken",
+          "source": {"type": "local", "path": "$work/missing.csv"},
+          "staging_dir": "$work/staging",
+          "extractor": {"type": "csv"},
+          "destination": {"type": "lake", "dir": "$work/lake/broken"},
+          "key_fields": ["x"] },
+        { "job_code": "cats",
+          "source": {"type": "local", "path": "$cats"},
+          "staging_dir": "$work/staging",
+          "extractor": {"type": "csv"},
+          "destination": {"type": "lake", "dir": "$work/lake/cats", "n_buckets": 4},
+          "key_fields": ["cat_id"] }
+      ]""")
+    assert(LaunchMain.run(spark, Seq(jobs)) == 1)
+    assert(LakeTable.load(spark, s"$work/lake/cats").read().count() == 1,
+      "the job after the failed one must still run")
+  }
+
+  test("launch: flag overrides map onto the spec like launchpad's parse_args") {
+    val base = JobSpec(
+      jobCode = "j",
+      source = JobSource.LocalFile("/x"),
+      stagingDir = "/s",
+      extractor = JobExtractor.Csv(),
+      destination = JobDestination.Lake("/lake/t"),
+      keyFields = Seq("k"))
+    def opts(flags: String*) =
+      LaunchMain.parseArgs(Seq("/jobs.json") ++ flags)
+    assert(LaunchMain.applyFlags(base, opts("--wipe_data")).alwaysWipeData)
+    assert(!LaunchMain.applyFlags(base.copy(alwaysWipeData = true),
+      opts("--wipe_data", "--dont_wipe_data")).alwaysWipeData,
+      "dont_wipe_data wins over both the flag and the job's own setting")
+    assert(LaunchMain.applyFlags(base, opts("--clear_first")).alwaysClearFirst)
+    assert(LaunchMain.applyFlags(base, opts("--ignore_empty_rows")).dropEmptyRows)
+    val t = LaunchMain.applyFlags(base, opts("--test"))
+    assert(t.destination == JobDestination.Lake("/lake/t_test", 32))
+    assert(!t.checksumGate)
+    assert(LaunchMain.applyFlags(base, opts()).checksumGate)
+  }
+
+  test("launch: parse errors are typed and name the offending job") {
+    intercept[IllegalArgumentException](
+      LaunchMain.parseArgs(Seq("/j.json", "--bogus")))
+    intercept[IllegalArgumentException](LaunchMain.parseJobs("""{"x": 1}"""))
+    val noCode = intercept[IllegalArgumentException](
+      LaunchMain.parseJobs("""[{"source": {"type": "local", "path": "/x"}}]"""))
+    assert(noCode.getMessage.contains("job_code"))
+    def job(extra: String) = s"""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"}$extra }]"""
+    val badFilter = intercept[IllegalArgumentException](
+      LaunchMain.parseJobs(job(""", "filters": [["f", "=="]]""")))
+    assert(badFilter.getMessage.contains("triple"))
+    val badType = intercept[IllegalArgumentException](LaunchMain.parseJobs(
+      job(""", "schema": [{"from": "a", "type": "nonsense"}]""")))
+    assert(badType.getMessage.contains("bad type"))
+    val badExt = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s", "extractor": {"type": "avro"},
+         "destination": {"type": "lake", "dir": "/d"} }]"""))
+    assert(badExt.getMessage.contains("unknown type 'avro'"))
+    // duplicate job codes: parse the same code twice
+    val dupJson = s"""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"} },
+       { "job_code": "j", "source": {"type": "local", "path": "/y"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d2"} }]"""
+    val dupErr = intercept[IllegalArgumentException](
+      LaunchMain.parseJobs(dupJson))
+    assert(dupErr.getMessage.contains("duplicate job_code"))
+  }
+
+  test("launch: filter 'in' takes a JSON array; scalars keep their JSON types") {
+    val specs = LaunchMain.parseJobs("""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "filters": [["zip", "in", ["15213", "15222"]],
+                     ["n", ">", 3],
+                     ["ok", "==", true]] }]""")
+    val Seq(inP, gtP, eqP) = specs.head.filters
+    assert(inP.value == FilterDsl.Many(Seq("15213", "15222")))
+    assert(gtP.value == FilterDsl.Scalar(3L))
+    assert(eqP.value == FilterDsl.Scalar(true))
+  }
+}
