@@ -11,7 +11,14 @@ import org.apache.spark.sql.types.DataType
   * Compiled to Catalyst `Column` predicates so they push down to the scan
   * (the reference applies them row-at-a-time in Python, pipeline.py:379-384;
   * here Catalyst's PushDownPredicates moves them into the parquet reader).
-  */
+  *
+  * Null semantics: a null LITERAL means "match null" — `== null` compiles
+  * to `IS NULL`, `!= null` to `IS NOT NULL`, and a null inside an
+  * `in`/`not in` list adds (or negates) an `IS NULL` branch; ordering and
+  * substring ops reject null at compile time. Null FIELD values follow
+  * SQL three-valued logic: a null never satisfies `!=`/`not in` against a
+  * non-null literal (Python's `None != "x"` is True; in SQL the row is
+  * dropped) — the deliberate cost of predicates the scanner can push. */
 object FilterDsl {
   sealed trait Value
   final case class Scalar(v: Any) extends Value
@@ -21,15 +28,31 @@ object FilterDsl {
 
   def compileOne(p: Pred): Column = {
     val c = col(p.field)
+    // the non-null subset of an in/not-in list, plus whether null appears
+    def split(vs: Seq[Any]): (Seq[Any], Boolean) =
+      (vs.filter(_ != null), vs.contains(null))
     (p.op, p.value) match {
+      // a null literal means "match null": SQL's `= NULL` is never true,
+      // so compiling it blindly would silently drop every row
+      case ("==", Scalar(null)) => c.isNull
+      case ("!=", Scalar(null)) => c.isNotNull
       case ("==", Scalar(v)) => c === lit(v)
       case ("!=", Scalar(v)) => c =!= lit(v)
+      case (op @ (">" | ">=" | "<" | "<=" | "includes" | "excludes"),
+          Scalar(null)) =>
+        throw new IllegalArgumentException(
+          s"filter ${p.field} $op null: null has no ordering or substring " +
+            "meaning (use == null / != null)")
       case (">", Scalar(v)) => c > lit(v)
       case (">=", Scalar(v)) => c >= lit(v)
       case ("<", Scalar(v)) => c < lit(v)
       case ("<=", Scalar(v)) => c <= lit(v)
-      case ("in", Many(vs)) => c.isin(vs: _*)
-      case ("not in", Many(vs)) => !c.isin(vs: _*)
+      case ("in", Many(vs)) =>
+        val (nn, hasNull) = split(vs)
+        if (hasNull) c.isNull || c.isin(nn: _*) else c.isin(nn: _*)
+      case ("not in", Many(vs)) =>
+        val (nn, hasNull) = split(vs)
+        if (hasNull) !(c.isNull || c.isin(nn: _*)) else !c.isin(nn: _*)
       // reference semantics: substring containment on the field value
       case ("includes", Scalar(v)) => c.contains(lit(v))
       case ("excludes", Scalar(v)) => !c.contains(lit(v))

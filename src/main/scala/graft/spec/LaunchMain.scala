@@ -47,8 +47,11 @@ import graft.sources.{Extractors, XlsExtractor, XlsxExtractor}
   *   "destination": {"type": "lake", "dir": "/lake/dogs", "n_buckets": 32},
   *                  // lake | csvdir | bindir
   *   "rows_to_skip": 0,
-  *   "schema":  [{"from": "License ID", "to": "license_id", "type": "int"},
-  *               {"from": "Color", "default": "unknown"}],
+  *   // "from" names are POST-normalization (csv/xlsx/xls default
+  *   // normalize_headers=true: lowercased, spaces/hyphens → _, so a
+  *   // "License ID" header arrives here as license_id)
+  *   "schema":  [{"from": "license_id", "type": "int"},
+  *               {"from": "color", "default": "unknown"}],
   *   "filters": [["breed", "!=", "pug"], ["zip", "in", ["15213","15222"]]],
   *   "key_fields": ["license_id"],
   *   "method": "upsert",
@@ -140,6 +143,8 @@ object LaunchMain {
     case JString(s) => s
     case JBool(b) => b
     case JInt(i) if i.isValidLong => i.toLong
+    case JInt(i) => throw new IllegalArgumentException(
+      s"$ctx: integer $i is out of 64-bit range")
     case JLong(l) => l
     case JDouble(d) => d
     case JDecimal(d) => d.toDouble
@@ -170,7 +175,13 @@ object LaunchMain {
         dropEmbeddedHeaders =
           optBool(j, "drop_embedded_headers", default = true, c),
         dropMalformed = optBool(j, "drop_malformed", default = false, c),
-        schema = optStr(j, "schema_ddl", c).map(StructType.fromDDL),
+        schema = optStr(j, "schema_ddl", c).map { ddl =>
+          try StructType.fromDDL(ddl)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$c: bad schema_ddl '$ddl': ${e.getMessage}")
+          }
+        },
         encoding = optStr(j, "encoding", c).getOrElse("UTF-8")))
       case "json" => JobExtractor.Json(
         multiLine = optBool(j, "multiline", default = true, c))
@@ -305,12 +316,16 @@ object LaunchMain {
     * (launchpad.py:84-103: the flags override each job_dict's own
     * settings for the run). */
   def applyFlags(spec: JobSpec, opts: Options): JobSpec = {
+    // suffix the LAST PATH COMPONENT, not the raw string: "/lake/dogs/"
+    // + "_test" would nest the test table INSIDE the production dir —
+    // exactly what --test promises not to touch
+    def testDir(d: String): String = new Path(d).suffix("_test").toString
     val dest =
       if (!opts.test) spec.destination
       else spec.destination match {
-        case JobDestination.Lake(d, n) => JobDestination.Lake(d + "_test", n)
-        case JobDestination.CsvDir(d) => JobDestination.CsvDir(d + "_test")
-        case JobDestination.BinaryDir(d) => JobDestination.BinaryDir(d + "_test")
+        case JobDestination.Lake(d, n) => JobDestination.Lake(testDir(d), n)
+        case JobDestination.CsvDir(d) => JobDestination.CsvDir(testDir(d))
+        case JobDestination.BinaryDir(d) => JobDestination.BinaryDir(testDir(d))
       }
     spec.copy(
       destination = dest,
@@ -370,9 +385,12 @@ object LaunchMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val failures = run(spark, args.toSeq)
-      if (failures > 0) sys.exit(1)
-    } finally spark.stop()
+    // stop the session BEFORE exiting — sys.exit inside a try would skip
+    // the enclosing finally; then exit with the documented failure COUNT
+    // (capped at the 8-bit exit-status range)
+    val failures =
+      try run(spark, args.toSeq)
+      finally spark.stop()
+    if (failures > 0) sys.exit(math.min(failures, 255))
   }
 }

@@ -164,6 +164,83 @@ class LaunchMainSpec extends SparkSpec {
     assert(dupErr.getMessage.contains("duplicate job_code"))
   }
 
+  test("launch: null filter literals mean IS [NOT] NULL, not SQL = NULL") {
+    import spark.implicits._
+    val df = Seq(("1", Some("grey")), ("2", None), ("3", Some("tan")))
+      .toDF("id", "color")
+    def ids(p: FilterDsl.Pred): Set[String] =
+      FilterDsl(df, Seq(p)).collect().map(_.getString(0)).toSet
+    // == null / != null: the natural port of the reference's Python
+    // `== None` triple — a blind `= NULL` compile would return 0 rows
+    assert(ids(FilterDsl.Pred("color", "==",
+      FilterDsl.Scalar(null))) == Set("2"))
+    assert(ids(FilterDsl.Pred("color", "!=",
+      FilterDsl.Scalar(null))) == Set("1", "3"))
+    // null inside in/not-in adds (or negates) the IS NULL branch
+    assert(ids(FilterDsl.Pred("color", "in",
+      FilterDsl.Many(Seq("grey", null)))) == Set("1", "2"))
+    assert(ids(FilterDsl.Pred("color", "not in",
+      FilterDsl.Many(Seq("grey", null)))) == Set("3"))
+    // ordering/substring ops reject a null literal at compile time
+    intercept[IllegalArgumentException](
+      FilterDsl.compileOne(FilterDsl.Pred("color", ">", FilterDsl.Scalar(null))))
+    intercept[IllegalArgumentException](FilterDsl.compileOne(
+      FilterDsl.Pred("color", "includes", FilterDsl.Scalar(null))))
+    // and the JSON surface routes a null triple value through Scalar(null)
+    val spec = LaunchMain.parseJobs("""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "filters": [["color", "==", null]] }]""").head
+    assert(spec.filters.head.value == FilterDsl.Scalar(null))
+  }
+
+  test("launch: --test suffixes the path component, not the raw string") {
+    val base = JobSpec(
+      jobCode = "j",
+      source = JobSource.LocalFile("/x"),
+      stagingDir = "/s",
+      extractor = JobExtractor.Csv(),
+      destination = JobDestination.Lake("/lake/dogs/"), // trailing slash
+      keyFields = Seq("k"))
+    val t = LaunchMain.applyFlags(base,
+      LaunchMain.parseArgs(Seq("/jobs.json", "--test")))
+    // raw concat would produce /lake/dogs/_test — INSIDE the prod table
+    assert(t.destination == JobDestination.Lake("/lake/dogs_test", 32))
+  }
+
+  test("launch: run returns the failure COUNT; parse errors carry context") {
+    val work = tmpDir("launch-count")
+    val jobs = write(work, "jobs.json", s"""
+      [
+        { "job_code": "b1", "source": {"type": "local", "path": "$work/m1.csv"},
+          "staging_dir": "$work/staging", "extractor": {"type": "csv"},
+          "destination": {"type": "lake", "dir": "$work/lake/b1"},
+          "key_fields": ["x"] },
+        { "job_code": "b2", "source": {"type": "local", "path": "$work/m2.csv"},
+          "staging_dir": "$work/staging", "extractor": {"type": "csv"},
+          "destination": {"type": "lake", "dir": "$work/lake/b2"},
+          "key_fields": ["x"] }
+      ]""")
+    assert(LaunchMain.run(spark, Seq(jobs)) == 2)
+    // a bad csv schema_ddl names the job and the field, not a bare
+    // Spark ParseException
+    val badDdl = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s",
+         "extractor": {"type": "csv", "schema_ddl": "a int,, b string"},
+         "destination": {"type": "lake", "dir": "/d"} }]"""))
+    assert(badDdl.getMessage.contains("job 'j'") &&
+      badDdl.getMessage.contains("schema_ddl"))
+    // an out-of-Long-range integer says so, not "not a scalar"
+    val big = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "filters": [["id", "==", 99999999999999999999999999]] }]"""))
+    assert(big.getMessage.contains("out of 64-bit range"))
+  }
+
   test("launch: filter 'in' takes a JSON array; scalars keep their JSON types") {
     val specs = LaunchMain.parseJobs("""
       [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
