@@ -1,0 +1,176 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.{MergeApply, MergeConfig}
+
+/** Table-maintenance CLI — the ops surface a deployed lake table needs
+  * (the reference has no table maintenance because CKAN owns its storage;
+  * a snapshot-log table owns its own, so compaction / snapshot expiry /
+  * orphan cleanup / layout evolution are first-class operations here, as
+  * they are in any production lakehouse). Thin arg-parse over the library
+  * calls — every command is one [[LakeTable]] / [[MergeApply]] method, so
+  * anything scriptable here is equally scriptable in Scala.
+  *
+  * Usage: runMain graft.lake.TableMain <tableDir> <command> [args]
+  *
+  *  - `status`                     snapshot version, layout, file/row
+  *                                 counts (base vs delta), epoch
+  *                                 watermark, properties
+  *  - `history [n]`                newest `n` (default 20) lineage rows
+  *                                 (the full log lives in `_lineage`)
+  *  - `schema`                     user schema as DDL + column docs
+  *  - `show [n] [--at <version>]`  sample rows, optionally time-traveled
+  *  - `compact [b1,b2,…|all]`      fold MoR deltas into base files
+  *                                 (default: exactly the delta-bearing
+  *                                 buckets — the no-op-safe invocation)
+  *  - `rebucket <newN>`            partition-layout evolution
+  *                                 ([[MergeApply.rebucket]])
+  *  - `vacuum [keepSnapshots]`     expire old snapshots + unreferenced
+  *                                 data files (default keep 1)
+  *  - `vacuum-orphans [graceMs]`   delete commit dirs no snapshot
+  *                                 references, older than the grace
+  *                                 window (default 1h)
+  *  - `recover [graceMs]`          roll back a half-published commit
+  *                                 after a writer crash
+  *  - `set-property <key> <value>` snapshot property (e.g.
+  *                                 `watermark.column`)
+  *
+  * Exit code 0 on success, 1 on a usage or execution error. */
+object TableMain {
+
+  /** Run one command against the table; returns the process exit code.
+    * Factored from [[main]] so tests drive the CLI without forking. */
+  def run(spark: SparkSession, args: Seq[String],
+      out: String => Unit = println): Int = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: TableMain <tableDir> <command> [args] — commands: status " +
+          "history schema show compact rebucket vacuum vacuum-orphans " +
+          "recover set-property")
+      return 1
+    }
+    val dir = args.head
+    val cmd = args(1)
+    val rest = args.drop(2)
+    val table = LakeTable.load(spark, dir)
+    if (!table.exists && cmd != "recover") {
+      System.err.println(s"[table] no table at $dir")
+      return 1
+    }
+    try {
+      cmd match {
+        case "status" =>
+          val s = table.snapshot
+          val (base, delta) = s.files.partition(_.kind == "base")
+          out(s"version:          ${s.version}")
+          out(s"buckets:          ${s.nBuckets}")
+          out(s"schema version:   ${s.currentSchemaVersion}")
+          out(s"files:            ${s.files.size} " +
+            s"(${base.size} base, ${delta.size} delta)")
+          out(s"rows (pre-LWW):   ${s.files.map(_.rows).sum}")
+          out(s"epoch watermark:  ${s.epochWatermark}" +
+            (if (s.recentEpochs.nonEmpty)
+              s" (+${s.recentEpochs.size} out-of-order)" else ""))
+          out(s"delta buckets:    " +
+            delta.map(_.bucket).distinct.sorted.mkString(","))
+          s.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            out(s"property:         $k=$v") }
+          table.linkedResources.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            out(s"linked:           $k -> $v") }
+          0
+        case "history" =>
+          val n = rest.headOption.map(_.toInt).getOrElse(20)
+          table.lineage.takeRight(n).reverse.foreach { e =>
+            out(f"v${e.version}%-6d epoch=${e.epochId}%-8d " +
+              f"rows=${e.rowsApplied}%-9d buckets=${e.bucketsTouched.size}%-4d " +
+              f"files+${e.filesRewritten}/~${e.filesCarried} " +
+              f"lsn=[${e.minLsn},${e.maxLsn}] ${e.durationMs} ms")
+          }
+          0
+        case "schema" =>
+          val s = table.snapshot
+          out(s.userSchema.toDDL)
+          s.columnDocs.toSeq.sortBy(_._1).foreach { case (c, d) =>
+            out(s"-- $c: $d") }
+          0
+        case "show" =>
+          val i = rest.indexOf("--at")
+          val (asOf, posArgs) =
+            if (i < 0) (None, rest)
+            else {
+              require(i + 1 < rest.length, "--at needs a version")
+              (Some(rest(i + 1).toLong), rest.take(i) ++ rest.drop(i + 2))
+            }
+          val n = posArgs.headOption.map(_.toInt).getOrElse(20)
+          table.read(asOf = asOf).limit(n).collect()
+            .foreach(r => out(r.toString))
+          0
+        case "compact" =>
+          val snap = table.snapshot
+          val target = rest.headOption match {
+            case None =>
+              snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+            case Some("all") => snap.files.map(_.bucket).toSet
+            case Some(csv) => csv.split(",").map(_.trim.toInt).toSet
+          }
+          if (target.isEmpty) { out("[table] nothing to compact"); 0 }
+          else {
+            val s2 = MergeApply.compactBuckets(table, target, MergeConfig())
+            out(s"[table] compacted ${target.size} bucket(s) -> v${s2.version}")
+            0
+          }
+        case "rebucket" =>
+          require(rest.nonEmpty, "rebucket needs the new bucket count")
+          val s2 = MergeApply.rebucket(table, rest.head.toInt, MergeConfig())
+          out(s"[table] rebucketed to ${s2.nBuckets} -> v${s2.version}")
+          0
+        case "vacuum" =>
+          val keep = rest.headOption.map(_.toInt).getOrElse(1)
+          val (snaps, files) = table.vacuum(keep)
+          out(s"[table] expired $snaps snapshot(s), deleted $files file(s)")
+          0
+        case "vacuum-orphans" =>
+          val grace = rest.headOption.map(_.toLong).getOrElse(3600000L)
+          val n = table.vacuumOrphans(grace)
+          out(s"[table] removed $n orphan commit dir(s)")
+          0
+        case "recover" =>
+          val grace = rest.headOption.map(_.toLong).getOrElse(300000L)
+          val v = table.recover(grace)
+          out(s"[table] recovered at v$v")
+          0
+        case "set-property" =>
+          require(rest.length == 2, "set-property needs <key> <value>")
+          val s2 = table.setProperty(rest(0), rest(1))
+          out(s"[table] ${rest(0)}=${rest(1)} -> v${s2.version}")
+          0
+        case other =>
+          System.err.println(s"[table] unknown command '$other'")
+          1
+      }
+    } catch {
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[table] $cmd failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        1
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-table")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code =
+      try run(spark, args.toSeq)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.lake
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.SparkSpec
+import graft.cdc.{MergeApply, MergeConfig}
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.model.{Schemas, TranscriptRow}
+
+/** [[TableMain]] — the maintenance CLI over the lake's library calls. */
+class TableMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(nEvents = 4000L, nConvs = 60L, maxTurns = 10)
+
+  /** A table with MoR deltas in some buckets, via two merge epochs. */
+  private def morTable(dir: String): LakeTable = {
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, nBuckets = 4)
+    val mc = MergeConfig(writeMode = "mor", maxDeltaFilesPerBucket = 100)
+    val log = ChangeLogGen.changeLogDF(spark, cfg)
+    MergeApply.merge(t, log.limit(2500), 0L, mc)
+    MergeApply.merge(t, log, 1L, mc)
+    t
+  }
+
+  private def cli(args: String*): (Int, Seq[String]) = {
+    val lines = ArrayBuffer.empty[String]
+    val code = TableMain.run(spark, args, lines += _)
+    (code, lines.toSeq)
+  }
+
+  private def state(t: LakeTable): Seq[TranscriptRow] =
+    t.read().as[TranscriptRow].collect().toSeq.sortBy(r => (r.conv_id, r.turn_idx))
+
+  test("status/history/schema/show read the table without changing it") {
+    val dir = tmpDir("tm-read")
+    val t = morTable(dir)
+    val v0 = t.snapshot.version
+
+    val (c1, status) = cli(dir, "status")
+    assert(c1 == 0)
+    assert(status.exists(_.startsWith(s"version:          $v0")))
+    assert(status.exists(_.contains("delta")), "MoR table must report deltas")
+
+    val (c2, hist) = cli(dir, "history", "5")
+    assert(c2 == 0 && hist.nonEmpty && hist.size <= 5)
+    assert(hist.head.contains(s"v$v0"), "history is newest-first")
+
+    val (c3, ddl) = cli(dir, "schema")
+    assert(c3 == 0 && ddl.head.contains("conv_id"))
+
+    val (c4, rows) = cli(dir, "show", "7")
+    assert(c4 == 0 && rows.size == 7)
+
+    assert(t.snapshot.version == v0, "read commands must not commit")
+  }
+
+  test("compact defaults to exactly the delta-bearing buckets") {
+    val dir = tmpDir("tm-compact")
+    val t = morTable(dir)
+    val before = state(t)
+    assert(t.snapshot.files.exists(_.kind == "delta"))
+    val (code, msg) = cli(dir, "compact")
+    assert(code == 0 && msg.head.contains("compacted"))
+    assert(t.snapshot.files.forall(_.kind == "base"))
+    assert(state(t) == before, "compaction must preserve state")
+    // now delta-free: the default invocation is a no-op, not an error
+    val (code2, msg2) = cli(dir, "compact")
+    assert(code2 == 0 && msg2.head.contains("nothing to compact"))
+  }
+
+  test("rebucket, vacuum, and set-property run end-to-end") {
+    val dir = tmpDir("tm-admin")
+    val t = morTable(dir)
+    val before = state(t)
+    assert(cli(dir, "rebucket", "8")._1 == 0)
+    assert(t.snapshot.nBuckets == 8)
+    assert(state(t) == before)
+    // several versions exist by now; vacuum to the newest one
+    val (vc, vout) = cli(dir, "vacuum", "1")
+    assert(vc == 0 && vout.head.contains("expired"))
+    assert(state(t) == before, "vacuum must not touch the live snapshot")
+    assert(cli(dir, "set-property", "watermark.column", "ts")._1 == 0)
+    assert(t.snapshot.properties("watermark.column") == "ts")
+    // time travel to the pre-property version still reads
+    val vPrev = t.snapshot.version - 1
+    assert(cli(dir, "show", "3", "--at", vPrev.toString)._1 == 0)
+  }
+
+  test("usage and execution errors exit 1 with a message, never a stack") {
+    val dir = tmpDir("tm-err")
+    assert(cli(dir, "status")._1 == 1, "missing table")
+    morTable(dir)
+    assert(cli(dir, "frobnicate")._1 == 1, "unknown command")
+    assert(cli(dir, "rebucket")._1 == 1, "missing operand")
+    assert(cli(dir, "rebucket", "-3")._1 == 1, "library require surfaces as exit 1")
+    assert(cli(dir, "set-property", "only-key")._1 == 1)
+    assert(cli(dir)._1 == 1, "missing command")
+  }
+}
