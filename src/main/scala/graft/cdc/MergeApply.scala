@@ -620,7 +620,7 @@ object MergeApply {
       // lands a delta in a bucket mid-fold, yield — the ingest wins, and
       // the still-over-threshold bucket retriggers next epoch
       try {
-        compactBuckets(table, toCompact, cfg)
+        compactBuckets(table, toCompact, cfg, at = Some(committed))
         lap(s"mor-compact(${toCompact.size})")
       } catch { case _: graft.lake.CommitConflictException => () }
     }
@@ -651,8 +651,15 @@ object MergeApply {
     * seconds 54/17.5/13.2 vs 64/25.7/13.5 at 1/4/8 cores, 8M events —
     * because the hash-agg fold skips the window sort entirely. */
   def compactBuckets(table: LakeTable, buckets: Set[Int],
-      cfg: MergeConfig = MergeConfig()): Snapshot = {
-    val snap = table.snapshot
+      cfg: MergeConfig = MergeConfig(),
+      /** Fold against THIS snapshot instead of re-reading CURRENT —
+        * callers that computed `buckets` from a snapshot they already
+        * hold pass it here, so the target ids and the folded files come
+        * from the same version (a concurrent layout change between the
+        * two reads would otherwise apply old-space bucket ids to the new
+        * layout; the commit conflict still catches real races). */
+      at: Option[Snapshot] = None): Snapshot = {
+    val snap = at.getOrElse(table.snapshot)
     val spark = table.spark
     val outDir = s"${table.dir}/data/compact-${snap.version + 1}-" +
       java.util.UUID.randomUUID().toString.take(8)

@@ -31,8 +31,11 @@ import graft.cdc.{MergeApply, MergeConfig}
   *  - `vacuum-orphans [graceMs]`   delete commit dirs no snapshot
   *                                 references, older than the grace
   *                                 window (default 1h)
-  *  - `recover [graceMs]`          roll back a half-published commit
-  *                                 after a writer crash
+  *  - `recover [graceMs]`          roll FORWARD after a writer crash:
+  *                                 adopt the newest fully-written
+  *                                 orphan snapshot as committed and
+  *                                 delete torn snapshot files older
+  *                                 than the grace window
   *  - `set-property <key> <value>` snapshot property (e.g.
   *                                 `watermark.column`)
   *
@@ -53,12 +56,17 @@ object TableMain {
     val dir = args.head
     val cmd = args(1)
     val rest = args.drop(2)
-    val table = LakeTable.load(spark, dir)
-    if (!table.exists && cmd != "recover") {
-      System.err.println(s"[table] no table at $dir")
-      return 1
-    }
     try {
+      // inside the try: an empty/bad path or unsupported scheme throws
+      // from the Path constructor — that's an execution error, not a
+      // stack trace. recover gets no carve-out: it too starts from the
+      // CURRENT pointer, so a table with no CURRENT is "no table" for
+      // every command.
+      val table = LakeTable.load(spark, dir)
+      if (!table.exists) {
+        System.err.println(s"[table] no table at $dir")
+        return 1
+      }
       cmd match {
         case "status" =>
           val s = table.snapshot
@@ -74,10 +82,15 @@ object TableMain {
               s" (+${s.recentEpochs.size} out-of-order)" else ""))
           out(s"delta buckets:    " +
             delta.map(_.bucket).distinct.sorted.mkString(","))
-          s.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          // one snapshot read serves both listings (a second
+          // table.linkedResources call could land on a different
+          // version under a concurrent writer), and link.* properties
+          // print once, under their own heading
+          val (links, props) = s.properties.partition(_._1.startsWith("link."))
+          props.toSeq.sortBy(_._1).foreach { case (k, v) =>
             out(s"property:         $k=$v") }
-          table.linkedResources.toSeq.sortBy(_._1).foreach { case (k, v) =>
-            out(s"linked:           $k -> $v") }
+          links.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            out(s"linked:           ${k.stripPrefix("link.")} -> $v") }
           0
         case "history" =>
           val n = rest.headOption.map(_.toInt).getOrElse(20)
@@ -108,15 +121,24 @@ object TableMain {
           0
         case "compact" =>
           val snap = table.snapshot
-          val target = rest.headOption match {
+          val present = snap.files.map(_.bucket).toSet
+          val requested = rest.headOption match {
             case None =>
               snap.files.filter(_.kind == "delta").map(_.bucket).toSet
-            case Some("all") => snap.files.map(_.bucket).toSet
+            case Some("all") => present
             case Some(csv) => csv.split(",").map(_.trim.toInt).toSet
           }
+          // a typo'd or stale bucket id must not report success
+          val unknown = requested -- present
+          unknown.toSeq.sorted.foreach(b => System.err.println(
+            s"[table] WARNING: bucket $b holds no files, skipping"))
+          val target = requested & present
           if (target.isEmpty) { out("[table] nothing to compact"); 0 }
           else {
-            val s2 = MergeApply.compactBuckets(table, target, MergeConfig())
+            // pin the snapshot the target was computed from, so the ids
+            // and the folded files come from the same version
+            val s2 = MergeApply.compactBuckets(table, target, MergeConfig(),
+              at = Some(snap))
             out(s"[table] compacted ${target.size} bucket(s) -> v${s2.version}")
             0
           }
@@ -138,7 +160,7 @@ object TableMain {
         case "recover" =>
           val grace = rest.headOption.map(_.toLong).getOrElse(300000L)
           val v = table.recover(grace)
-          out(s"[table] recovered at v$v")
+          out(s"[table] rolled forward to v$v")
           0
         case "set-property" =>
           require(rest.length == 2, "set-property needs <key> <value>")
@@ -158,16 +180,7 @@ object TableMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val cores = sys.env.getOrElse("GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-table")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSpark.session("graft-table")
     val code =
       try run(spark, args.toSeq)
       finally spark.stop()

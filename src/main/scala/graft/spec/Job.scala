@@ -178,7 +178,7 @@ object JobRunner {
     * packing uniquely, so distinct key tuples always yield distinct
     * conv_ids. Hash-bucketing, LWW and the epoch guard then work
     * identically for any feed. */
-  private def envelope(df: DataFrame, keyFields: Seq[String],
+  private[spec] def envelope(df: DataFrame, keyFields: Seq[String],
       epoch: Long): DataFrame = {
     require(keyFields.nonEmpty, "Lake destination requires keyFields")
     val native = keyFields == graft.model.Schemas.keyCols &&

@@ -375,16 +375,7 @@ object LaunchMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val cores = sys.env.getOrElse("GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-launch")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSpark.session("graft-launch")
     // stop the session BEFORE exiting — sys.exit inside a try would skip
     // the enclosing finally; then exit with the documented failure COUNT
     // (capped at the 8-bit exit-status range)

@@ -96,5 +96,23 @@ class TableMainSpec extends SparkSpec {
     assert(cli(dir, "rebucket", "-3")._1 == 1, "library require surfaces as exit 1")
     assert(cli(dir, "set-property", "only-key")._1 == 1)
     assert(cli(dir)._1 == 1, "missing command")
+    // path errors from BEFORE the command dispatch are execution errors
+    // too, not stack traces
+    assert(cli("", "status")._1 == 1, "empty table path")
+  }
+
+  test("compact warns on bucket ids holding no files instead of claiming success") {
+    val dir = tmpDir("tm-unknown")
+    val t = morTable(dir)
+    val v0 = t.snapshot.version
+    // bucket 9 does not exist on a 4-bucket table: warn + nothing to do
+    val (c1, out1) = cli(dir, "compact", "9")
+    assert(c1 == 0 && out1.head.contains("nothing to compact"))
+    assert(t.snapshot.version == v0, "no commit may land for a no-op")
+    // a mix of real and bogus ids compacts the real ones only
+    val real = t.snapshot.files.filter(_.kind == "delta").map(_.bucket).head
+    val (c2, out2) = cli(dir, "compact", s"$real,9")
+    assert(c2 == 0 && out2.head.contains("compacted 1 bucket(s)"))
+    assert(!t.snapshot.files.exists(f => f.kind == "delta" && f.bucket == real))
   }
 }
