@@ -43,7 +43,12 @@ import graft.sources.{Extractors, XlsExtractor, XlsxExtractor}
   *                  // {"type":"url","url":…} | {"type":"zip","zip":…,"member":…}
   *   "staging_dir": "/work/staging",
   *   "extractor":   {"type": "csv", "delimiter": ","},
-  *                  // csv | json | xlsx | xls | geojson | wholefile
+  *                  // csv | json | xlsx | xls | geojson | wholefile;
+  *                  // omit to infer from the source file's extension
+  *                  // (the reference's select_extractor,
+  *                  // etl_util.py:523-538): a bindir destination
+  *                  // always gets wholefile, a known extension maps
+  *                  // to its extractor, anything else is an error
   *   "destination": {"type": "lake", "dir": "/lake/dogs", "n_buckets": 32},
   *                  // lake | csvdir | bindir
   *   "rows_to_skip": 0,
@@ -267,15 +272,48 @@ object LaunchMain {
         s"$ctx: '$name' must be an array, got ${compact(v)}")
     }
 
+  /** Extension-driven extractor inference — the reference's
+    * `select_extractor` (etl_util.py:523-538): a filestore (binary)
+    * destination always takes the whole file; otherwise the extension
+    * picks the tabular extractor. The reference's silent
+    * anything-else→FileExtractor fallback is an error here: raw bytes
+    * cannot load into a tabular destination, so the fallback could only
+    * fail later and worse. */
+  private def inferExtractor(source: JobSource, dest: JobDestination,
+      ctx: String): JobExtractor = {
+    if (dest.isInstanceOf[JobDestination.BinaryDir])
+      return JobExtractor.WholeFile
+    val name = source match {
+      case JobSource.LocalFile(uri) => uri
+      case JobSource.Url(url) => url.takeWhile(c => c != '?' && c != '#')
+      case JobSource.ZipMember(_, member) => member
+      case JobSource.Custom(_, uri) => uri
+    }
+    name.split('.').last.toLowerCase match {
+      case "csv" => JobExtractor.Csv()
+      case "json" => JobExtractor.Json()
+      case "geojson" => JobExtractor.GeoJson
+      case "xlsx" => JobExtractor.Xlsx()
+      case "xls" => JobExtractor.Xls()
+      case ext => throw new IllegalArgumentException(
+        s"$ctx: cannot infer an extractor from extension '$ext' of " +
+          s"'$name' — set \"extractor\" explicitly")
+    }
+  }
+
   def parseJob(j: JValue): JobSpec = {
     val code = reqStr(j, "job_code", "job")
     val ctx = s"job '$code'"
+    val source = parseSource(j \ "source", ctx)
+    val destination = parseDestination(j \ "destination", ctx)
     JobSpec(
       jobCode = code,
-      source = parseSource(j \ "source", ctx),
+      source = source,
       stagingDir = reqStr(j, "staging_dir", ctx),
-      extractor = parseExtractor(j \ "extractor", ctx),
-      destination = parseDestination(j \ "destination", ctx),
+      extractor = get(j, "extractor")
+        .map(parseExtractor(_, ctx))
+        .getOrElse(inferExtractor(source, destination, ctx)),
+      destination = destination,
       rowsToSkip = optInt(j, "rows_to_skip", 0, ctx),
       schema = parseFields(j, ctx),
       filters = parseFilters(j, ctx),

@@ -241,6 +241,42 @@ class LaunchMainSpec extends SparkSpec {
     assert(big.getMessage.contains("out of 64-bit range"))
   }
 
+  test("launch: omitted extractor infers from the source extension") {
+    def spec(source: String, dest: String = """{"type": "lake", "dir": "/d"}""") =
+      LaunchMain.parseJobs(s"""
+        [{ "job_code": "j", "source": $source, "staging_dir": "/s",
+           "destination": $dest }]""").head
+    assert(spec("""{"type": "local", "path": "/data/dogs.CSV"}""")
+      .extractor.isInstanceOf[JobExtractor.Csv])
+    assert(spec("""{"type": "url", "url": "http://x/feed.json?key=1"}""")
+      .extractor.isInstanceOf[JobExtractor.Json])
+    assert(spec("""{"type": "zip", "zip": "/a.zip", "member": "m.xlsx"}""")
+      .extractor.isInstanceOf[JobExtractor.Xlsx])
+    assert(spec("""{"type": "local", "path": "/data/parcels.geojson"}""")
+      .extractor == JobExtractor.GeoJson)
+    assert(spec("""{"type": "local", "path": "/data/old.xls"}""")
+      .extractor.isInstanceOf[JobExtractor.Xls])
+    // binary destination always takes the whole file, whatever the name
+    // (reference etl_util.py:525-526)
+    assert(spec("""{"type": "local", "path": "/data/img.tiff"}""",
+      """{"type": "bindir", "dir": "/d"}""") .extractor == JobExtractor.WholeFile)
+    // unknown extension + tabular destination: typed error, not a
+    // silent whole-file fallback
+    val e = intercept[IllegalArgumentException](
+      spec("""{"type": "local", "path": "/data/img.tiff"}"""))
+    assert(e.getMessage.contains("cannot infer") && e.getMessage.contains("tiff"))
+    // and an end-to-end run with the extractor omitted
+    val work = tmpDir("launch-infer")
+    val cats = write(work, "cats.csv", "Cat ID,Name\n1,mojo\n2,don")
+    val jobs = write(work, "jobs.json", s"""
+      [{ "job_code": "cats", "source": {"type": "local", "path": "$cats"},
+         "staging_dir": "$work/staging",
+         "destination": {"type": "lake", "dir": "$work/lake/cats", "n_buckets": 4},
+         "key_fields": ["cat_id"] }]""")
+    assert(LaunchMain.run(spark, Seq(jobs)) == 0)
+    assert(graft.lake.LakeTable.load(spark, s"$work/lake/cats").read().count() == 2)
+  }
+
   test("launch: filter 'in' takes a JSON array; scalars keep their JSON types") {
     val specs = LaunchMain.parseJobs("""
       [{ "job_code": "j", "source": {"type": "local", "path": "/x"},
