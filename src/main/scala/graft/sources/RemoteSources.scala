@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Fetch-by-shelled-command staging — the Spark twin of the reference's
+  * City-SFTP CLI fetch (reference: engine/etl_util.py:442-469:
+  * `fetch_city_file`/`download_city_directory` shell `sftp -i <keyfile>
+  * host:/path <local_dir>` via `os.popen`). The reference's own answer
+  * to "no client library" is to drive the installed CLI; this class is
+  * that answer as a [[Staging]] impl, and doubles as the production plug
+  * for any fetcher with a CLI but no jar on the classpath (`sftp`,
+  * `gsutil cp`, `aws s3 cp`, `curl`) — the SFTP/GCS connector rows of
+  * the survey deploy through it unchanged.
+  *
+  * `command` is the argv template; `{uri}` and `{dest}` placeholders are
+  * substituted verbatim per argument (argv-style, never a shell string —
+  * no quoting/injection surface). The command must create `{dest}`;
+  * a non-zero exit or a missing output fails the fetch, and any partial
+  * output is removed (same contract as [[HttpStaging]]'s truncation
+  * cleanup). Stdout/stderr are captured into the failure message (the
+  * reference prints each output line, etl_util.py:456-458).
+  *
+  * The staged name is the uri's basename, so re-fetching the same uri
+  * overwrites the same staged path (the [[Staging]] idempotence rule).
+  */
+final class CommandStaging(command: Seq[String]) extends Staging {
+  require(command.nonEmpty, "CommandStaging needs a non-empty argv")
+  require(command.exists(_.contains("{dest}")),
+    "CommandStaging argv must reference {dest} (the staged output path)")
+
+  def fetch(spark: SparkSession, uri: String, stagingDir: String): String = {
+    val dest = new Path(stagingDir, new Path(uri).getName)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dest.getParent)
+    val argv = command.map(_.replace("{uri}", uri)
+      .replace("{dest}", dest.toUri.getPath))
+    val pb = new ProcessBuilder(argv: _*).redirectErrorStream(true)
+    val proc = pb.start()
+    val output =
+      try scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+        .mkString
+      finally proc.getInputStream.close()
+    val exit = proc.waitFor()
+    if (exit != 0 || !fs.exists(dest)) {
+      if (fs.exists(dest)) fs.delete(dest, false) // never keep a partial
+      throw new java.io.IOException(
+        s"fetch command ${argv.mkString("[", " ", "]")} " +
+          (if (exit != 0) s"exited $exit" else "produced no output file") +
+          (if (output.trim.isEmpty) "" else s"; output:\n${output.trim}"))
+    }
+    dest.toString
+  }
+}
+
+/** Paged-API staging — the reference's pager shape (reference:
+  * engine/payload/wprdc/g_analytics.py:309-324 `page_through_get_metrics`
+  * loops `fetch(page_token)` until the response carries no next-page
+  * token; the SOAP puller engine/payload/united_way/211.py:47-77 is the
+  * same loop). The reference accumulates rows in memory on the driver;
+  * here each page lands as its own staged FILE under one directory, so
+  * the downstream `spark.read.json`/`csv` scan reads the page set with
+  * full parallelism (one split per page) and the driver never holds a
+  * record.
+  *
+  * `pageUrl(i)` renders the GET for 0-based page `i` (offset, page token
+  * baked by the caller, cursor — whatever the API speaks). Paging stops
+  * at the first page whose body is empty or whitespace-only (the generic
+  * byte-level form of "no nextPageToken"); that sentinel page is not
+  * staged. Pages must therefore be self-delimiting fragments — JSON
+  * Lines, a JSON array per page (`multiLine` read), or headerless CSV.
+  *
+  * Exceeding `maxPages` FAILS (no silent truncation: a pager that quietly
+  * stops mid-feed would present a partial corpus as complete). The staged
+  * directory is wiped before fetching so a re-fetch that yields fewer
+  * pages cannot leave stale tail pages behind (the [[Staging]]
+  * idempotence rule, which per-file overwrite alone would break).
+  *
+  * The [[Staging]] `uri` names the staged subdirectory (the feed's
+  * logical name); [[graft.spec.JobRunner]] accepts the returned directory
+  * everywhere a staged file goes (checksum gate included).
+  */
+final class PagedHttpStaging(pageUrl: Int => String, maxPages: Int = 10000)
+  extends Staging {
+  require(maxPages > 0, s"maxPages must be positive, got $maxPages")
+
+  def fetch(spark: SparkSession, uri: String, stagingDir: String): String = {
+    val dir = new Path(stagingDir, new Path(uri).getName)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i >= maxPages)
+        throw new java.io.IOException(
+          s"pager for $uri exceeded maxPages=$maxPages without an empty " +
+            "page; raise maxPages or fix the feed's end-of-data signal")
+      val page = new Path(dir, f"page-$i%05d")
+      val in = new java.net.URI(pageUrl(i)).toURL.openStream()
+      try BinarySink.streamToFile(in, fs, page, overwrite = true)
+      finally in.close()
+      if (fs.getFileStatus(page).getLen == 0L || isBlank(fs, page)) {
+        fs.delete(page, false)
+        done = true
+      } else i += 1
+    }
+    dir.toString
+  }
+
+  /** Whitespace-only check without materializing the page: pages that
+    * reach here are non-empty; only an all-whitespace prefix keeps the
+    * scan going, so it terminates at the first real byte. */
+  private def isBlank(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) {
+        var j = 0
+        while (j < n) {
+          if (!Character.isWhitespace(buf(j).toChar)) return false
+          j += 1
+        }
+        n = in.read(buf)
+      }
+      true
+    } finally in.close()
+  }
+}

@@ -223,18 +223,40 @@ object JobRunner {
         staging.fetch(spark, uri, spec.stagingDir)
     }
 
-  /** md5 of a staged file's bytes (driver-side stream, like the
-    * reference's connector checksum, connectors.py:73-93). */
+  /** md5 of a staged input's bytes (driver-side stream, like the
+    * reference's connector checksum, connectors.py:73-93). A staged
+    * DIRECTORY (a paged fetch, [[graft.sources.PagedHttpStaging]]) hashes
+    * every file in name order, each prefixed by its name and a NUL — so
+    * the same bytes split at a different page boundary, or the same pages
+    * under different names, fingerprint differently (re-pagination is a
+    * different input, and the gate must never skip content it hasn't
+    * seen in exactly this shape). */
   def md5OfFile(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val md = java.security.MessageDigest.getInstance("MD5")
-    val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](65536)
-      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
-        .foreach(n => md.update(buf, 0, n))
-    } finally in.close()
+    def hashOne(f: Path): Unit = {
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](65536)
+        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => md.update(buf, 0, n))
+      } finally in.close()
+    }
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile)
+        // skip hidden/metadata files (.crc sidecars, _SUCCESS markers) —
+        // the scan ignores them, so the gate must fingerprint what the
+        // scan will actually read
+        .filterNot(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          md.update(st.getPath.getName.getBytes("UTF-8"))
+          md.update(0.toByte)
+          hashOne(st.getPath)
+        }
+    else hashOne(p)
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -305,7 +327,13 @@ object JobRunner {
     val input =
       // workbooks skip rows sheet-side (see extract): line-stripping a
       // ZIP or OLE2 container would corrupt it
-      if (spec.rowsToSkip > 0 && !workbook)
+      if (spec.rowsToSkip > 0 && !workbook) {
+        val sp = new Path(staged)
+        require(!sp.getFileSystem(spark.sessionState.newHadoopConf())
+            .getFileStatus(sp).isDirectory,
+          "rowsToSkip needs a single staged file; a paged fetch stages a " +
+            "directory of self-delimiting pages (strip rows in the pager's " +
+            "page rendering instead)")
         Extractors.stripLeadingRows(spark, staged, spec.stagingDir,
           spec.rowsToSkip, encoding = spec.extractor match {
             // the strip round-trips bytes through a charset; it must be
@@ -313,7 +341,7 @@ object JobRunner {
             case JobExtractor.Csv(o) => o.encoding
             case _ => "UTF-8"
           })
-      else staged
+      } else staged
 
     val result = spec.extractor match {
       case JobExtractor.WholeFile =>

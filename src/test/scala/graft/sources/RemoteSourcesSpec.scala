@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+import graft.spec.{JobDestination, JobExtractor, JobRunner, JobSource, JobSpec}
+
+/** Remote-source staging against a REAL HTTP server (the JDK's
+  * `com.sun.net.httpserver` bound to 127.0.0.1 — zero egress, real
+  * sockets): [[HttpStaging]] over http:// URLs end-to-end, the paged-API
+  * fetch ([[PagedHttpStaging]]), and the shelled-command fetch
+  * ([[CommandStaging]], the reference's City-SFTP CLI pattern,
+  * reference: engine/etl_util.py:442-469). */
+class RemoteSourcesSpec extends SparkSpec {
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    // RFC 9112: a 404 with -1 length sends no body; 0-byte 200s use 0
+    ex.sendResponseHeaders(code,
+      if (code == 404) -1L else if (body.isEmpty) -1L else body.length.toLong)
+    try if (body.nonEmpty) ex.getResponseBody.write(body)
+    finally ex.close()
+  }
+
+  /** Start a localhost server, run `f(baseUrl)`, always stop it. */
+  private def withServer(routes: Map[String, () => (Int, String)])(
+      f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, handler) =>
+      server.createContext(path, (ex: HttpExchange) => {
+        val (code, body) = handler()
+        respond(ex, code, body.getBytes("UTF-8"))
+      })
+    }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private val csvBody = "id,name\n1,alpha\n2,beta\n"
+
+  /** Staged page files, excluding Hadoop's hidden .crc sidecars. */
+  private def pageFiles(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filterNot(p => Paths.get(p).getFileName.toString.startsWith("."))
+      .sorted.toSeq
+
+  test("HttpStaging fetches over real HTTP and overwrites on refetch") {
+    var version = "alpha"
+    withServer(Map("/feed.csv" ->
+        (() => (200, csvBody.replace("alpha", version))))) { base =>
+      val staging = tmpDir("http-real")
+      val staged = HttpStaging.fetch(spark, s"$base/feed.csv", staging)
+      assert(staged.endsWith("feed.csv"))
+      assert(Files.readString(Paths.get(staged)).contains("alpha"))
+      version = "v2" // same uri, new content: same staged path, new bytes
+      val again = HttpStaging.fetch(spark, s"$base/feed.csv", staging)
+      assert(again == staged)
+      assert(Files.readString(Paths.get(staged)).contains("v2"))
+    }
+  }
+
+  test("HttpStaging on a 404 fails and stages nothing") {
+    withServer(Map("/gone.csv" -> (() => (404, "")))) { base =>
+      val staging = tmpDir("http-404")
+      intercept[java.io.IOException] {
+        HttpStaging.fetch(spark, s"$base/gone.csv", staging)
+      }
+      assert(!Files.exists(Paths.get(staging, "gone.csv")),
+        "a failed fetch must not leave a staged file")
+    }
+  }
+
+  test("JobRunner end-to-end over real HTTP: JSON GET into a lake table") {
+    // the reference's HTTPConnector-returning-JSON shape
+    // (connectors.py:156-175) as Url source + Json extractor
+    val json = """[{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"}]"""
+    withServer(Map("/rows.json" -> (() => (200, json)))) { base =>
+      val work = tmpDir("http-job")
+      val spec = JobSpec(
+        jobCode = "http_json",
+        source = JobSource.Url(s"$base/rows.json"),
+        stagingDir = s"$work/staging",
+        extractor = JobExtractor.Json(),
+        destination = JobDestination.Lake(s"$work/lake", nBuckets = 4),
+        keyFields = Seq("id"))
+      val r = JobRunner.run(spark, spec)
+      assert(r.applied && r.rows == 2)
+      val got = LakeTable.load(spark, s"$work/lake").read().collect()
+      assert(got.map(_.getAs[String]("name")).toSet == Set("alpha", "beta"))
+    }
+  }
+
+  test("PagedHttpStaging stages one file per page until the empty page") {
+    // 3 JSONL pages of 2 rows, then an empty page ends the feed
+    def page(i: Int): String =
+      if (i >= 3) ""
+      else (0 until 2).map(j => s"""{"id": ${i * 2 + j}}""").mkString("\n")
+    withServer((0 to 4).map(i =>
+        s"/api/$i" -> (() => (200, page(i)))).toMap) { base =>
+      val staging = tmpDir("pager")
+      val pager = new PagedHttpStaging(i => s"$base/api/$i")
+      val dir = pager.fetch(spark, "metrics-feed", staging)
+      assert(dir.endsWith("metrics-feed"))
+      assert(pageFiles(dir).length == 3,
+        "the empty sentinel page must not stage")
+      // the page set reads as ONE distributed scan
+      val df = spark.read.json(dir)
+      assert(df.count() == 6)
+      assert(df.agg(org.apache.spark.sql.functions.max("id")).head.getLong(0)
+        == 5L)
+    }
+  }
+
+  test("PagedHttpStaging refetch removes stale tail pages") {
+    var pages = 3
+    withServer((0 to 4).map(i => s"/p/$i" -> (() =>
+        (200, if (i < pages) s"""{"page": $i}""" else ""))).toMap) { base =>
+      val staging = tmpDir("pager-stale")
+      val pager = new PagedHttpStaging(i => s"$base/p/$i")
+      val dir = pager.fetch(spark, "feed", staging)
+      assert(pageFiles(dir).length == 3)
+      pages = 1 // the feed shrank; a refetch must not keep old tail pages
+      pager.fetch(spark, "feed", staging)
+      assert(pageFiles(dir).length == 1,
+        "stale pages from the longer previous fetch must be wiped")
+    }
+  }
+
+  test("PagedHttpStaging fails loudly past maxPages (no silent truncation)") {
+    withServer(Map("/p" -> (() => (200, """{"k": 1}""")))) { base =>
+      val pager = new PagedHttpStaging(_ => s"$base/p", maxPages = 4)
+      val e = intercept[java.io.IOException] {
+        pager.fetch(spark, "endless", tmpDir("pager-max"))
+      }
+      assert(e.getMessage.contains("maxPages=4"))
+    }
+  }
+
+  test("PagedHttpStaging treats a whitespace-only page as end-of-feed") {
+    withServer(Map(
+        "/w/0" -> (() => (200, """{"k": 1}""")),
+        "/w/1" -> (() => (200, " \n\t "))) ) { base =>
+      val pager = new PagedHttpStaging(i => s"$base/w/$i")
+      val dir = pager.fetch(spark, "ws-feed", tmpDir("pager-ws"))
+      assert(pageFiles(dir).length == 1)
+    }
+  }
+
+  test("paged source drives a full job: checksum gate sees the page set") {
+    var rows = Seq("""{"id": 1, "v": "a"}""", """{"id": 2, "v": "b"}""")
+    withServer((0 to 3).map(i =>
+        s"/j/$i" -> (() => (200, if (i == 0) rows.mkString("\n") else "")))
+          .toMap) { base =>
+      val work = tmpDir("pager-job")
+      val spec = JobSpec(
+        jobCode = "paged_api",
+        source = JobSource.Custom(
+          new PagedHttpStaging(i => s"$base/j/$i"), "api-feed"),
+        stagingDir = s"$work/staging",
+        extractor = JobExtractor.Json(multiLine = false),
+        destination = JobDestination.Lake(s"$work/lake", nBuckets = 4),
+        keyFields = Seq("id"))
+      val r1 = JobRunner.run(spark, spec)
+      assert(r1.applied && r1.rows == 2)
+      // unchanged pages: the directory checksum gate skips the run
+      val r2 = JobRunner.run(spark, spec)
+      assert(!r2.applied && r2.skipReason.exists(_.contains("checksum")))
+      // a changed page re-runs and upserts
+      rows = Seq("""{"id": 1, "v": "a2"}""", """{"id": 2, "v": "b"}""")
+      val r3 = JobRunner.run(spark, spec)
+      assert(r3.applied)
+      val got = LakeTable.load(spark, s"$work/lake").read().collect()
+        .map(r => r.getAs[String]("conv_id") -> r.getAs[String]("v")).toMap
+      assert(got("v1") == "a2")
+    }
+  }
+
+  test("rowsToSkip rejects a staged directory with a clear error") {
+    withServer(Map("/d/0" -> (() => (200, "x,y\n1,2")),
+        "/d/1" -> (() => (200, ""))) ) { base =>
+      val work = tmpDir("pager-skip")
+      val spec = JobSpec(
+        jobCode = "paged_skip",
+        source = JobSource.Custom(
+          new PagedHttpStaging(i => s"$base/d/$i"), "feed"),
+        stagingDir = s"$work/staging",
+        extractor = JobExtractor.Csv(),
+        destination = JobDestination.Lake(s"$work/lake", nBuckets = 4),
+        rowsToSkip = 1,
+        keyFields = Seq("x"))
+      val e = intercept[IllegalArgumentException](JobRunner.run(spark, spec))
+      assert(e.getMessage.contains("paged fetch"))
+    }
+  }
+
+  test("CommandStaging shells the fetch command (the sftp-CLI pattern)") {
+    val work = tmpDir("cmd-ok")
+    val srcPath = Paths.get(work, "remote.csv")
+    Files.write(srcPath, csvBody.getBytes("UTF-8"))
+    // the test's "sftp" is cp; production swaps in sftp/gsutil/aws argv
+    val staging = new CommandStaging(Seq("/bin/cp", "{uri}", "{dest}"))
+    val staged = staging.fetch(spark, srcPath.toString, s"$work/staging")
+    assert(staged.endsWith("remote.csv"))
+    assert(Files.readString(Paths.get(staged)) == csvBody)
+  }
+
+  test("CommandStaging surfaces a failing command's exit code and output") {
+    val staging = new CommandStaging(
+      Seq("/bin/sh", "-c", "echo no such host >&2; exit 3", "{dest}"))
+    val e = intercept[java.io.IOException] {
+      staging.fetch(spark, "any.csv", tmpDir("cmd-fail"))
+    }
+    assert(e.getMessage.contains("exited 3"))
+    assert(e.getMessage.contains("no such host"))
+  }
+
+  test("CommandStaging fails when the command stages no output file") {
+    val staging = new CommandStaging(Seq("/bin/sh", "-c", "true", "{dest}"))
+    val e = intercept[java.io.IOException] {
+      staging.fetch(spark, "any.csv", tmpDir("cmd-noout"))
+    }
+    assert(e.getMessage.contains("produced no output file"))
+  }
+
+  test("CommandStaging cleans up a partial output of a failed command") {
+    val work = tmpDir("cmd-partial")
+    val staging = new CommandStaging(
+      Seq("/bin/sh", "-c", "echo partial > \"$1\"; exit 1", "sh", "{dest}"))
+    intercept[java.io.IOException] {
+      staging.fetch(spark, "any.csv", s"$work/staging")
+    }
+    assert(!Files.exists(Paths.get(work, "staging", "any.csv")),
+      "a failed fetch must not leave a partial staged file")
+  }
+
+  test("CommandStaging requires a {dest} placeholder") {
+    intercept[IllegalArgumentException] {
+      new CommandStaging(Seq("/bin/cp", "{uri}", "/tmp/fixed"))
+    }
+  }
+}
