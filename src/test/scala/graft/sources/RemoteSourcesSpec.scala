@@ -1,11 +1,8 @@
 package graft.sources
 
-import java.net.InetSocketAddress
 import java.nio.file.{Files, Paths}
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-
-import graft.SparkSpec
+import graft.{SparkSpec, TestHttp}
 import graft.lake.LakeTable
 import graft.spec.{JobDestination, JobExtractor, JobRunner, JobSource, JobSpec}
 
@@ -17,28 +14,8 @@ import graft.spec.{JobDestination, JobExtractor, JobRunner, JobSource, JobSpec}
   * reference: engine/etl_util.py:442-469). */
 class RemoteSourcesSpec extends SparkSpec {
 
-  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
-    // RFC 9112: a 404 with -1 length sends no body; 0-byte 200s use 0
-    ex.sendResponseHeaders(code,
-      if (code == 404) -1L else if (body.isEmpty) -1L else body.length.toLong)
-    try if (body.nonEmpty) ex.getResponseBody.write(body)
-    finally ex.close()
-  }
-
-  /** Start a localhost server, run `f(baseUrl)`, always stop it. */
   private def withServer(routes: Map[String, () => (Int, String)])(
-      f: String => Unit): Unit = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    routes.foreach { case (path, handler) =>
-      server.createContext(path, (ex: HttpExchange) => {
-        val (code, body) = handler()
-        respond(ex, code, body.getBytes("UTF-8"))
-      })
-    }
-    server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
-  }
+      f: String => Unit): Unit = TestHttp.withServer(routes)(f)
 
   private val csvBody = "id,name\n1,alpha\n2,beta\n"
 
