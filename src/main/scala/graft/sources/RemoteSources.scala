@@ -84,6 +84,9 @@ final class PagedHttpStaging(pageUrl: Int => String, maxPages: Int = 10000)
   extends Staging {
   require(maxPages > 0, s"maxPages must be positive, got $maxPages")
 
+  def this(template: String, maxPages: Int, pageSize: Int) =
+    this(PagedHttpStaging.render(template, pageSize), maxPages)
+
   def fetch(spark: SparkSession, uri: String, stagingDir: String): String = {
     val dir = new Path(stagingDir, new Path(uri).getName)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -127,5 +130,21 @@ final class PagedHttpStaging(pageUrl: Int => String, maxPages: Int = 10000)
       }
       true
     } finally in.close()
+  }
+}
+
+object PagedHttpStaging {
+  /** The declarative (jobs-file) page-URL form: a template with `{page}`
+    * (0-based page index) and/or `{offset}` (page index × `pageSize`)
+    * placeholders — the two addressing shapes the reference's pagers use
+    * (page tokens/numbers vs row offsets). At least one placeholder is
+    * required: a constant URL would re-fetch the same page forever and
+    * only stop at the maxPages failure. */
+  private[sources] def render(template: String, pageSize: Int): Int => String = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    require(template.contains("{page}") || template.contains("{offset}"),
+      s"page-URL template needs a {page} or {offset} placeholder: $template")
+    i => template.replace("{page}", i.toString)
+      .replace("{offset}", (i.toLong * pageSize).toString)
   }
 }

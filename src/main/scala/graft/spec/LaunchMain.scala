@@ -41,6 +41,15 @@ import graft.sources.{Extractors, XlsExtractor, XlsxExtractor}
   * { "job_code": "dog_licenses",
   *   "source":      {"type": "local", "path": "/data/dogs.csv"},
   *                  // {"type":"url","url":…} | {"type":"zip","zip":…,"member":…}
+  *                  // | {"type":"command","argv":["sftp","-i","/key",
+  *                  //    "{uri}","{dest}"],"uri":"user@host:/path/f.csv"}
+  *                  //   (fetch through an external CLI — sftp/gsutil/aws)
+  *                  // | {"type":"paged","url_template":
+  *                  //    "https://api/rows?offset={offset}","page_size":1000,
+  *                  //    "name":"feed","max_pages":10000}
+  *                  //   (paged API; {page}=0-based index,
+  *                  //    {offset}=page×page_size; stops at the first
+  *                  //    empty page)
   *   "staging_dir": "/work/staging",
   *   "extractor":   {"type": "csv", "delimiter": ","},
   *                  // csv | json | xlsx | xls | geojson | wholefile;
@@ -158,16 +167,32 @@ object LaunchMain {
       s"$ctx: expected a JSON scalar, got ${compact(other)}")
   }
 
-  private def parseSource(j: JValue, ctx: String): JobSource =
-    reqStr(j, "type", s"$ctx.source") match {
-      case "local" => JobSource.LocalFile(reqStr(j, "path", s"$ctx.source"))
-      case "url" => JobSource.Url(reqStr(j, "url", s"$ctx.source"))
+  private def parseSource(j: JValue, ctx: String): JobSource = {
+    val c = s"$ctx.source"
+    reqStr(j, "type", c) match {
+      case "local" => JobSource.LocalFile(reqStr(j, "path", c))
+      case "url" => JobSource.Url(reqStr(j, "url", c))
       case "zip" => JobSource.ZipMember(
-        reqStr(j, "zip", s"$ctx.source"), reqStr(j, "member", s"$ctx.source"))
+        reqStr(j, "zip", c), reqStr(j, "member", c))
+      // fetch through an external CLI (sftp/gsutil/aws argv — the
+      // reference's City-SFTP pattern, etl_util.py:442-469)
+      case "command" =>
+        val argv = parseStrings(j, "argv", c)
+        require(argv.nonEmpty, s"$c: 'argv' must be a non-empty array")
+        JobSource.Custom(new graft.sources.CommandStaging(argv),
+          reqStr(j, "uri", c))
+      // paged API: url_template with {page}/{offset} placeholders; pages
+      // stage as one directory the extractor reads in parallel
+      case "paged" => JobSource.Custom(
+        new graft.sources.PagedHttpStaging(
+          reqStr(j, "url_template", c),
+          optInt(j, "max_pages", 10000, c),
+          optInt(j, "page_size", 1, c)),
+        reqStr(j, "name", c))
       case t => throw new IllegalArgumentException(
-        s"$ctx.source: unknown type '$t' (local|url|zip; SFTP/FTP/GCS need " +
-          "a JobSource.Custom staging, library-only)")
+        s"$c: unknown type '$t' (local|url|zip|command|paged)")
     }
+  }
 
   private def parseExtractor(j: JValue, ctx: String): JobExtractor = {
     val c = s"$ctx.extractor"

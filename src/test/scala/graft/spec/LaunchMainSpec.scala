@@ -290,4 +290,72 @@ class LaunchMainSpec extends SparkSpec {
     assert(gtP.value == FilterDsl.Scalar(3L))
     assert(eqP.value == FilterDsl.Scalar(true))
   }
+
+  test("launch: command source fetches through the declared argv") {
+    val work = tmpDir("launch-cmd")
+    val remote = write(work, "remote.csv", "Id,V\n1,a\n2,b")
+    val jobs = write(work, "jobs.json", s"""
+      [{ "job_code": "cli_fetch",
+         "source": {"type": "command",
+                    "argv": ["/bin/cp", "{uri}", "{dest}"],
+                    "uri": "$remote"},
+         "staging_dir": "$work/staging",
+         "destination": {"type": "lake", "dir": "$work/lake", "n_buckets": 4},
+         "key_fields": ["id"] }]""")
+    // extractor omitted: inferred from the uri's .csv extension
+    assert(LaunchMain.run(spark, Seq(jobs)) == 0)
+    assert(LakeTable.load(spark, s"$work/lake").read().count() == 2)
+  }
+
+  test("launch: paged source renders {page}/{offset} and loads all pages") {
+    graft.TestHttp.withServer(Map(
+        "/rows" -> (() => (200, ""))) ++ Seq(0, 10, 20).zipWithIndex.map {
+          case (off, i) => s"/rows/$off" -> (() =>
+            (200, if (i < 2) s"""{"id": $i, "off": $off}""" else ""))
+        }.toMap) { base =>
+      val work = tmpDir("launch-paged")
+      val jobs = write(work, "jobs.json", s"""
+        [{ "job_code": "paged_api",
+           "source": {"type": "paged",
+                      "url_template": "$base/rows/{offset}",
+                      "page_size": 10,
+                      "name": "rows-feed"},
+           "staging_dir": "$work/staging",
+           "extractor": {"type": "json", "multiline": false},
+           "destination": {"type": "lake", "dir": "$work/lake", "n_buckets": 4},
+           "key_fields": ["id"] }]""")
+      assert(LaunchMain.run(spark, Seq(jobs)) == 0)
+      val got = LakeTable.load(spark, s"$work/lake").read().collect()
+      assert(got.map(_.getAs[Long]("off")).toSet == Set(0L, 10L),
+        "offset must advance by page_size per page and stop at the empty page")
+    }
+  }
+
+  test("launch: paged template without a placeholder is rejected") {
+    val e = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j",
+         "source": {"type": "paged", "url_template": "http://x/fixed",
+                    "name": "f"},
+         "staging_dir": "/s", "extractor": {"type": "json"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "key_fields": ["id"] }]"""))
+    assert(e.getMessage.contains("placeholder"))
+  }
+
+  test("launch: command source without argv or uri is rejected") {
+    val noUri = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j",
+         "source": {"type": "command", "argv": ["cp", "{uri}", "{dest}"]},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "key_fields": ["id"] }]"""))
+    assert(noUri.getMessage.contains("uri"))
+    val noArgv = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j",
+         "source": {"type": "command", "uri": "u"},
+         "staging_dir": "/s", "extractor": {"type": "csv"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "key_fields": ["id"] }]"""))
+    assert(noArgv.getMessage.contains("argv"))
+  }
 }
