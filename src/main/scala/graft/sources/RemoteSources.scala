@@ -30,17 +30,20 @@ final class CommandStaging(command: Seq[String]) extends Staging {
     "CommandStaging argv must reference {dest} (the staged output path)")
 
   def fetch(spark: SparkSession, uri: String, stagingDir: String): String = {
-    val dest = new Path(stagingDir, new Path(uri).getName)
+    // the uri is remote-CLI syntax ('user@host:/path/f.csv', 'gs://…'),
+    // NOT a Hadoop path — `new Path(uri)` would parse 'user@host' as a
+    // URI scheme and throw; take the basename by string split and strip
+    // characters Path can't carry in a child component
+    val base = uri.substring(uri.lastIndexOf('/') + 1)
+      .replaceAll("[:\\\\]", "_")
+    val dest = new Path(stagingDir, if (base.isEmpty) "download" else base)
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dest.getParent)
     val argv = command.map(_.replace("{uri}", uri)
       .replace("{dest}", dest.toUri.getPath))
     val pb = new ProcessBuilder(argv: _*).redirectErrorStream(true)
     val proc = pb.start()
-    val output =
-      try scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-        .mkString
-      finally proc.getInputStream.close()
+    val output = CommandStaging.drainCapped(proc.getInputStream)
     val exit = proc.waitFor()
     if (exit != 0 || !fs.exists(dest)) {
       if (fs.exists(dest)) fs.delete(dest, false) // never keep a partial
@@ -50,6 +53,35 @@ final class CommandStaging(command: Seq[String]) extends Staging {
           (if (output.trim.isEmpty) "" else s"; output:\n${output.trim}"))
     }
     dest.toString
+  }
+}
+
+object CommandStaging {
+  private val CapChars = 64 * 1024
+
+  /** Drain the child's merged output keeping only the LAST 64 KiB — the
+    * output exists to decorate a failure message, and a chatty CLI's
+    * progress stream on a multi-GB transfer must not accumulate on the
+    * driver (the reference streams lines straight to the console,
+    * etl_util.py:456-458). Draining also keeps the child from blocking
+    * on a full pipe. */
+  private def drainCapped(in: java.io.InputStream): String = {
+    val reader = new java.io.InputStreamReader(in, "UTF-8")
+    val sb = new StringBuilder
+    var truncated = false
+    try {
+      val buf = new Array[Char](8192)
+      var n = reader.read(buf)
+      while (n >= 0) {
+        sb.appendAll(buf, 0, n)
+        if (sb.length > CapChars) {
+          sb.delete(0, sb.length - CapChars)
+          truncated = true
+        }
+        n = reader.read(buf)
+      }
+    } finally reader.close()
+    if (truncated) "[… output truncated …]\n" + sb.toString else sb.toString
   }
 }
 
@@ -94,19 +126,38 @@ final class PagedHttpStaging(pageUrl: Int => String, maxPages: Int = 10000)
     fs.mkdirs(dir)
     var i = 0
     var done = false
-    while (!done) {
-      if (i >= maxPages)
-        throw new java.io.IOException(
-          s"pager for $uri exceeded maxPages=$maxPages without an empty " +
-            "page; raise maxPages or fix the feed's end-of-data signal")
-      val page = new Path(dir, f"page-$i%05d")
-      val in = new java.net.URI(pageUrl(i)).toURL.openStream()
-      try BinarySink.streamToFile(in, fs, page, overwrite = true)
-      finally in.close()
-      if (fs.getFileStatus(page).getLen == 0L || isBlank(fs, page)) {
-        fs.delete(page, false)
-        done = true
-      } else i += 1
+    var ok = false
+    try {
+      while (!done) {
+        if (i >= maxPages)
+          throw new java.io.IOException(
+            s"pager for $uri exceeded maxPages=$maxPages without an empty " +
+              "page; raise maxPages or fix the feed's end-of-data signal")
+        val page = new Path(dir, f"page-$i%05d")
+        val in =
+          try new java.net.URI(pageUrl(i)).toURL.openStream()
+          catch {
+            // page 0 failing to open IS "the source is missing" and keeps
+            // its type; a MID-FEED page failure is a truncated fetch and
+            // must not be mistaken for the benign no-file-this-month case
+            // (JobSpec.ignoreIfSourceMissing matches on the exception type)
+            case e: java.io.FileNotFoundException if i > 0 =>
+              throw new java.io.IOException(
+                s"pager for $uri: page $i failed mid-feed (pages 0-${i - 1} " +
+                  "fetched); the feed is NOT complete", e)
+          }
+        try BinarySink.streamToFile(in, fs, page, overwrite = true)
+        finally in.close()
+        if (fs.getFileStatus(page).getLen == 0L || isBlank(fs, page)) {
+          fs.delete(page, false)
+          done = true
+        } else i += 1
+      }
+      ok = true
+    } finally {
+      // a failed fetch must not leave a partial page set that reads as a
+      // complete feed (same never-keep-a-partial contract as HttpStaging)
+      if (!ok) fs.delete(dir, true)
     }
     dir.toString
   }

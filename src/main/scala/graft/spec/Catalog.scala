@@ -26,23 +26,34 @@ object Catalog {
     * match or an error naming the count). The catalog is parsed by the
     * JSON reader (schema inference unions keys across datasets), then the
     * matching entry collapses to a driver-side value — a catalog is
-    * config-sized by construction. */
+    * config-sized by construction. A distribution's URL is its
+    * `accessURL` (the ArcGIS flavor the reference reads) falling back to
+    * `downloadURL` (the plain-DCAT spelling many catalogs use instead). */
   def dataset(spark: SparkSession, dataJsonPath: String,
       title: String): Entry = {
     val hits = spark.read.option("multiLine", "true").json(dataJsonPath)
       .select(explode(col("dataset")).as("d"))
       .filter(col("d.title") === title)
       .select(col("d.title").as("title"),
-        col("d.distribution.title").as("fmts"),
-        col("d.distribution.accessURL").as("urls"))
+        to_json(col("d.distribution")).as("dist"))
       .collect()
     require(hits.length == 1,
       s"${hits.length} datasets found with the title '$title'")
     val row = hits.head
-    def arr(name: String): Seq[String] =
-      Option(row.getAs[scala.collection.Seq[String]](name))
-        .fold(Seq.empty[String])(_.toSeq)
-    Entry(row.getAs[String]("title"), arr("fmts").zip(arr("urls")))
+    import org.json4s._
+    def str(v: JValue, name: String): Option[String] = v \ name match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    val dists = Option(row.getAs[String]("dist")).toSeq.flatMap { s =>
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case JArray(ds) => ds.map(d => (
+          str(d, "title").orNull,
+          str(d, "accessURL").orElse(str(d, "downloadURL")).orNull))
+        case _ => Nil
+      }
+    }
+    Entry(row.getAs[String]("title"), dists)
   }
 
   /** The download URL and filename for one format of a resolved dataset
@@ -59,6 +70,8 @@ object Catalog {
       .getOrElse(throw new IllegalArgumentException(
         s"no distribution of type $format in dataset '${entry.title}' " +
           s"(have: ${entry.distributions.map(_._1).mkString(", ")})"))
+    require(url != null, s"distribution $format of dataset " +
+      s"'${entry.title}' carries no accessURL/downloadURL")
     if (link) return (url, "")
     val parts = url.split('?')
     require(parts.length <= 2, s"too many question marks in the url: $url")
@@ -134,6 +147,32 @@ object Scrape {
   private val Href = java.util.regex.Pattern.compile(
     """(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
 
+  private val Entity = java.util.regex.Pattern.compile(
+    """&(?:(amp|lt|gt|quot|apos)|#(\d+)|#x([0-9a-fA-F]+));""")
+  private val Named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'")
+
+  /** Decode HTML character references in a harvested href — valid HTML
+    * must escape `&` in attribute values as `&amp;`, so a query-string
+    * URL harvested verbatim would send `amp;param` names to the server
+    * (the reference's BeautifulSoup decodes entities for it). */
+  private[spec] def unescape(s: String): String = {
+    if (!s.contains('&')) return s
+    val m = Entity.matcher(s)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val rep =
+        if (m.group(1) != null) Named(m.group(1))
+        else new String(Character.toChars(Integer.parseInt(
+          Option(m.group(2)).getOrElse(m.group(3)),
+          if (m.group(2) != null) 10 else 16)))
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   def nthLink(spark: SparkSession, pageUrl: String, extension: String,
       n: Int, expectedMatches: Option[Int] = None,
       regex: Option[String] = None,
@@ -147,8 +186,8 @@ object Scrape {
       finally in.close()
     val m = Href.matcher(html)
     val hrefs = Iterator.continually(m.find()).takeWhile(identity)
-      .map(_ => Seq(m.group(1), m.group(2), m.group(3))
-        .find(_ != null).getOrElse(""))
+      .map(_ => unescape(Seq(m.group(1), m.group(2), m.group(3))
+        .find(_ != null).getOrElse("")))
       .toList
     // the reference's filter is re.search(f".{extension}$") — one
     // arbitrary char then the extension at end-of-string (the dot is an

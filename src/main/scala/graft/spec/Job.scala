@@ -315,6 +315,18 @@ object JobRunner {
           return JobResult(applied = false,
             Some(s"source missing: ${e.getMessage}"), "", 0L, None)
       }
+    // a paged feed with no rows today stages an EMPTY directory — a valid
+    // zero-row run (the reference pager returns an empty row list), not a
+    // schema-inference crash in the extractor
+    val stagedPath = new Path(staged)
+    val stagedFs = stagedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (stagedFs.getFileStatus(stagedPath).isDirectory &&
+        !stagedFs.listStatus(stagedPath).exists(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_")))
+      return JobResult(applied = false,
+        Some("staged input is empty (the feed returned no pages)"),
+        staged, 0L, None)
     val md5 =
       if (spec.checksumGate) Some(md5OfFile(spark, staged)) else None
     if (md5.isDefined && lastChecksum(spark, spec) == md5) {

@@ -183,12 +183,21 @@ object LaunchMain {
           reqStr(j, "uri", c))
       // paged API: url_template with {page}/{offset} placeholders; pages
       // stage as one directory the extractor reads in parallel
-      case "paged" => JobSource.Custom(
-        new graft.sources.PagedHttpStaging(
-          reqStr(j, "url_template", c),
-          optInt(j, "max_pages", 10000, c),
-          optInt(j, "page_size", 1, c)),
-        reqStr(j, "name", c))
+      case "paged" =>
+        val template = reqStr(j, "url_template", c)
+        // an {offset} template without the real page size would advance
+        // offsets 0,1,2,… — overlapping windows fetching duplicate rows
+        // until the maxPages failure; there is no correct default
+        if (template.contains("{offset}") && get(j, "page_size").isEmpty)
+          throw new IllegalArgumentException(
+            s"$c: an {offset} url_template requires 'page_size' (the " +
+              "number of rows each page advances by)")
+        JobSource.Custom(
+          new graft.sources.PagedHttpStaging(
+            template,
+            optInt(j, "max_pages", 10000, c),
+            optInt(j, "page_size", 1, c)),
+          reqStr(j, "name", c))
       case t => throw new IllegalArgumentException(
         s"$c: unknown type '$t' (local|url|zip|command|paged)")
     }

@@ -219,4 +219,76 @@ class RemoteSourcesSpec extends SparkSpec {
       new CommandStaging(Seq("/bin/cp", "{uri}", "/tmp/fixed"))
     }
   }
+
+  test("CommandStaging handles remote-CLI uris that are not Hadoop paths") {
+    // the class's primary documented shape: 'user@host:/path/f.csv' —
+    // Hadoop Path would parse 'user@host' as a URI scheme and throw
+    val work = tmpDir("cmd-sftp-uri")
+    val staging = new CommandStaging(
+      Seq("/bin/sh", "-c", "echo fetched > \"$1\"", "sh", "{dest}"))
+    val staged = staging.fetch(spark,
+      "pitt@ftp.example.gov:/pitt/dogs.csv", s"$work/staging")
+    assert(staged.endsWith("dogs.csv"))
+    assert(Files.readString(Paths.get(staged)).trim == "fetched")
+    // a slashless uri sanitizes the colon out of the staged name
+    val staged2 = staging.fetch(spark, "host:export.csv", s"$work/staging")
+    assert(staged2.endsWith("host_export.csv"))
+  }
+
+  test("CommandStaging caps captured output in the failure message") {
+    val staging = new CommandStaging(Seq("/bin/sh", "-c",
+      "i=0; while [ $i -lt 4000 ]; do echo progress-line-$i; i=$((i+1)); " +
+        "done; exit 2", "sh", "{dest}"))
+    val e = intercept[java.io.IOException] {
+      staging.fetch(spark, "big.csv", tmpDir("cmd-chatty"))
+    }
+    assert(e.getMessage.contains("exited 2"))
+    assert(e.getMessage.contains("output truncated"),
+      "oversized child output must be capped, not accumulated")
+    assert(e.getMessage.length < 80 * 1024)
+  }
+
+  test("pager mid-feed failure is an IOException and wipes partial pages") {
+    withServer(Map(
+        "/mid/0" -> (() => (200, """{"k": 0}""")),
+        "/mid/1" -> (() => (404, "")))) { base =>
+      val staging = tmpDir("pager-midfail")
+      val pager = new PagedHttpStaging(i => s"$base/mid/$i")
+      val e = intercept[java.io.IOException] {
+        pager.fetch(spark, "feed", staging)
+      }
+      // NOT FileNotFoundException: ignoreIfSourceMissing must not treat a
+      // truncated feed as the benign no-file-this-month case
+      assert(!e.isInstanceOf[java.io.FileNotFoundException])
+      assert(e.getMessage.contains("mid-feed"))
+      assert(!Files.exists(Paths.get(staging, "feed")),
+        "a failed fetch must not leave a partial page set")
+    }
+  }
+
+  test("pager first-page 404 keeps the source-missing exception type") {
+    withServer(Map("/gone/0" -> (() => (404, "")))) { base =>
+      val pager = new PagedHttpStaging(i => s"$base/gone/$i")
+      intercept[java.io.FileNotFoundException] {
+        pager.fetch(spark, "feed", tmpDir("pager-404"))
+      }
+    }
+  }
+
+  test("a feed with zero pages is a graceful zero-row skip, not a crash") {
+    withServer(Map("/none/0" -> (() => (200, "")))) { base =>
+      val work = tmpDir("pager-empty")
+      val spec = JobSpec(
+        jobCode = "empty_feed",
+        source = JobSource.Custom(
+          new PagedHttpStaging(i => s"$base/none/$i"), "feed"),
+        stagingDir = s"$work/staging",
+        extractor = JobExtractor.Json(multiLine = false),
+        destination = JobDestination.Lake(s"$work/lake", nBuckets = 4),
+        keyFields = Seq("id"))
+      val r = JobRunner.run(spark, spec)
+      assert(!r.applied && r.rows == 0)
+      assert(r.skipReason.exists(_.contains("empty")))
+    }
+  }
 }

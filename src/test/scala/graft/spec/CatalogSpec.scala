@@ -124,6 +124,36 @@ class CatalogSpec extends SparkSpec {
       JobDestination.BinaryDir(s"$work/out/housing_files"))
   }
 
+  test("dataset falls back to downloadURL; a URL-less distribution errors") {
+    val work = tmpDir("catalog-dcat")
+    val path = writeFixture(work, "data.json", """{
+      "dataset": [{"title": "Plain DCAT", "distribution": [
+        {"title": "CSV", "downloadURL": "http://x/plain.csv"},
+        {"title": "KML"}]}]
+    }""")
+    val entry = Catalog.dataset(spark, path, "Plain DCAT")
+    // plain-DCAT catalogs spell the URL downloadURL, not accessURL
+    assert(Catalog.dataUrl(entry, "CSV")._1 == "http://x/plain.csv")
+    val e = intercept[IllegalArgumentException](Catalog.dataUrl(entry, "KML"))
+    assert(e.getMessage.contains("carries no accessURL/downloadURL"))
+  }
+
+  test("scraped hrefs decode HTML character references") {
+    // valid HTML escapes & as &amp; in attributes; the harvested URL must
+    // carry the real query-string separators
+    assert(Scrape.unescape("/export?fmt=csv&amp;year=2024.csv")
+      == "/export?fmt=csv&year=2024.csv")
+    assert(Scrape.unescape("/a&#47;b&#x2F;c.csv") == "/a/b/c.csv")
+    assert(Scrape.unescape("/plain.csv") == "/plain.csv")
+    TestHttp.withServer(Map("/l" -> (() =>
+        (200, """<a href="/dl?f=report&amp;ext=pdf&amp;name=x.pdf">x</a>""")))) {
+      base =>
+        val url = Scrape.nthLink(spark, s"$base/l", "pdf", 0,
+          expectedMatches = Some(1), stagingDir = tmpDir("scrape-ent"))
+        assert(url == s"$base/dl?f=report&ext=pdf&name=x.pdf")
+    }
+  }
+
   test("fan-out fails when a standard format is missing from the catalog") {
     val csvOnly = Catalog.Entry("X", Seq("CSV" -> "http://x/d.csv"))
     val e = intercept[IllegalArgumentException](

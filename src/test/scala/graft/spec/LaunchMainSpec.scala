@@ -342,6 +342,20 @@ class LaunchMainSpec extends SparkSpec {
     assert(e.getMessage.contains("placeholder"))
   }
 
+  test("launch: an {offset} template requires an explicit page_size") {
+    // offsets advancing 0,1,2,… would fetch overlapping windows — there
+    // is no correct default page size
+    val e = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
+      [{ "job_code": "j",
+         "source": {"type": "paged",
+                    "url_template": "http://x/rows?offset={offset}",
+                    "name": "f"},
+         "staging_dir": "/s", "extractor": {"type": "json"},
+         "destination": {"type": "lake", "dir": "/d"},
+         "key_fields": ["id"] }]"""))
+    assert(e.getMessage.contains("page_size"))
+  }
+
   test("launch: command source without argv or uri is rejected") {
     val noUri = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
       [{ "job_code": "j",
