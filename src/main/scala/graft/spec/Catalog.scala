@@ -48,7 +48,9 @@ object Catalog {
     val dists = Option(row.getAs[String]("dist")).toSeq.flatMap { s =>
       org.json4s.jackson.JsonMethods.parse(s) match {
         case JArray(ds) => ds.map(d => (
-          str(d, "title").orNull,
+          // plain-DCAT catalogs label the distribution via `format`
+          // rather than ArcGIS's `title` — same fallback rule as the URL
+          str(d, "title").orElse(str(d, "format")).orNull,
           str(d, "accessURL").orElse(str(d, "downloadURL")).orNull))
         case _ => Nil
       }
@@ -94,9 +96,13 @@ object Catalog {
     *
     * Like the reference, every STANDARD format must be present in the
     * catalog entry (a missing distribution raises). The fifth standard
-    * job — the `ckan_link` pointer at the ArcGIS GeoService API — has no
-    * load step: resolve it with `dataUrl(entry, "ArcGIS GeoService",
-    * link = true)` and register it via `LakeTable.linkResource`. */
+    * job — the `ckan_link` pointer at the ArcGIS GeoService API
+    * (arcgis_util.py:184-195) — is emitted for tabular fan-outs as a
+    * [[JobDestination.Link]] on the CSV job's lake table (it runs after
+    * the CSV job creates the table); an artifact-only fan-out has no
+    * table to hang the link on, so it is omitted there — resolve with
+    * `dataUrl(entry, "ArcGIS GeoService", link = true)` and register by
+    * hand if needed. */
   def standardJobSpecs(
       entry: Entry,
       baseJobCode: String,
@@ -130,7 +136,17 @@ object Catalog {
         extractor = JobExtractor.WholeFile,
         destination = JobDestination.BinaryDir(s"$destRoot/${baseJobCode}_files"))
     }
-    csvJob +: artifactJobs
+    val linkJobs =
+      if (!tabular) Nil
+      else Seq(JobSpec(
+        jobCode = s"${baseJobCode}_api",
+        source = JobSource.Url(
+          dataUrl(entry, "ArcGIS GeoService", link = true)._1),
+        stagingDir = stagingDir,
+        extractor = JobExtractor.WholeFile, // unused: Link skips the pipeline
+        destination = JobDestination.Link(s"$destRoot/$baseJobCode",
+          s"${entry.title} (API)")))
+    (csvJob +: artifactJobs) ++ linkJobs
   }
 }
 

@@ -66,6 +66,12 @@ object JobDestination {
   final case class CsvDir(dir: String) extends JobDestination
   /** Raw staged-file copy ([[graft.sources.BinarySink.copyFile]]). */
   final case class BinaryDir(dir: String) extends JobDestination
+  /** Register the job's source URL as a named linked resource on an
+    * EXISTING lake table — nothing is fetched or loaded, only the
+    * catalog entry moves (the reference's `ckan_link` destination
+    * "skipping the pipeline", reference: engine/etl_util.py:673-685). */
+  final case class Link(tableDir: String, resourceName: String)
+    extends JobDestination
 }
 
 /** The declarative job — the Spark twin of the reference's `job_dict`
@@ -305,6 +311,25 @@ object JobRunner {
   def run(spark: SparkSession, spec: JobSpec): JobResult = {
     require(spec.method == "upsert" || spec.method == "insert",
       s"unknown method '${spec.method}' (upsert|insert)")
+    // a Link destination skips the pipeline entirely (reference
+    // etl_util.py:673-685): the source URL IS the payload — register it
+    // on the target table's catalog properties and stop
+    spec.destination match {
+      case JobDestination.Link(dir, name) =>
+        val url = spec.source match {
+          case JobSource.Url(u) => u
+          case JobSource.LocalFile(u) => u
+          case s => throw new IllegalArgumentException(
+            "a Link destination registers the source URL itself and " +
+              s"needs a Url or LocalFile source, got $s")
+        }
+        val table = new LakeTable(spark, dir)
+        require(table.exists,
+          s"Link destination: no lake table at $dir to attach '$name' to")
+        table.linkResource(name, url)
+        return JobResult(applied = true, None, "", 0L, None)
+      case _ => ()
+    }
     val staged =
       try stage(spark, spec)
       catch {
@@ -470,6 +495,9 @@ object JobRunner {
       // BinaryDir for tabular extractors
       throw new IllegalStateException(
         "BinaryDir load without the WholeFile extractor")
+    case JobDestination.Link(_, _) =>
+      // unreachable: run() short-circuits Link before staging
+      throw new IllegalStateException("Link destination reached load()")
   }
 
   /** Run a fleet of jobs with launchpad's selection semantics

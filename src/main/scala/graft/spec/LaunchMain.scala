@@ -59,7 +59,10 @@ import graft.sources.{Extractors, XlsExtractor, XlsxExtractor}
   *                  // always gets wholefile, a known extension maps
   *                  // to its extractor, anything else is an error
   *   "destination": {"type": "lake", "dir": "/lake/dogs", "n_buckets": 32},
-  *                  // lake | csvdir | bindir
+  *                  // lake | csvdir | bindir |
+  *                  // {"type":"link","dir":"/lake/dogs","resource_name":
+  *                  //  "Dogs (API)"} — registers the source URL on an
+  *                  //  existing lake table, loading nothing (ckan_link)
   *   "rows_to_skip": 0,
   *   // "from" names are POST-normalization (csv/xlsx/xls default
   *   // normalize_headers=true: lowercased, spaces/hyphens → _, so a
@@ -252,8 +255,11 @@ object LaunchMain {
         reqStr(j, "dir", c), optInt(j, "n_buckets", 32, c))
       case "csvdir" => JobDestination.CsvDir(reqStr(j, "dir", c))
       case "bindir" => JobDestination.BinaryDir(reqStr(j, "dir", c))
+      // register the source URL on an existing lake table (ckan_link)
+      case "link" => JobDestination.Link(
+        reqStr(j, "dir", c), reqStr(j, "resource_name", c))
       case t => throw new IllegalArgumentException(
-        s"$c: unknown type '$t' (lake|csvdir|bindir)")
+        s"$c: unknown type '$t' (lake|csvdir|bindir|link)")
     }
   }
 
@@ -316,6 +322,11 @@ object LaunchMain {
   private def inferExtractor(source: JobSource, dest: JobDestination,
       ctx: String): JobExtractor = {
     if (dest.isInstanceOf[JobDestination.BinaryDir])
+      return JobExtractor.WholeFile
+    // a Link job never extracts (run() short-circuits before staging);
+    // any placeholder satisfies the spec — an API URL has no extension
+    // to infer from
+    if (dest.isInstanceOf[JobDestination.Link])
       return JobExtractor.WholeFile
     val name = source match {
       case JobSource.LocalFile(uri) => uri
@@ -398,6 +409,9 @@ object LaunchMain {
         case JobDestination.Lake(d, n) => JobDestination.Lake(testDir(d), n)
         case JobDestination.CsvDir(d) => JobDestination.CsvDir(testDir(d))
         case JobDestination.BinaryDir(d) => JobDestination.BinaryDir(testDir(d))
+        // a --test link must attach to the TEST table, not production
+        case JobDestination.Link(d, name) =>
+          JobDestination.Link(testDir(d), name)
       }
     spec.copy(
       destination = dest,

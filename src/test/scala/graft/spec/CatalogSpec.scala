@@ -92,15 +92,21 @@ class CatalogSpec extends SparkSpec {
           Projection.Field("name", "name")),
         keyFields = Seq("objectid"))
       assert(specs.map(_.jobCode) == Seq("housing_csv", "housing_geojson",
-        "housing_kml", "housing_shapefile"))
+        "housing_kml", "housing_shapefile", "housing_api"))
 
       val results = JobRunner.runAll(spark, specs)
       assert(results.forall(_._2.isRight),
         results.collect { case (c, Left(e)) => s"$c: $e" }.mkString("; "))
       // tabular CSV landed in the lake
-      val rows = LakeTable.load(spark, s"$work/out/housing").read().collect()
+      val table = LakeTable.load(spark, s"$work/out/housing")
+      val rows = table.read().collect()
       assert(rows.map(_.getAs[String]("name")).toSet ==
         Set("North Tower", "South Tower"))
+      // the 5th job registered the API link on the table, query string
+      // verbatim (the reference's ckan_link, loading nothing)
+      assert(table.linkedResources ==
+        Map("Public Housing Buildings (API)" ->
+          s"$base/api/FeatureServer/0?f=json"))
       // the geo artifacts landed as whole files
       val files = Files.list(Paths.get(s"$work/out/housing_files"))
         .toArray.map(_.toString)
@@ -122,6 +128,19 @@ class CatalogSpec extends SparkSpec {
     assert(specs.head.extractor == JobExtractor.WholeFile)
     assert(specs.head.destination ==
       JobDestination.BinaryDir(s"$work/out/housing_files"))
+    // no lake table to hang the API link on → no _api job
+    assert(!specs.exists(_.jobCode.endsWith("_api")))
+  }
+
+  test("Link destination requires an existing table; never stages") {
+    val spec = JobSpec(
+      jobCode = "api_link",
+      source = JobSource.Url("http://x/api/FeatureServer/0?f=json"),
+      stagingDir = "/nonexistent/staging", // must never be touched
+      extractor = JobExtractor.WholeFile,
+      destination = JobDestination.Link("/nonexistent/table", "X (API)"))
+    val e = intercept[IllegalArgumentException](JobRunner.run(spark, spec))
+    assert(e.getMessage.contains("no lake table"))
   }
 
   test("dataset falls back to downloadURL; a URL-less distribution errors") {

@@ -356,6 +356,35 @@ class LaunchMainSpec extends SparkSpec {
     assert(e.getMessage.contains("page_size"))
   }
 
+  test("launch: link destination registers the URL on the jobs-file table") {
+    val work = tmpDir("launch-link")
+    val cats = write(work, "cats.csv", "Cat ID,Name\n1,mojo")
+    val jobs = write(work, "jobs.json", s"""
+      [{ "job_code": "cats",
+         "source": {"type": "local", "path": "$cats"},
+         "staging_dir": "$work/staging",
+         "destination": {"type": "lake", "dir": "$work/lake", "n_buckets": 4},
+         "key_fields": ["cat_id"] },
+       { "job_code": "cats_api",
+         "source": {"type": "url", "url": "http://x/api?f=json"},
+         "staging_dir": "$work/staging",
+         "destination": {"type": "link", "dir": "$work/lake",
+                         "resource_name": "Cats (API)"} }]""")
+    assert(LaunchMain.run(spark, Seq(jobs)) == 0)
+    assert(LakeTable.load(spark, s"$work/lake").linkedResources ==
+      Map("Cats (API)" -> "http://x/api?f=json"))
+    // --test suffixes the link's table dir like every other destination
+    val spec = LaunchMain.parseJobs(s"""
+      [{ "job_code": "j", "source": {"type": "url", "url": "http://x/a"},
+         "staging_dir": "/s",
+         "destination": {"type": "link", "dir": "/lake/t",
+                         "resource_name": "n"} }]""").head
+    val tested = LaunchMain.applyFlags(spec, LaunchMain.Options(
+      "f", Nil, test = true, mute = false, wipeData = None,
+      clearFirst = false, ignoreEmptyRows = false))
+    assert(tested.destination == JobDestination.Link("/lake/t_test", "n"))
+  }
+
   test("launch: command source without argv or uri is rejected") {
     val noUri = intercept[IllegalArgumentException](LaunchMain.parseJobs("""
       [{ "job_code": "j",
