@@ -94,15 +94,17 @@ object Catalog {
     *  - GeoJSON / KML / Shapefile → whole-file artifacts (filestore
     *    analog: [[JobDestination.BinaryDir]]).
     *
-    * Like the reference, every STANDARD format must be present in the
-    * catalog entry (a missing distribution raises). The fifth standard
-    * job — the `ckan_link` pointer at the ArcGIS GeoService API
+    * Like the reference, every standard FILE format must be present in
+    * the catalog entry (a missing distribution raises). The fifth
+    * standard job — the `ckan_link` pointer at the ArcGIS GeoService API
     * (arcgis_util.py:184-195) — is emitted for tabular fan-outs as a
     * [[JobDestination.Link]] on the CSV job's lake table (it runs after
-    * the CSV job creates the table); an artifact-only fan-out has no
-    * table to hang the link on, so it is omitted there — resolve with
-    * `dataUrl(entry, "ArcGIS GeoService", link = true)` and register by
-    * hand if needed. */
+    * the CSV job creates the table), and only when the catalog CARRIES a
+    * GeoService distribution: a plain-DCAT catalog has no ArcGIS API,
+    * and its absence must not fail the four file jobs. An artifact-only
+    * fan-out has no table to hang the link on, so it is omitted there
+    * too — resolve with `dataUrl(entry, "ArcGIS GeoService", link =
+    * true)` and register by hand if needed. */
   def standardJobSpecs(
       entry: Entry,
       baseJobCode: String,
@@ -136,12 +138,18 @@ object Catalog {
         extractor = JobExtractor.WholeFile,
         destination = JobDestination.BinaryDir(s"$destRoot/${baseJobCode}_files"))
     }
+    // the API link job only exists where an API does: a plain-DCAT
+    // catalog (no ArcGIS hub) has no GeoService distribution, and its
+    // absence must not take down the four file jobs with it
+    val apiUrl = entry.distributions.collectFirst {
+      case (f, u) if f != null && u != null &&
+        f.equalsIgnoreCase("ArcGIS GeoService") => u
+    }
     val linkJobs =
       if (!tabular) Nil
-      else Seq(JobSpec(
+      else apiUrl.toSeq.map(url => JobSpec(
         jobCode = s"${baseJobCode}_api",
-        source = JobSource.Url(
-          dataUrl(entry, "ArcGIS GeoService", link = true)._1),
+        source = JobSource.Url(url),
         stagingDir = stagingDir,
         extractor = JobExtractor.WholeFile, // unused: Link skips the pipeline
         destination = JobDestination.Link(s"$destRoot/$baseJobCode",

@@ -326,6 +326,13 @@ object JobRunner {
         val table = new LakeTable(spark, dir)
         require(table.exists,
           s"Link destination: no lake table at $dir to attach '$name' to")
+        // idempotence gate, like the checksum gate: a scheduled fleet
+        // re-running an unchanged link must not publish a new snapshot
+        // version (setProperty commits unconditionally) just to set a
+        // property to the value it already has
+        if (table.linkedResources.get(name).contains(url))
+          return JobResult(applied = false,
+            Some(s"link '$name' already registered"), "", 0L, None)
         table.linkResource(name, url)
         return JobResult(applied = true, None, "", 0L, None)
       case _ => ()

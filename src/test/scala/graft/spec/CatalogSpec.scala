@@ -107,6 +107,14 @@ class CatalogSpec extends SparkSpec {
       assert(table.linkedResources ==
         Map("Public Housing Buildings (API)" ->
           s"$base/api/FeatureServer/0?f=json"))
+      // re-running the unchanged link is a SKIP, not a fresh snapshot
+      // version per scheduled run
+      val vBefore = table.snapshot.version
+      val again = JobRunner.run(spark, specs.last)
+      assert(!again.applied &&
+        again.skipReason.exists(_.contains("already registered")))
+      assert(table.snapshot.version == vBefore,
+        "an unchanged link must not publish a new snapshot version")
       // the geo artifacts landed as whole files
       val files = Files.list(Paths.get(s"$work/out/housing_files"))
         .toArray.map(_.toString)
@@ -130,6 +138,18 @@ class CatalogSpec extends SparkSpec {
       JobDestination.BinaryDir(s"$work/out/housing_files"))
     // no lake table to hang the API link on → no _api job
     assert(!specs.exists(_.jobCode.endsWith("_api")))
+  }
+
+  test("a catalog without a GeoService API still fans out the file jobs") {
+    // plain-DCAT catalogs (no ArcGIS hub) have no API distribution; its
+    // absence must not fail the construction of the four file jobs
+    val entry = Catalog.Entry("Plain", Seq(
+      "CSV" -> "http://x/d.csv", "GeoJSON" -> "http://x/d.geojson",
+      "KML" -> "http://x/d.kml", "Shapefile" -> "http://x/d.zip"))
+    val specs = Catalog.standardJobSpecs(entry, "plain", "/tmp/s", "/tmp/o",
+      schema = Seq(Projection.Field("id", "id")), keyFields = Seq("id"))
+    assert(specs.map(_.jobCode) == Seq("plain_csv", "plain_geojson",
+      "plain_kml", "plain_shapefile"))
   }
 
   test("Link destination requires an existing table; never stages") {
