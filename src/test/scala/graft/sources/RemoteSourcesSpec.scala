@@ -220,6 +220,35 @@ class RemoteSourcesSpec extends SparkSpec {
     }
   }
 
+  test("CommandStaging stages a directory fetch (the wildcard-prefix CLI " +
+      "pull) that a job reads as one scan") {
+    // the reference's download_city_directory shells `sftp …/prefix* dir`
+    // (etl_util.py:449-458); here the command stages N files into {dest}
+    // and the extractor reads the whole set in parallel
+    val work = tmpDir("cmd-dir")
+    Files.createDirectories(Paths.get(s"$work/remote"))
+    Files.write(Paths.get(s"$work/remote/a.csv"),
+      "id,v\n1,x\n".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$work/remote/b.csv"),
+      "id,v\n2,y\n".getBytes("UTF-8"))
+    val spec = JobSpec(
+      jobCode = "city_dir",
+      source = JobSource.Custom(new CommandStaging(Seq(
+        "/bin/sh", "-c", """mkdir -p "$2" && cp "$1"/*.csv "$2"""",
+        "sh", "{uri}", "{dest}")), s"$work/remote"),
+      stagingDir = s"$work/staging",
+      extractor = JobExtractor.Csv(),
+      destination = JobDestination.Lake(s"$work/lake", nBuckets = 4),
+      keyFields = Seq("id"))
+    val r = JobRunner.run(spark, spec)
+    assert(r.applied && r.rows == 2)
+    val got = LakeTable.load(spark, s"$work/lake").read().collect()
+    assert(got.map(_.getAs[String]("v")).toSet == Set("x", "y"))
+    // the directory checksum gate covers the staged file SET
+    val r2 = JobRunner.run(spark, spec)
+    assert(!r2.applied && r2.skipReason.exists(_.contains("checksum")))
+  }
+
   test("CommandStaging handles remote-CLI uris that are not Hadoop paths") {
     // the class's primary documented shape: 'user@host:/path/f.csv' —
     // Hadoop Path would parse 'user@host' as a URI scheme and throw
