@@ -177,6 +177,43 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("carries no accessURL/downloadURL"))
   }
 
+  test("unescape inverts HTML attribute escaping on arbitrary URLs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic samples (fixed seed: a failing case must reproduce)
+    def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+      val params = Gen.Parameters.default
+      Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+        (s.next, g.apply(params, s))
+      }.flatMap(_._2).take(n).toSeq
+    }
+    // URL-ish strings biased toward the characters escaping touches
+    val urlish: Gen[String] = Gen.chooseNum(0, 24).flatMap(len =>
+      Gen.listOfN(len, Gen.frequency(
+        3 -> Gen.oneOf('&', '<', '>', '"', '\'', '#', ';'),
+        5 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('/', '?', '=', '.', '-', '_'))).map(_.mkString))
+    // the escaping a correct HTML serializer applies to attribute values
+    def escape(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+    samples(urlish, 400, seed = 20260819L).foreach { s =>
+      assert(Scrape.unescape(escape(s)) == s,
+        s"unescape(escape) must be identity for ${s.map(_.toInt)}")
+    }
+    // numeric references decode to the same characters
+    samples(urlish, 200, seed = 20260820L).foreach { s =>
+      val numeric = s.flatMap(c => s"&#${c.toInt};")
+      assert(Scrape.unescape(numeric) == s)
+      val hex = s.flatMap(c => f"&#x${c.toInt}%x;")
+      assert(Scrape.unescape(hex) == s)
+    }
+  }
+
   test("scraped hrefs decode HTML character references") {
     // valid HTML escapes & as &amp; in attributes; the harvested URL must
     // carry the real query-string separators
