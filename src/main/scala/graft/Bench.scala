@@ -53,6 +53,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", adaptive.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

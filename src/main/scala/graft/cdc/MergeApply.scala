@@ -687,7 +687,8 @@ object MergeApply {
         })
       }.foreach(_.get())
     } finally pool.shutdown()
-    val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, "base")
+    val files = listDataFiles(spark, outDir, snap.currentSchemaVersion,
+      "base", tsCol = eventTimeCol(snap))
       // folds carry ONLY old rows into new files (state-neutral rewrite);
       // fold=true lets arrival windows starting at this commit's parent
       // skip them outright instead of re-upserting the whole bucket
@@ -779,7 +780,8 @@ object MergeApply {
             })
           }.foreach(_.get())
         } finally pool.shutdown()
-        listDataFiles(spark, outDir, snap.currentSchemaVersion, "base")
+        listDataFiles(spark, outDir, snap.currentSchemaVersion, "base",
+          tsCol = eventTimeCol(snap))
       } else {
         // misaligned target: one table-wide bucket exchange
         val folded = foldToNew(table.readRawSnap(snap, None))
@@ -911,7 +913,8 @@ object MergeApply {
       .mode("overwrite")
       .parquet(outDir)
     val tL = System.nanoTime()
-    val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, kind)
+    val files = listDataFiles(spark, outDir, snap.currentSchemaVersion, kind,
+      tsCol = eventTimeCol(snap))
     if (sys.env.contains("GRAFT_MERGE_TIMING"))
       System.err.println(f"[merge-timing]   write ${(tL - tW) / 1e9}%.2f s, list-footers ${(System.nanoTime() - tL) / 1e9}%.2f s")
     files
@@ -923,7 +926,8 @@ object MergeApply {
     * serial driver loop would become the constant term that caps scaling
     * (observed: ~0.3 s/batch serial at 32 buckets). */
   def listDataFiles(spark: SparkSession, outDir: String,
-      schemaVersion: Int, kind: String = "base"): Seq[DataFileEntry] = {
+      schemaVersion: Int, kind: String = "base",
+      tsCol: Option[String] = None): Seq[DataFileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(outDir)
     val fs = root.getFileSystem(conf)
@@ -941,30 +945,58 @@ object MergeApply {
       files.map { case (p, bucket) =>
         pool.submit(new java.util.concurrent.Callable[DataFileEntry] {
           def call(): DataFileEntry = {
-            val (rows, minLsn, maxLsn) = parquetFooterStats(conf, p)
-            DataFileEntry(p.toString, bucket, rows, schemaVersion, kind,
-              minLsn, maxLsn)
+            val s = parquetFooterStats(conf, p, tsCol)
+            DataFileEntry(p.toString, bucket, s.rows, schemaVersion, kind,
+              s.minLsn, s.maxLsn, minTs = s.minTs, maxTs = s.maxTs)
           }
         })
       }.map(_.get())
     } finally pool.shutdown()
   }
 
-  /** Row count + `__lsn` min/max from the parquet footer — metadata only,
-    * no data scan. The LSN range rides the manifest (file-skipping +
-    * per-partition lineage); (-1, -1) when the footer has no usable stats
-    * (e.g. a column written without statistics). */
+  private final case class FooterStats(rows: Long, minLsn: Long,
+      maxLsn: Long, minTs: Option[Long], maxTs: Option[Long])
+
+  /** Row count, `__lsn` min/max, and (when `tsCol` names one) event-time
+    * min/max from the parquet footer — metadata only, no data scan. The
+    * ranges ride the manifest (LSN + event-time file-skipping and the
+    * per-partition lineage breakdown); (-1, -1) / None when the footer
+    * has no usable stats for a column — notably INT96 timestamps, for
+    * which parquet exposes none (graft sessions write
+    * TIMESTAMP_MICROS). Event-time stats normalize to UTC epoch micros
+    * whatever unit the file was written in. */
   private def parquetFooterStats(conf: org.apache.hadoop.conf.Configuration,
-      p: Path): (Long, Long, Long) = {
+      p: Path, tsCol: Option[String]): FooterStats = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       var minL = Long.MaxValue
       var maxL = Long.MinValue
       var ok = true
+      var minT = Long.MaxValue
+      var maxT = Long.MinValue
+      // a file may hold zero rows of the ts column only if it holds zero
+      // blocks; any block missing usable ts stats poisons the whole file
+      var tsOk = tsCol.isDefined
+      // resolve the unit scale BEFORE touching the stats values: INT96
+      // stats (when present at all) are Binary, and the Number cast below
+      // must never see them — INT96 carries no timestamp annotation, so
+      // it stops here
+      def microScale(ann: LogicalTypeAnnotation): Option[Long => Long] =
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(v => v)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(_ * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS => Some(_ / 1000L)
+            }
+          case _ => None // INT96 or a non-timestamp physical layout
+        }
       r.getFooter.getBlocks.forEach { block =>
         block.getColumns.forEach { c =>
-          if (c.getPath.toDotString == "__lsn") {
+          val name = c.getPath.toDotString
+          if (name == "__lsn") {
             val st: org.apache.parquet.column.statistics.Statistics[_] =
               c.getStatistics
             if (st == null || st.isEmpty) ok = false
@@ -972,11 +1004,27 @@ object MergeApply {
               minL = math.min(minL, st.genericGetMin.asInstanceOf[Number].longValue())
               maxL = math.max(maxL, st.genericGetMax.asInstanceOf[Number].longValue())
             }
+          } else if (tsCol.contains(name)) {
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) tsOk = false
+            else microScale(c.getPrimitiveType.getLogicalTypeAnnotation) match {
+              case Some(scale) =>
+                minT = math.min(minT,
+                  scale(st.genericGetMin.asInstanceOf[Number].longValue()))
+                maxT = math.max(maxT,
+                  scale(st.genericGetMax.asInstanceOf[Number].longValue()))
+              case None => tsOk = false
+            }
           }
         }
       }
-      if (!ok || minL == Long.MaxValue) (r.getRecordCount, -1L, -1L)
-      else (r.getRecordCount, minL, maxL)
+      val (lsnLo, lsnHi) =
+        if (!ok || minL == Long.MaxValue) (-1L, -1L) else (minL, maxL)
+      val (tsLo, tsHi) =
+        if (!tsOk || minT == Long.MaxValue) (None, None)
+        else (Some(minT), Some(maxT))
+      FooterStats(r.getRecordCount, lsnLo, lsnHi, tsLo, tsHi)
     } finally r.close()
   }
 

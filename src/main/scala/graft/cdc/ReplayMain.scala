@@ -30,6 +30,7 @@ object ReplayMain {
       // skew from bucket->partition hash collisions
       .config("spark.sql.shuffle.partitions", (cores * 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -70,7 +70,22 @@ final case class DataFileEntry(
       * "ignore replace snapshots" rule for incremental reads. A fold
       * DEEPER inside a window may carry arrivals folded from commits
       * within the window, so it stays (full-content candidacy). */
-    fold: Boolean = false)
+    fold: Boolean = false,
+    /** Event-time range of the file's rows — UTC epoch MICROS of the
+      * table's event-time column (the `watermark.column` property, else a
+      * timestamp-typed `ts`), pulled from the parquet footer at
+      * registration like [[minLsn]]/[[maxLsn]]. This is the second
+      * zone-map: time-window reads ([[LakeTable.incrementalTail]]) skip
+      * files from the manifest alone, so a "last 7 days" pull over a
+      * table holding years of history reads the tail, not the table.
+      * `None` (absent in the JSON) when the footer carries no usable
+      * stats — files written before this field existed, or written as
+      * INT96 (parquet exposes no INT96 stats; sessions must set
+      * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, which
+      * every graft session builder does) — and such files are kept
+      * conservatively by every time-pruned read. */
+    minTs: Option[Long] = None,
+    maxTs: Option[Long] = None)
 
 /** A pointer to one immutable manifest file (a JSON list of
   * [[DataFileEntry]]) plus the bucket-replacement it performs. The live
@@ -889,15 +904,27 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       case Some(bs) => (f: DataFileEntry) => bs.contains(f.bucket)
       case None => (_: DataFileEntry) => true
     }
+    resolveMor(snap, snap.files.filter(inScope))
+  }
+
+  /** MoR resolution over an EXPLICIT file subset — the shared engine under
+    * [[resolveBuckets]] and the zone-map-pruned reads. PRECONDITION: for
+    * every delta-bearing bucket present in `files`, the subset must hold
+    * ALL of that bucket's files (LWW picks the max-__lsn version per key;
+    * resolving over a partial version set would crown the wrong winner).
+    * [[resolveBuckets]] satisfies it by taking whole buckets;
+    * [[LakeTable.tsCandidates]] by construction. Base-only buckets stream
+    * straight from the scan with NO exchange. */
+  private def resolveMor(snap: Snapshot,
+      files: Seq[DataFileEntry]): DataFrame = {
     val deltaBuckets =
-      snap.files.filter(f => f.kind == "delta" && inScope(f)).map(_.bucket).toSet
-    if (deltaBuckets.isEmpty) readRawSnap(snap, restrict)
+      files.filter(_.kind == "delta").map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) readFiles(snap, files)
     else {
-      val hot = lwwResolve(readRawSnap(snap, Some(deltaBuckets)), snap.nBuckets)
-      val coldBuckets =
-        snap.files.filter(inScope).map(_.bucket).toSet -- deltaBuckets
-      if (coldBuckets.isEmpty) hot
-      else hot.unionByName(readRawSnap(snap, Some(coldBuckets)))
+      val (hotF, coldF) = files.partition(f => deltaBuckets.contains(f.bucket))
+      val hot = lwwResolve(readFiles(snap, hotF), snap.nBuckets)
+      if (coldF.isEmpty) hot
+      else hot.unionByName(readFiles(snap, coldF))
     }
   }
 
@@ -1143,13 +1170,44 @@ class LakeTable(val spark: SparkSession, val dir: String) {
   def watermarkColumn: Option[String] =
     snapshot.properties.get(graft.spec.TimeField.WatermarkColumn)
 
-  /** Time-gap incremental pull over the registered time column: rows from
-    * the last `days` days relative to the table's own max. Fails fast if
-    * the table declared no `watermark.column`. */
+  /** Time-gap incremental pull over the registered time column: live rows
+    * from the last `days` days relative to the table's event-time
+    * high-water mark. Fails fast if the table declared no
+    * `watermark.column`.
+    *
+    * The window anchor is the max event time across the snapshot's
+    * RETAINED rows (tombstones and not-yet-compacted superseded versions
+    * included — the feed's high-water mark, not the surviving rows'),
+    * read from the manifest's footer-derived ts ranges with NO data scan;
+    * only files missing stats (pre-zone-map manifests, INT96 sessions)
+    * are scanned for their max. File selection then prunes from the
+    * manifest alone ([[LakeTable.tsCandidates]]): a "last 7 days" pull
+    * over a table holding years of history reads the tail, not the
+    * table — the Iceberg stats-in-manifest skip applied to event time.
+    * A non-timestamp registered column falls back to the unpruned
+    * full-read window (no stats exist for it). */
   def incrementalTail(days: Int): DataFrame = {
     val c = watermarkColumn.getOrElse(throw new IllegalArgumentException(
       s"table $dir has no '${graft.spec.TimeField.WatermarkColumn}' property"))
-    graft.spec.TimeField.timeGap(read(), c, days)
+    val snap = snapshot
+    val tsTyped = snap.userSchema.fields.exists(f =>
+      f.name == c && f.dataType == org.apache.spark.sql.types.TimestampType)
+    if (!tsTyped)
+      return graft.spec.TimeField.timeGap(
+        liveRows(snap, resolveMor(snap, snap.files)), c, days)
+    val unstatted = snap.files.filter(_.maxTs.isEmpty)
+    val scannedMax: Option[Long] =
+      if (unstatted.isEmpty) None
+      else Option(readFiles(snap, unstatted)
+        .agg(max(unix_micros(col(c)))).head().get(0)).map(_.asInstanceOf[Long])
+    (snap.files.flatMap(_.maxTs) ++ scannedMax).maxOption match {
+      case None => // empty table (or every retained ts is null)
+        liveRows(snap, resolveMor(snap, Nil))
+      case Some(anchor) =>
+        val cutoff = anchor - days.toLong * 86400000000L
+        liveRows(snap, resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoff)))
+          .filter(col(c) > timestamp_micros(lit(cutoff)))
+    }
   }
 
   def lineage: Seq[LineageEntry] = snapshot.lineage
@@ -1463,6 +1521,37 @@ object LakeTable {
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  /** Zone-map pruning for a time-window read: the subset of `files` that
+    * can contribute a LIVE row with event time STRICTLY ABOVE
+    * `cutoffMicros`, chosen from manifest stats alone. Three sound rules,
+    * per hash-bucket:
+    *
+    *  - a bucket where EVERY file has stats and none exceeds the cutoff
+    *    is skipped whole: every version of every key in it — deltas
+    *    included — sits at or below the cutoff, so each key's LWW winner
+    *    fails the window filter no matter which version wins;
+    *  - a kept bucket that carries DELTA files keeps ALL its files: LWW
+    *    picks the max-__lsn version per key, and event time is NOT
+    *    aligned with LSN (a newer-LSN version may carry an older ts), so
+    *    dropping any version could crown the wrong winner;
+    *  - a kept base-only bucket prunes per FILE: base files hold exactly
+    *    one version per key within the bucket, so a dropped row has no
+    *    other version to interact with — it could only ever fail the
+    *    filter itself.
+    *
+    * A file without stats (`maxTs == None`) is kept conservatively and
+    * counts as "may exceed" for the whole-bucket rule. Pure manifest
+    * metadata — safe to call on the driver at any table size. */
+  def tsCandidates(files: Seq[DataFileEntry],
+      cutoffMicros: Long): Seq[DataFileEntry] = {
+    def mayHold(f: DataFileEntry) = f.maxTs.forall(_ > cutoffMicros)
+    files.groupBy(_.bucket).valuesIterator.flatMap { bf =>
+      if (!bf.exists(mayHold)) Nil
+      else if (bf.exists(_.kind == "delta")) bf
+      else bf.filter(mayHold)
+    }.toSeq
   }
 
   def load(spark: SparkSession, dir: String): LakeTable = new LakeTable(spark, dir)

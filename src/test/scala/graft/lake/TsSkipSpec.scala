@@ -1,0 +1,178 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.{MergeApply, MergeConfig}
+import graft.model.Schemas
+
+/** Event-time zone maps: per-file ts min/max in the manifest (parquet
+  * footer stats, like the LSN ranges) and the file-skipping time-window
+  * read built on them ([[LakeTable.tsCandidates]],
+  * [[LakeTable.incrementalTail]]). */
+class TsSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 12) =
+    Timestamp.valueOf(f"2026-01-$day%02d $hour%02d:00:00")
+  private def micros(t: Timestamp) = t.getTime * 1000L
+
+  private def ev(lsn: Long, op: String, conv: String, turn: Int, t: Timestamp) =
+    (lsn, op, conv, turn, "user", s"text-$lsn", null: String, t)
+  private def batch(rows: (Long, String, String, Int, String, String, String, Timestamp)*) =
+    rows.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  private def entry(bucket: Int, kind: String, maxTs: Option[Long],
+      path: String = "f") =
+    DataFileEntry(path, bucket, 1L, 0, kind, maxTs = maxTs,
+      minTs = maxTs.map(_ - 1))
+
+  test("merge registers footer-derived event-time ranges in the manifest") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-stats"),
+      Schemas.transcript, 4)
+    MergeApply.merge(t, batch(
+      ev(1, "I", "a", 0, ts(1)), ev(2, "I", "b", 0, ts(10)),
+      ev(3, "I", "c", 0, ts(25))), 0L)
+    val files = t.snapshot.files
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.minTs.isDefined && f.maxTs.isDefined),
+      s"every file statted: $files")
+    // global envelope matches the data exactly (UTC epoch micros)
+    assert(files.flatMap(_.minTs).min == micros(ts(1)))
+    assert(files.flatMap(_.maxTs).max == micros(ts(25)))
+    assert(files.forall(f => f.minTs.get <= f.maxTs.get))
+  }
+
+  test("tsCandidates: the three pruning rules and the stats-less fallback") {
+    val cut = 1000L
+    // base-only bucket: per-file pruning, STRICTLY-above boundary
+    val b0 = Seq(entry(0, "base", Some(1000L), "at-cut"), // == cutoff: out
+      entry(0, "base", Some(1001L), "above"), // > cutoff: kept
+      entry(0, "base", Some(999L), "below")) // out
+    // delta-bearing bucket with one file above: keep ALL files (LWW)
+    val b1 = Seq(entry(1, "base", Some(10L), "stale-base"),
+      entry(1, "delta", Some(2000L), "hot-delta"),
+      entry(1, "delta", Some(5L), "stale-delta"))
+    // fully-stale bucket, deltas included: skipped whole
+    val b2 = Seq(entry(2, "base", Some(900L)), entry(2, "delta", Some(800L)))
+    // a stats-less file keeps itself AND (may-exceed) its bucket
+    val b3 = Seq(entry(3, "base", None, "unstatted"),
+      entry(3, "base", Some(1L), "stale"))
+    val got = LakeTable.tsCandidates(b0 ++ b1 ++ b2 ++ b3, cut)
+    assert(got.filter(_.bucket == 0).map(_.path) == Seq("above"))
+    assert(got.filter(_.bucket == 1).toSet == b1.toSet)
+    assert(!got.exists(_.bucket == 2))
+    // base-only bucket with an unstatted member still prunes the statted
+    // stale file; the unstatted one is kept conservatively
+    assert(got.filter(_.bucket == 3).map(_.path) == Seq("unstatted"))
+  }
+
+  /** First conv id with the given prefix hashing to `bucket` of 4 — the
+    * pruning assertion below needs KNOWN bucket placement. */
+  private def convIn(bucket: Int, tag: String): String =
+    Iterator.from(0).map(i => s"$tag$i")
+      .find(s => LakeTable.bucketOf(s, 4) == bucket).get
+
+  test("incrementalTail prunes files and matches the unpruned window") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-tail"),
+      Schemas.transcript, 4,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    // old epochs land one conv in EVERY bucket; the recent epoch touches
+    // only bucket 0 — buckets 1-3 then hold exclusively stale files
+    val recent = convIn(0, "w3-")
+    MergeApply.merge(t, batch(
+      ev(1, "I", convIn(0, "w1-"), 0, ts(1)),
+      ev(2, "I", convIn(1, "w1-"), 0, ts(2)),
+      ev(3, "I", convIn(2, "w1-"), 0, ts(2)),
+      ev(4, "I", convIn(3, "w1-"), 0, ts(3))), 0L)
+    MergeApply.merge(t, batch(
+      ev(5, "I", convIn(1, "w2-"), 0, ts(12)),
+      ev(6, "I", convIn(2, "w2-"), 0, ts(13))), 1L)
+    MergeApply.merge(t, batch(ev(7, "I", recent, 0, ts(25))), 2L)
+    val tail = t.incrementalTail(7)
+    assert(tail.select("conv_id").as[String].collect().toSet == Set(recent))
+    // the same window computed the unpruned way agrees
+    val legacy = graft.spec.TimeField.timeGap(t.read(), "ts", 7)
+    assert(tail.select("conv_id").as[String].collect().toSet ==
+      legacy.select("conv_id").as[String].collect().toSet)
+    // and pruning actually engaged: buckets 1-3 are all-stale, so the
+    // candidate set is a strict subset of the manifest
+    val cutoff = micros(ts(25)) - 7L * 86400000000L
+    val cands = LakeTable.tsCandidates(t.snapshot.files, cutoff)
+    assert(cands.size < t.snapshot.files.size,
+      s"expected pruning: ${cands.size} of ${t.snapshot.files.size}")
+    assert(cands.forall(_.bucket == 0), s"only bucket 0 survives: $cands")
+  }
+
+  test("LWW trap: event time is not aligned with LSN; tail stays exact") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-lww"),
+      Schemas.transcript, 2,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    // K1: winner (higher LSN) carries the OLD ts -> out of the window
+    // even though its bucket holds a recent-looking delta file
+    MergeApply.merge(t, batch(
+      ev(1, "I", "K1", 0, ts(25)), ev(2, "I", "K2", 0, ts(25)),
+      ev(3, "I", "K3", 0, ts(1)), ev(4, "I", "K4", 0, ts(20))), 0L)
+    MergeApply.merge(t, batch(
+      ev(5, "U", "K1", 0, ts(1)), // K1's winner: old ts
+      ev(6, "U", "K3", 0, ts(24))), 1L) // K3's winner: new ts
+    MergeApply.merge(t, batch(
+      ev(7, "D", "K4", 0, ts(26))), 2L) // tombstone carries the max ts
+    // anchor = max RETAINED event time = the tombstone's Jan 26;
+    // window (Jan 19, Jan 26]: K2 (25) and K3 (24) in; K1's winner is
+    // Jan 1 (out), K4 is deleted (out)
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("K2", "K3"))
+    // full correctness cross-check: pruned plan == brute filter on read()
+    val brute = t.read()
+      .filter(col("ts") > lit(ts(26)) - expr("INTERVAL 7 DAYS"))
+      .select("conv_id").as[String].collect().toSet
+    assert(brute == Set("K2", "K3"))
+  }
+
+  test("compaction refreshes event-time stats on folded base files") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-compact"),
+      Schemas.transcript, 2)
+    val cfg = MergeConfig(maxDeltaFilesPerBucket = 2)
+    (0 to 4).foreach { i =>
+      MergeApply.merge(t, batch(
+        ev(i * 2 + 1, "I", s"c$i", 0, ts(i + 1)),
+        ev(i * 2 + 2, "I", s"d$i", 0, ts(i + 2))), i.toLong, cfg)
+    }
+    // compaction ran (delta cap 2) and every surviving file is statted
+    assert(t.snapshot.files.forall(f => f.minTs.isDefined && f.maxTs.isDefined),
+      s"post-compaction stats: ${t.snapshot.files}")
+    assert(t.snapshot.files.flatMap(_.maxTs).max == micros(ts(6)))
+  }
+
+  test("INT96 files carry no stats and every read stays conservative") {
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    val t = LakeTable.createTable(spark, tmpDir("ts-int96"),
+      Schemas.transcript, 2,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      MergeApply.merge(t, batch(
+        ev(1, "I", "old", 0, ts(1)), ev(2, "I", "new", 0, ts(25))), 0L)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert(t.snapshot.files.forall(f => f.minTs.isEmpty && f.maxTs.isEmpty))
+    // anchor falls back to scanning the unstatted files; result is exact
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("new"))
+    // a statted epoch on top mixes fine with the unstatted history
+    MergeApply.merge(t, batch(ev(3, "I", "newer", 0, ts(26))), 1L)
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("new", "newer"))
+  }
+
+  test("an empty table yields an empty tail with the user schema") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-empty"),
+      Schemas.transcript, 2,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    val tail = t.incrementalTail(7)
+    assert(tail.columns.toSeq == Schemas.transcript.fieldNames.toSeq)
+    assert(tail.count() == 0)
+  }
+}
