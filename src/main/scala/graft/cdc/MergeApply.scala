@@ -513,7 +513,8 @@ object MergeApply {
         // rows — the batch's share per bucket is what lineage records
         partitions = stats.map(r => BucketLineage(r.getInt(0),
           r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket),
-        inputChecksum = checksum)
+        inputChecksum = checksum,
+        watermarkCol = tsCol.getOrElse(""))
       val (eid, txn) = epochArgs(cfg, epochId)
       val c = table.commit(snap, newFiles, buckets, eid, Some(entry), txn = txn)
       Right(MergeResult(applied = true, c.version, batchRows,
@@ -605,7 +606,8 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L, lateEvents = late, minLsn = minLsn,
       // delta files hold exactly this batch, so the manifest entries ARE
       // the per-partition applied rows + LSN ranges (footer stats)
-      partitions = partitionsOf(deltaFiles), inputChecksum = checksum)
+      partitions = partitionsOf(deltaFiles), inputChecksum = checksum,
+      watermarkCol = tsCol.getOrElse(""))
     val (eid, txn) = epochArgs(cfg, epochId)
     val committed = table.commit(snap, deltaFiles, Set.empty, eid,
       Some(entry), txn = txn)
@@ -946,8 +948,13 @@ object MergeApply {
         pool.submit(new java.util.concurrent.Callable[DataFileEntry] {
           def call(): DataFileEntry = {
             val s = parquetFooterStats(conf, p, tsCol)
+            // tsCol rides the entry even when the footer gave no ranges
+            // (INT96): it names the column any stats describe AND marks
+            // the file's era as covered by the snapshot's event-time
+            // high-water mark (see DataFileEntry.tsCol)
             DataFileEntry(p.toString, bucket, s.rows, schemaVersion, kind,
-              s.minLsn, s.maxLsn, minTs = s.minTs, maxTs = s.maxTs)
+              s.minLsn, s.maxLsn, minTs = s.minTs, maxTs = s.maxTs,
+              tsCol = tsCol)
           }
         })
       }.map(_.get())
@@ -1007,7 +1014,14 @@ object MergeApply {
           } else if (tsCol.contains(name)) {
             val st: org.apache.parquet.column.statistics.Statistics[_] =
               c.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) tsOk = false
+            // all-null block (numNulls set, no values): contributes no
+            // bounds, and its rows can never pass a ts window filter —
+            // skip it rather than poison the whole file's stats. A
+            // genuinely stat-less block (isEmpty: nothing recorded at
+            // all) still poisons: its values are unknown, and partial
+            // bounds would under-cover them (rows silently pruned).
+            if (st == null || st.isEmpty) tsOk = false
+            else if (!st.hasNonNullValue) ()
             else microScale(c.getPrimitiveType.getLogicalTypeAnnotation) match {
               case Some(scale) =>
                 minT = math.min(minT,

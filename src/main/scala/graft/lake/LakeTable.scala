@@ -85,7 +85,18 @@ final case class DataFileEntry(
       * every graft session builder does) — and such files are kept
       * conservatively by every time-pruned read. */
     minTs: Option[Long] = None,
-    maxTs: Option[Long] = None)
+    maxTs: Option[Long] = None,
+    /** The column [[minTs]]/[[maxTs]] describe — recorded so the ranges
+      * can never be misread after `watermark.column` is repointed
+      * ([[LakeTable.setProperty]] / TableMain `set-property`): a reader
+      * pruning on a column other than this one treats the file as
+      * stats-less (kept conservatively, scanned for the anchor). Set
+      * whenever the writing commit tracked an event-time column, even
+      * when the footer yielded no ranges (INT96): presence marks the
+      * file's batch as covered by the snapshot's
+      * [[LakeTable.TsHwmProp]] high-water mark. `None` on pre-zone-map
+      * manifests. */
+    tsCol: Option[String] = None)
 
 /** A pointer to one immutable manifest file (a JSON list of
   * [[DataFileEntry]]) plus the bucket-replacement it performs. The live
@@ -154,7 +165,13 @@ final case class LineageEntry(
       * pipeline.py:338-341): a batch whose fingerprint equals the most
       * recent one is skipped with a 0-row commit, so identical bytes
       * re-landing under a new feed file name are never re-applied. */
-    inputChecksum: String = "")
+    inputChecksum: String = "",
+    /** The event-time column [[watermarkTs]] was computed from ("" when
+      * no watermark was computed). Lets [[LakeTable.commit]] advance the
+      * table's monotone event-time high-water mark
+      * ([[LakeTable.TsHwmProp]]) under the right column without
+      * re-deriving it from a possibly-rebased base. */
+    watermarkCol: String = "")
 
 /** An immutable snapshot of the table: schema history, manifest list,
   * committed-epoch watermark (exactly-once guard) and recent lineage.
@@ -737,11 +754,33 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         (wm, recent)
     }
 
+    // event-time high-water mark: the max watermarkTs any lineage-bearing
+    // commit ever recorded, per column. Monotone (lexicographic max —
+    // TsFmt is fixed-width), so compaction folding away a superseded
+    // max-ts version cannot move incrementalTail's window anchor; restarts
+    // on a column repoint; dropped by truncate (the mark describes data
+    // the table no longer claims).
+    val properties = {
+      val p0 =
+        if (liveFiles.isEmpty && base.files.nonEmpty)
+          base.properties - LakeTable.TsHwmColProp - LakeTable.TsHwmProp
+        else base.properties
+      lineage.filter(e => e.watermarkTs.nonEmpty && e.watermarkCol.nonEmpty)
+        .fold(p0) { e =>
+          val prev = p0.get(LakeTable.TsHwmProp)
+            .filter(_ => p0.get(LakeTable.TsHwmColProp).contains(e.watermarkCol))
+          p0 + (LakeTable.TsHwmColProp -> e.watermarkCol) +
+            (LakeTable.TsHwmProp ->
+              prev.filter(_ > e.watermarkTs).getOrElse(e.watermarkTs))
+        }
+    }
+
     val snap = base.copy(
       version = v,
       nBuckets = newNBuckets.getOrElse(base.nBuckets),
       manifests = manifests,
       files = liveFiles,
+      properties = properties,
       epochWatermark = newWm,
       recentEpochs = newRecent,
       txns = {
@@ -1175,12 +1214,18 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * high-water mark. Fails fast if the table declared no
     * `watermark.column`.
     *
-    * The window anchor is the max event time across the snapshot's
-    * RETAINED rows (tombstones and not-yet-compacted superseded versions
-    * included — the feed's high-water mark, not the surviving rows'),
-    * read from the manifest's footer-derived ts ranges with NO data scan;
-    * only files missing stats (pre-zone-map manifests, INT96 sessions)
-    * are scanned for their max. File selection then prunes from the
+    * The window anchor is the FEED's event-time high-water mark: the
+    * max of the snapshot's [[LakeTable.TsHwmProp]] property (monotone,
+    * advanced by every merge commit — so the anchor does NOT move when
+    * compaction folds away a superseded max-ts version) and the
+    * manifest's footer-derived ts ranges, with NO data scan; only files
+    * that neither carry stats for `c` nor are high-water-mark-covered
+    * (pre-zone-map manifests) pay a bounded plan-time scan for their
+    * max. A table with nothing to prune on (no statted file, no mark)
+    * keeps the fully-lazy pre-zone-map plan instead — no eager job. An
+    * underestimated anchor (INT96 appends, double column repoints) only
+    * ever WIDENS the window (the filter has no upper bound): rows are
+    * never lost to anchor drift. File selection then prunes from the
     * manifest alone ([[LakeTable.tsCandidates]]): a "last 7 days" pull
     * over a table holding years of history reads the tail, not the
     * table — the Iceberg stats-in-manifest skip applied to event time.
@@ -1192,22 +1237,48 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val snap = snapshot
     val tsTyped = snap.userSchema.fields.exists(f =>
       f.name == c && f.dataType == org.apache.spark.sql.types.TimestampType)
-    if (!tsTyped)
-      return graft.spec.TimeField.timeGap(
-        liveRows(snap, resolveMor(snap, snap.files)), c, days)
-    val unstatted = snap.files.filter(_.maxTs.isEmpty)
+    def lazyWindow = graft.spec.TimeField.timeGap(
+      liveRows(snap, resolveMor(snap, snap.files)), c, days)
+    if (!tsTyped) return lazyWindow
+    // stats registered for another column (watermark.column repointed
+    // since) are as good as absent — never misread them for c
+    def statted(f: DataFileEntry) = f.tsCol.contains(c) && f.maxTs.isDefined
+    val hwm: Option[Long] =
+      if (!snap.properties.get(LakeTable.TsHwmColProp).contains(c)) None
+      else snap.properties.get(LakeTable.TsHwmProp).map(parseTsFmtMicros)
+    if (hwm.isEmpty && !snap.files.exists(statted) && snap.files.nonEmpty)
+      return lazyWindow // nothing to prune on: don't pay an eager anchor scan
+    // files whose batch max reached neither the footer stats nor the
+    // high-water mark (tsCol records the covered-by-mark era)
+    val needScan = snap.files.filter(f =>
+      !statted(f) && !(f.tsCol.contains(c) && hwm.isDefined))
     val scannedMax: Option[Long] =
-      if (unstatted.isEmpty) None
-      else Option(readFiles(snap, unstatted)
+      if (needScan.isEmpty) None
+      else Option(readFiles(snap, needScan)
         .agg(max(unix_micros(col(c)))).head().get(0)).map(_.asInstanceOf[Long])
-    (snap.files.flatMap(_.maxTs) ++ scannedMax).maxOption match {
+    (snap.files.filter(statted).flatMap(_.maxTs) ++ hwm ++ scannedMax)
+      .maxOption match {
       case None => // empty table (or every retained ts is null)
         liveRows(snap, resolveMor(snap, Nil))
       case Some(anchor) =>
         val cutoff = anchor - days.toLong * 86400000000L
-        liveRows(snap, resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoff)))
+        liveRows(snap,
+          resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoff, c)))
           .filter(col(c) > timestamp_micros(lit(cutoff)))
     }
+  }
+
+  /** Driver-side inverse of MergeApply's `date_format(_, TsFmt)`: parse
+    * the fixed-width watermark string back to epoch micros in the
+    * SESSION timezone — the same zone `date_format` rendered it in, so
+    * the round-trip is exact (the contract the late-event cast already
+    * rides; graft sessions pin UTC). */
+  private def parseTsFmtMicros(s: String): Long = {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val i = java.time.LocalDateTime.parse(s,
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .atZone(zone).toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
   def lineage: Seq[LineageEntry] = snapshot.lineage
@@ -1308,7 +1379,11 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         files = Nil,
         currentSchemaVersion = v,
         schemas = base.schemas + (v.toString -> schema.json),
-        columnDocs = keptDocs)
+        columnDocs = keptDocs,
+        // the event-time high-water mark describes departed data (and
+        // possibly a departed column) — drop it like truncate does
+        properties =
+          base.properties - LakeTable.TsHwmColProp - LakeTable.TsHwmProp)
     }, applied = b => b.files.isEmpty && b.manifests.isEmpty &&
       b.userSchema == schema)
 
@@ -1481,7 +1556,21 @@ object LakeTable {
     StructField("partitions", ArrayType(StructType(Seq(
       StructField("bucket", IntegerType), StructField("rows", LongType),
       StructField("minLsn", LongType), StructField("maxLsn", LongType))))),
-    StructField("inputChecksum", StringType)))
+    StructField("inputChecksum", StringType),
+    StructField("watermarkCol", StringType)))
+
+  /** Table-property pair holding the event-time high-water mark: the max
+    * `watermarkTs` any lineage-bearing commit recorded (MergeApply's
+    * fixed-width TsFmt — lexicographic max is chronological), and the
+    * column it was computed from. Monotone per column, so it survives
+    * compaction folding away a superseded max-ts version —
+    * [[LakeTable.incrementalTail]]'s window anchor stays put when
+    * background compaction runs (state-neutrality extends to the
+    * time-window read). Restarted when `watermark.column` is repointed;
+    * dropped by truncate/replaceSchema. Maintained inside [[commit]],
+    * never set by hand. */
+  val TsHwmColProp = "graft.stats.ts.column"
+  val TsHwmProp = "graft.stats.ts.highWater"
 
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),
@@ -1541,12 +1630,16 @@ object LakeTable {
     *    other version to interact with — it could only ever fail the
     *    filter itself.
     *
-    * A file without stats (`maxTs == None`) is kept conservatively and
-    * counts as "may exceed" for the whole-bucket rule. Pure manifest
-    * metadata — safe to call on the driver at any table size. */
+    * A file without stats (`maxTs == None`) — or whose stats were
+    * registered for a DIFFERENT column than `col` (`watermark.column`
+    * was repointed since; ranges of one column say nothing about
+    * another) — is kept conservatively and counts as "may exceed" for
+    * the whole-bucket rule. Pure manifest metadata — safe to call on
+    * the driver at any table size. */
   def tsCandidates(files: Seq[DataFileEntry],
-      cutoffMicros: Long): Seq[DataFileEntry] = {
-    def mayHold(f: DataFileEntry) = f.maxTs.forall(_ > cutoffMicros)
+      cutoffMicros: Long, col: String): Seq[DataFileEntry] = {
+    def mayHold(f: DataFileEntry) =
+      !(f.tsCol.contains(col) && f.maxTs.exists(_ <= cutoffMicros))
     files.groupBy(_.bucket).valuesIterator.flatMap { bf =>
       if (!bf.exists(mayHold)) Nil
       else if (bf.exists(_.kind == "delta")) bf

@@ -25,9 +25,9 @@ class TsSkipSpec extends SparkSpec {
     rows.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
 
   private def entry(bucket: Int, kind: String, maxTs: Option[Long],
-      path: String = "f") =
+      path: String = "f", col: String = "ts") =
     DataFileEntry(path, bucket, 1L, 0, kind, maxTs = maxTs,
-      minTs = maxTs.map(_ - 1))
+      minTs = maxTs.map(_ - 1), tsCol = Some(col))
 
   test("merge registers footer-derived event-time ranges in the manifest") {
     val t = LakeTable.createTable(spark, tmpDir("ts-stats"),
@@ -60,13 +60,17 @@ class TsSkipSpec extends SparkSpec {
     // a stats-less file keeps itself AND (may-exceed) its bucket
     val b3 = Seq(entry(3, "base", None, "unstatted"),
       entry(3, "base", Some(1L), "stale"))
-    val got = LakeTable.tsCandidates(b0 ++ b1 ++ b2 ++ b3, cut)
+    // stats registered for ANOTHER column (watermark.column repointed
+    // since) are as good as absent: kept, never misread for ts
+    val b4 = Seq(entry(4, "base", Some(1L), "alien-col", col = "updated_at"))
+    val got = LakeTable.tsCandidates(b0 ++ b1 ++ b2 ++ b3 ++ b4, cut, "ts")
     assert(got.filter(_.bucket == 0).map(_.path) == Seq("above"))
     assert(got.filter(_.bucket == 1).toSet == b1.toSet)
     assert(!got.exists(_.bucket == 2))
     // base-only bucket with an unstatted member still prunes the statted
     // stale file; the unstatted one is kept conservatively
     assert(got.filter(_.bucket == 3).map(_.path) == Seq("unstatted"))
+    assert(got.filter(_.bucket == 4).map(_.path) == Seq("alien-col"))
   }
 
   /** First conv id with the given prefix hashing to `bucket` of 4 — the
@@ -100,7 +104,7 @@ class TsSkipSpec extends SparkSpec {
     // and pruning actually engaged: buckets 1-3 are all-stale, so the
     // candidate set is a strict subset of the manifest
     val cutoff = micros(ts(25)) - 7L * 86400000000L
-    val cands = LakeTable.tsCandidates(t.snapshot.files, cutoff)
+    val cands = LakeTable.tsCandidates(t.snapshot.files, cutoff, "ts")
     assert(cands.size < t.snapshot.files.size,
       s"expected pruning: ${cands.size} of ${t.snapshot.files.size}")
     assert(cands.forall(_.bucket == 0), s"only bucket 0 survives: $cands")
@@ -158,13 +162,155 @@ class TsSkipSpec extends SparkSpec {
         ev(1, "I", "old", 0, ts(1)), ev(2, "I", "new", 0, ts(25))), 0L)
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     assert(t.snapshot.files.forall(f => f.minTs.isEmpty && f.maxTs.isEmpty))
-    // anchor falls back to scanning the unstatted files; result is exact
+    // footer gave no ranges, but the entries still name the tracked
+    // column: the batch fed the snapshot's high-water mark, which now
+    // anchors the window with no scan; result is exact
+    assert(t.snapshot.files.forall(_.tsCol.contains("ts")))
+    assert(t.snapshot.properties.get(LakeTable.TsHwmColProp).contains("ts"))
     assert(t.incrementalTail(7).select("conv_id").as[String].collect()
       .toSet == Set("new"))
     // a statted epoch on top mixes fine with the unstatted history
     MergeApply.merge(t, batch(ev(3, "I", "newer", 0, ts(26))), 1L)
     assert(t.incrementalTail(7).select("conv_id").as[String].collect()
       .toSet == Set("new", "newer"))
+  }
+
+  test("compaction does not move the window anchor (high-water mark)") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-hwm"),
+      Schemas.transcript, 1,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    val cfg = MergeConfig(maxDeltaFilesPerBucket = 2)
+    MergeApply.merge(t, batch(
+      ev(1, "I", "K1", 0, ts(25)), // the feed max — superseded below
+      ev(2, "I", "K3", 0, ts(15)),
+      ev(3, "I", "K2", 0, ts(20))), 0L, cfg)
+    MergeApply.merge(t, batch(
+      ev(4, "U", "K1", 0, ts(1))), 1L, cfg) // K1's winner: old ts
+    // anchor = feed high-water Jan 25; window (Jan 18, ∞): K2 only
+    assert(t.snapshot.properties(LakeTable.TsHwmProp)
+      .startsWith("2026-01-25"))
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("K2"))
+    // third delta tips the bucket over the cap: compaction folds away
+    // K1's superseded Jan-25 version — the retained max drops to Jan 20,
+    // but the monotone mark holds the anchor at Jan 25, so K3 (Jan 15)
+    // and K4 (Jan 17) do NOT suddenly appear in the "same" window
+    MergeApply.merge(t, batch(ev(5, "I", "K4", 0, ts(17))), 2L, cfg)
+    assert(t.snapshot.files.forall(_.kind == "base"), "compaction ran")
+    assert(t.snapshot.files.flatMap(_.maxTs).max == micros(ts(20)))
+    assert(t.snapshot.properties(LakeTable.TsHwmProp)
+      .startsWith("2026-01-25"))
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("K2"))
+  }
+
+  test("truncate drops the high-water mark; the next feed re-anchors") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-hwm-wipe"),
+      Schemas.transcript, 2,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    MergeApply.merge(t, batch(ev(1, "I", "a", 0, ts(25))), 0L)
+    assert(t.snapshot.properties.contains(LakeTable.TsHwmProp))
+    t.truncate()
+    assert(!t.snapshot.properties.contains(LakeTable.TsHwmProp))
+    assert(!t.snapshot.properties.contains(LakeTable.TsHwmColProp))
+    // a reload with OLDER event times anchors on ITS max, not the
+    // departed feed's
+    MergeApply.merge(t, batch(
+      ev(2, "I", "b", 0, ts(10)), ev(3, "I", "c", 0, ts(2))), 1L)
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("b"))
+  }
+
+  private val twoTs = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("conv_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("turn_idx",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("seen_at",
+      org.apache.spark.sql.types.TimestampType)))
+
+  test("repointing watermark.column never misreads the old column's stats") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-repoint"), twoTs, 2)
+    // no watermark.column: stats register under the ts fallback.
+    // A: recent ts / old seen_at; B: old ts / recent seen_at
+    MergeApply.merge(t, Seq(
+      (1L, "I", "A", 0, ts(25), ts(1)),
+      (2L, "I", "B", 0, ts(1), ts(25)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "ts", "seen_at"), 0L)
+    assert(t.snapshot.files.forall(_.tsCol.contains("ts")))
+    t.setProperty(graft.spec.TimeField.WatermarkColumn, "seen_at")
+    // a seen_at window must return B — ts-registered ranges (which say
+    // the opposite) are invalidated by the recorded column, and the
+    // mark (registered under ts) is ignored too
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("B"))
+    // the next merge re-registers stats and the mark under seen_at
+    MergeApply.merge(t, Seq((3L, "I", "C", 0, ts(2), ts(26)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "ts", "seen_at"), 1L)
+    assert(t.snapshot.properties.get(LakeTable.TsHwmColProp)
+      .contains("seen_at"))
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("B", "C"))
+  }
+
+  test("pre-zone-map manifests (no stats, no mark) use the lazy window") {
+    // a schema with no `ts` column and no watermark.column at merge time
+    // registers NO event-time stats and NO high-water mark — exactly a
+    // pre-zone-map manifest. Setting the property afterwards must give
+    // an exact (unpruned, lazily-anchored) window, not an eager scan of
+    // nothing.
+    val noTs = org.apache.spark.sql.types.StructType(
+      twoTs.fields.filterNot(_.name == "ts"))
+    val t = LakeTable.createTable(spark, tmpDir("ts-prezone"), noTs, 2)
+    MergeApply.merge(t, Seq(
+      (1L, "I", "old", 0, ts(1)), (2L, "I", "new", 0, ts(25)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "seen_at"), 0L)
+    assert(t.snapshot.files.forall(_.tsCol.isEmpty))
+    assert(!t.snapshot.properties.contains(LakeTable.TsHwmProp))
+    t.setProperty(graft.spec.TimeField.WatermarkColumn, "seen_at")
+    assert(t.incrementalTail(7).select("conv_id").as[String].collect()
+      .toSet == Set("new"))
+  }
+
+  test("an all-null event-time row group does not poison the file's stats") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = tmpDir("ts-nullblock")
+    val f = new org.apache.hadoop.fs.Path(s"$dir/__bucket=0/part-0.parquet")
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required int64 __lsn; optional int64 ts (TIMESTAMP(MICROS,true)); }")
+    val conf = spark.sessionState.newHadoopConf()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(f).withConf(conf).withType(schema)
+      .withRowGroupSize(1024L).withPageSize(512) // force several row groups
+      .build()
+    val base = micros(ts(20))
+    val fac = new SimpleGroupFactory(schema)
+    try {
+      // the leading groups hold ONLY null ts; the trailing ones carry values
+      (1 to 400).foreach { i =>
+        w.write(fac.newGroup().append("__lsn", i.toLong)) }
+      (401 to 800).foreach { i =>
+        w.write(fac.newGroup().append("__lsn", i.toLong)
+          .append("ts", base + i)) }
+    } finally w.close()
+    // precondition: the layout really has an all-null leading group
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+    val blocks = try {
+      r.getFooter.getBlocks.size -> !r.getFooter.getBlocks.get(0)
+        .getColumns.get(1).getStatistics.hasNonNullValue
+    } finally r.close()
+    assert(blocks._1 >= 2 && blocks._2,
+      s"expected a leading all-null row group, got $blocks")
+    val entries = MergeApply.listDataFiles(spark, dir, 0, "base", Some("ts"))
+    assert(entries.size == 1)
+    assert(entries.head.maxTs.contains(base + 800),
+      s"valued blocks must still bound the file: ${entries.head}")
+    assert(entries.head.minTs.contains(base + 401))
   }
 
   test("an empty table yields an empty tail with the user schema") {
