@@ -21,6 +21,11 @@ import graft.cdc.{MergeApply, MergeConfig}
   *                                 (the full log lives in `_lineage`)
   *  - `schema`                     user schema as DDL + column docs
   *  - `show [n] [--at <version>]`  sample rows, optionally time-traveled
+  *  - `tail <days> [n]`            sample rows from the last `days` days
+  *                                 of event time ([[LakeTable
+  *                                 .incrementalTail]] — file-skipping via
+  *                                 the manifest's zone maps; needs the
+  *                                 `watermark.column` property)
   *  - `compact [b1,b2,…|all]`      fold MoR deltas into base files
   *                                 (default: exactly the delta-bearing
   *                                 buckets — the no-op-safe invocation)
@@ -49,7 +54,7 @@ object TableMain {
     if (args.length < 2) {
       System.err.println(
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
-          "history schema show compact rebucket vacuum vacuum-orphans " +
+          "history schema show tail compact rebucket vacuum vacuum-orphans " +
           "recover set-property")
       return 1
     }
@@ -117,6 +122,13 @@ object TableMain {
             }
           val n = posArgs.headOption.map(_.toInt).getOrElse(20)
           table.read(asOf = asOf).limit(n).collect()
+            .foreach(r => out(r.toString))
+          0
+        case "tail" =>
+          require(rest.nonEmpty, "tail needs the window size in days")
+          val days = rest.head.toInt
+          val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
+          table.incrementalTail(days).limit(n).collect()
             .foreach(r => out(r.toString))
           0
         case "compact" =>

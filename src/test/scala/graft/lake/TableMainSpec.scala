@@ -55,6 +55,25 @@ class TableMainSpec extends SparkSpec {
     assert(t.snapshot.version == v0, "read commands must not commit")
   }
 
+  test("tail windows on event time via the manifest zone maps") {
+    val dir = tmpDir("tm-tail")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 2,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    MergeApply.merge(t, Seq(
+      (1L, "I", "old", 0, "user", "t1", null: String, ts(1)),
+      (2L, "I", "new", 0, "user", "t2", null: String, ts(25)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      0L)
+    val (code, rows) = cli(dir, "tail", "7")
+    assert(code == 0 && rows.size == 1 && rows.head.contains("new"))
+    assert(cli(dir, "tail")._1 == 1, "missing days is a usage error")
+    // no watermark.column: a clean execution error, not a stack trace
+    val t2dir = tmpDir("tm-tail-nowm")
+    LakeTable.createTable(spark, t2dir, Schemas.transcript, 2)
+    assert(cli(t2dir, "tail", "7")._1 == 1)
+  }
+
   test("compact defaults to exactly the delta-bearing buckets") {
     val dir = tmpDir("tm-compact")
     val t = morTable(dir)

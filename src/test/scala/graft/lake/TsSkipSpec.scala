@@ -313,6 +313,41 @@ class TsSkipSpec extends SparkSpec {
     assert(entries.head.minTs.contains(base + 401))
   }
 
+  test("the mark is the running max since the last wipe or repoint") {
+    // property-style: a random interleaving of watermark-bearing commits
+    // (under two columns), mark-less commits, and truncates — after every
+    // step the property pair equals the fold the scaladoc promises
+    val t = LakeTable.createTable(spark, tmpDir("ts-hwm-prop"),
+      Schemas.transcript, 2)
+    val rnd = new scala.util.Random(7)
+    var exp: Option[(String, String)] = None // (column, running max)
+    (1 to 60).foreach { i =>
+      rnd.nextInt(10) match {
+        case 0 =>
+          t.truncate()
+          exp = None
+        case n =>
+          val colName = if (n == 1) "other" else "ts"
+          val w = f"2026-01-${1 + rnd.nextInt(28)}%02d 00:00:00.000000"
+          val e = LineageEntry(-1L, 0L, 0L, 0L, Nil, 0, 0, -1L,
+            if (n == 2) "" else w, 0L, // n==2: a mark-less commit (no-op)
+            watermarkCol = colName)
+          t.commit(t.snapshot, Seq(DataFileEntry(s"f-$i", 0, 1L, 0)),
+            Set.empty, None, Some(e))
+          if (n != 2) exp = exp match {
+            case Some((c, m)) if c == colName =>
+              Some((c, if (m > w) m else w))
+            case _ => Some((colName, w)) // repoint restarts the mark
+          }
+      }
+      val got = for {
+        c <- t.snapshot.properties.get(LakeTable.TsHwmColProp)
+        m <- t.snapshot.properties.get(LakeTable.TsHwmProp)
+      } yield (c, m)
+      assert(got == exp, s"step $i")
+    }
+  }
+
   test("an empty table yields an empty tail with the user schema") {
     val t = LakeTable.createTable(spark, tmpDir("ts-empty"),
       Schemas.transcript, 2,
