@@ -163,6 +163,27 @@ object MergeApply {
       .orElse(Some("ts").filter(tsTyped))
   }
 
+  /** Apply the table's opt-in bloom indexing
+    * ([[graft.lake.LakeTable.BloomColumnsProp]]) to a FILE-GROUP-REWRITE
+    * writer (compaction / rebucket base files — never the per-epoch
+    * delta/COW hot path, which must stay lean). Adaptive sizing: parquet
+    * builds candidate blooms and keeps the one matching the file's
+    * actual NDV, so small buckets don't pay a fixed-size filter.
+    * Unknown/dropped column names are ignored (schema evolution may
+    * remove a bloomed column; the property need not be re-edited). */
+  private def withBloom(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      snap: Snapshot)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val cols = snap.properties
+      .get(graft.lake.LakeTable.BloomColumnsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim)
+      .filter(snap.userSchema.fieldNames.contains)
+    if (cols.isEmpty) w
+    else cols.foldLeft(w.option("parquet.bloom.filter.adaptive.enabled",
+      "true"))((w2, c) => w2.option(s"parquet.bloom.filter.enabled#$c", "true"))
+  }
+
   /** Lineage watermark string format. Rendered by `date_format` INSIDE
     * the job — i.e. in the SESSION timezone — so the next epoch's
     * `cast(TimestampType)` (also session-tz) round-trips to the same
@@ -683,8 +704,8 @@ object MergeApply {
             val preRows = fs.map(_.rows).sum // upper bound on folded rows
             val nFiles = math.max(1L,
               (preRows + cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
-            folded.repartition(nFiles)
-              .write.mode("overwrite").parquet(s"$outDir/__bucket=$b")
+            withBloom(folded.repartition(nFiles).write, snap)
+              .mode("overwrite").parquet(s"$outDir/__bucket=$b")
           }
         })
       }.foreach(_.get())
@@ -767,7 +788,7 @@ object MergeApply {
                 // dirs (exclusively this job's — the fan-out sets are
                 // disjoint across old buckets) to the shared root
                 val tmp = new org.apache.hadoop.fs.Path(s"$outDir/stage-$b")
-                foldToNew(readGroup(group)).write
+                withBloom(foldToNew(readGroup(group)).write, snap)
                   .partitionBy("__bucket").mode("overwrite")
                   .parquet(tmp.toString)
                 hfs.listStatus(tmp)

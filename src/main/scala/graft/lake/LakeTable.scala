@@ -1572,6 +1572,20 @@ object LakeTable {
   val TsHwmColProp = "graft.stats.ts.column"
   val TsHwmProp = "graft.stats.ts.highWater"
 
+  /** Table property: comma-separated user columns to bloom-index in
+    * parquet at file-group-rewrite time (compaction / rebucket — NOT the
+    * per-epoch delta/COW writes, which stay lean; the Delta/Iceberg
+    * opt-in shape). Point lookups on a hash-distributed key
+    * ([[LakeTable.readConv]]) prune to one bucket from the manifest, but
+    * min/max row-group stats are useless INSIDE the bucket (a hash key
+    * spans the full string range in every file) — a bloom filter is the
+    * only stat that skips row groups for key equality, and parquet
+    * applies it during row-group filtering on read
+    * (`parquet.filter.bloom.enabled`, default true). Set e.g.
+    * `graft.bloom.columns=conv_id`; blooms materialize as compaction
+    * rewrites files. */
+  val BloomColumnsProp = "graft.bloom.columns"
+
   def metaFields: Seq[StructField] = Seq(
     StructField("__lsn", LongType, nullable = false),
     StructField("__op", StringType, nullable = false))
