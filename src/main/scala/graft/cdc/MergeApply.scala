@@ -175,10 +175,13 @@ object MergeApply {
       w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
       snap: Snapshot)
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    // resolve case-insensitively (Spark SQL's default) but emit the
+    // SCHEMA's spelling — the parquet column path is case-sensitive
     val cols = snap.properties
       .get(graft.lake.LakeTable.BloomColumnsProp).toSeq
-      .flatMap(_.split(",")).map(_.trim)
-      .filter(snap.userSchema.fieldNames.contains)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => snap.userSchema.fieldNames.find(_.equalsIgnoreCase(c)))
+      .distinct
     if (cols.isEmpty) w
     else cols.foldLeft(w.option("parquet.bloom.filter.adaptive.enabled",
       "true"))((w2, c) => w2.option(s"parquet.bloom.filter.enabled#$c", "true"))
@@ -811,8 +814,11 @@ object MergeApply {
         val totalRows = snap.files.map(_.rows).sum
         val salt = math.max(1L, (totalRows / math.max(1, newN) +
           cfg.maxRowsPerFile - 1) / cfg.maxRowsPerFile).toInt
-        // __bucket here lives in the NEW space — size partitions by newN
-        writeBuckets(table, folded, salt, snap, targetBuckets = newN)
+        // __bucket here lives in the NEW space — size partitions by newN;
+        // these are base-file rewrites, so the bloom opt-in applies here
+        // exactly like the aligned path
+        writeBuckets(table, folded, salt, snap, targetBuckets = newN,
+          bloom = true)
       }
 
     val stamped = newFiles.map(_.copy(rewrite = true, fold = true))
@@ -915,7 +921,11 @@ object MergeApply {
     * entries (rows per file read from parquet footers — metadata only). */
   private def writeBuckets(table: LakeTable, df: DataFrame, salt: Int,
       snap: Snapshot, prePartitioned: Boolean = false,
-      kind: String = "base", targetBuckets: Int = -1): Seq[DataFileEntry] = {
+      kind: String = "base", targetBuckets: Int = -1,
+      /** Apply the table's opt-in bloom indexing — set ONLY by
+        * file-group-rewrite callers (misaligned rebucket); the per-epoch
+        * delta/COW paths leave it false to stay lean. */
+      bloom: Boolean = false): Seq[DataFileEntry] = {
     val spark = table.spark
     val outDir = s"${table.dir}/data/commit-${snap.version + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
     // EXPLICIT partition counts everywhere: a count-less repartition gets
@@ -931,7 +941,7 @@ object MergeApply {
       else df.repartition(nB * salt, col("__bucket"),
         pmod(hash(col("turn_idx")), lit(salt)))
     val tW = System.nanoTime()
-    writeDf.write
+    (if (bloom) withBloom(writeDf.write, snap) else writeDf.write)
       .partitionBy("__bucket")
       .mode("overwrite")
       .parquet(outDir)

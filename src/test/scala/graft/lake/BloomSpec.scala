@@ -36,6 +36,15 @@ class BloomSpec extends SparkSpec {
     finally r.close()
   }
 
+  /** Non-vacuous positive assertion: the file has ≥1 row group holding
+    * `col` AND every one carries a bloom (an empty offset list — column
+    * path mismatch, zero row groups — must FAIL, not pass trivially). */
+  private def assertBloomed(path: String, col: String): Unit = {
+    val offs = bloomOffsets(path, col)
+    assert(offs.nonEmpty && offs.forall(_ >= 0),
+      s"expected a $col bloom in every row group of $path, offsets=$offs")
+  }
+
   test("compaction bloom-indexes exactly the opted-in key column") {
     val t = LakeTable.createTable(spark, tmpDir("bloom-on"),
       Schemas.transcript, 2,
@@ -50,10 +59,10 @@ class BloomSpec extends SparkSpec {
     val base = t.snapshot.files
     assert(base.nonEmpty && base.forall(_.kind == "base"))
     base.foreach { f =>
-      assert(bloomOffsets(f.path, "conv_id").forall(_ >= 0),
-        s"compacted file carries a conv_id bloom: $f")
-      assert(bloomOffsets(f.path, "text").forall(_ < 0),
-        s"non-opted column stays bloom-free: $f")
+      assertBloomed(f.path, "conv_id")
+      val text = bloomOffsets(f.path, "text")
+      assert(text.nonEmpty && text.forall(_ < 0),
+        s"non-opted column stays bloom-free: $f, offsets=$text")
     }
     // lookups over the bloomed files stay exact — present and absent keys
     assert(t.readConv("K1").select("text").as[String].collect()
@@ -66,22 +75,37 @@ class BloomSpec extends SparkSpec {
       Schemas.transcript, 2)
     MergeApply.merge(t, batch((1, "I", "K1", 0), (2, "I", "K2", 0)), 0L)
     MergeApply.compactBuckets(t, t.snapshot.files.map(_.bucket).toSet)
+    assert(t.snapshot.files.nonEmpty)
     t.snapshot.files.foreach { f =>
-      assert(bloomOffsets(f.path, "conv_id").forall(_ < 0), s"$f") }
+      val offs = bloomOffsets(f.path, "conv_id")
+      assert(offs.nonEmpty && offs.forall(_ < 0), s"$f, offsets=$offs") }
   }
 
   test("rebucket carries the bloom index into the new layout") {
+    // the property value is deliberately mis-cased: resolution follows
+    // Spark SQL's case-insensitive default, emitting the schema spelling
     val t = LakeTable.createTable(spark, tmpDir("bloom-rebucket"),
       Schemas.transcript, 2,
-      properties = Map(LakeTable.BloomColumnsProp -> "conv_id"))
+      properties = Map(LakeTable.BloomColumnsProp -> "CONV_ID"))
     MergeApply.merge(t, batch((1, "I", "K1", 0), (2, "I", "K2", 0),
       (3, "I", "K3", 0), (4, "I", "K4", 0)), 0L)
     MergeApply.rebucket(t, 4, MergeConfig())
     assert(t.snapshot.nBuckets == 4)
-    val files = t.snapshot.files
-    assert(files.nonEmpty)
-    files.foreach { f =>
-      assert(bloomOffsets(f.path, "conv_id").forall(_ >= 0), s"$f") }
+    assert(t.snapshot.files.nonEmpty)
+    t.snapshot.files.foreach(f => assertBloomed(f.path, "conv_id"))
     assert(t.readConv("K4").count() == 1)
+  }
+
+  test("the misaligned rebucket path blooms its base files too") {
+    val t = LakeTable.createTable(spark, tmpDir("bloom-rebucket-mis"),
+      Schemas.transcript, 2,
+      properties = Map(LakeTable.BloomColumnsProp -> "conv_id"))
+    MergeApply.merge(t, batch((1, "I", "K1", 0), (2, "I", "K2", 0),
+      (3, "I", "K3", 0), (4, "I", "K4", 0)), 0L)
+    MergeApply.rebucket(t, 3, MergeConfig()) // 3 % 2 != 0: exchange path
+    assert(t.snapshot.nBuckets == 3)
+    assert(t.snapshot.files.nonEmpty)
+    t.snapshot.files.foreach(f => assertBloomed(f.path, "conv_id"))
+    assert(t.readConv("K3").count() == 1)
   }
 }
