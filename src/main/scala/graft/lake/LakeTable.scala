@@ -1298,6 +1298,79 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     spark.read.schema(LakeTable.lineageSchema)
       .json(new Path(tablePath, "_lineage").toString)
 
+  /** Integrity audit — the lakehouse `fsck`: cross-checks the CURRENT
+    * snapshot's manifest against the data actually on disk,
+    * metadata-only except each live file's parquet FOOTER (no data
+    * scan; footer reads run on a bounded thread pool like commit's
+    * stat registration, so a millions-of-files table audits in
+    * O(files/pool) wall time with O(problems) driver memory). Returns
+    * one line per problem, empty when clean. Checks:
+    *
+    *  - structural: duplicate manifest entries, bucket ids outside the
+    *    layout, unknown schema versions, inverted stat ranges;
+    *  - disk: every live file exists, its footer parses, and its row
+    *    count matches the manifest (a mismatch is a torn write or
+    *    corruption — reads would silently return wrong data);
+    *  - audit log: every in-snapshot lineage row has its `_lineage`
+    *    mirror file (the mirror's append-only-and-complete contract).
+    *
+    * Read-only by design: fsck never repairs ([[recover]] /
+    * [[vacuumOrphans]] are the repair verbs — an audit that mutates
+    * destroys the evidence it found). */
+  def fsck(): Seq[String] = {
+    val snap = snapshot
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    snap.files.groupBy(_.path).filter(_._2.sizeIs > 1).keysIterator
+      .foreach(p => problems += s"duplicate manifest entry: $p")
+    snap.files.filter(f => f.bucket < 0 || f.bucket >= snap.nBuckets)
+      .foreach(f => problems +=
+        s"bucket ${f.bucket} outside layout [0,${snap.nBuckets}): ${f.path}")
+    snap.files.filterNot(f => snap.schemas.contains(f.schemaVersion.toString))
+      .foreach(f => problems +=
+        s"unknown schema version ${f.schemaVersion}: ${f.path}")
+    snap.files
+      .filter(f => f.minLsn >= 0 && f.maxLsn >= 0 && f.minLsn > f.maxLsn)
+      .foreach(f => problems += s"inverted __lsn range: ${f.path}")
+    snap.files.filter(f =>
+        (for { a <- f.minTs; b <- f.maxTs } yield a > b).contains(true))
+      .foreach(f => problems += s"inverted event-time range: ${f.path}")
+    if (snap.files.nonEmpty) {
+      val conf = spark.sessionState.newHadoopConf()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, snap.files.size))
+      try {
+        problems ++= snap.files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
+              val p = new Path(f.path)
+              if (!p.getFileSystem(conf).exists(p))
+                Some(s"missing data file: ${f.path}")
+              else try {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(p, conf))
+                val rows = try r.getRecordCount finally r.close()
+                if (rows != f.rows) Some("row-count mismatch (manifest " +
+                  s"${f.rows}, footer $rows): ${f.path}")
+                else None
+              } catch {
+                case e if scala.util.control.NonFatal(e) =>
+                  Some(s"unreadable footer (${e.getMessage}): ${f.path}")
+              }
+            }
+          })
+        }.flatMap(_.get())
+      } finally pool.shutdown()
+    }
+    snap.lineage.foreach { e =>
+      val p = new Path(new Path(tablePath, "_lineage"),
+        f"v${e.version}%012d.json")
+      if (!fs.exists(p))
+        problems += s"lineage mirror row missing for v${e.version}"
+    }
+    problems.toSeq
+  }
+
   /** Set one table property in a metadata-only commit. */
   def setProperty(key: String, value: String): Snapshot =
     publishMeta(base => base.copy(version = base.version + 1,

@@ -43,6 +43,11 @@ import graft.cdc.{MergeApply, MergeConfig}
   *                                 than the grace window
   *  - `set-property <key> <value>` snapshot property (e.g.
   *                                 `watermark.column`)
+  *  - `fsck`                       integrity audit: manifest vs disk
+  *                                 (file existence, footer row counts,
+  *                                 stat sanity, lineage-mirror
+  *                                 completeness). Read-only; exit 1
+  *                                 with one line per problem.
   *
   * Exit code 0 on success, 1 on a usage or execution error. */
 object TableMain {
@@ -55,7 +60,7 @@ object TableMain {
       System.err.println(
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
           "history schema show tail compact rebucket vacuum vacuum-orphans " +
-          "recover set-property")
+          "recover set-property fsck")
       return 1
     }
     val dir = args.head
@@ -179,6 +184,15 @@ object TableMain {
           val s2 = table.setProperty(rest(0), rest(1))
           out(s"[table] ${rest(0)}=${rest(1)} -> v${s2.version}")
           0
+        case "fsck" =>
+          val problems = table.fsck()
+          if (problems.isEmpty) {
+            out(s"[table] OK — ${table.snapshot.files.size} file(s) clean")
+            0
+          } else {
+            problems.foreach(p => out(s"[table] PROBLEM: $p"))
+            1
+          }
         case other =>
           System.err.println(s"[table] unknown command '$other'")
           1

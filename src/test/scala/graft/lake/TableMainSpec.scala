@@ -74,6 +74,29 @@ class TableMainSpec extends SparkSpec {
     assert(cli(t2dir, "tail", "7")._1 == 1)
   }
 
+  test("fsck is clean on a healthy table and reports tampering") {
+    val dir = tmpDir("tm-fsck")
+    val t = morTable(dir)
+    val (c1, clean) = cli(dir, "fsck")
+    assert(c1 == 0 && clean.head.contains("OK"), clean)
+
+    val conf = spark.sessionState.newHadoopConf()
+    // delete one data file behind the table's back
+    val victim = new org.apache.hadoop.fs.Path(t.snapshot.files.head.path)
+    victim.getFileSystem(conf).delete(victim, false)
+    // and one lineage mirror row
+    val mirrorV = t.snapshot.lineage.head.version
+    val mirrorPath = new org.apache.hadoop.fs.Path(
+      f"$dir/_lineage/v$mirrorV%012d.json")
+    mirrorPath.getFileSystem(conf).delete(mirrorPath, false)
+
+    val (c2, found) = cli(dir, "fsck")
+    assert(c2 == 1)
+    assert(found.exists(_.contains("missing data file")), found)
+    assert(found.exists(_.contains(s"lineage mirror row missing for v$mirrorV")),
+      found)
+  }
+
   test("compact defaults to exactly the delta-bearing buckets") {
     val dir = tmpDir("tm-compact")
     val t = morTable(dir)

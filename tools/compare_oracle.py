@@ -17,6 +17,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes for comparison
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            if getattr(df[c].dtype, 'tz', None) is not None:
+                df[c] = df[c].dt.tz_convert('UTC').dt.tz_localize(None)
             df[c] = df[c].astype('datetime64[us]')
         elif df[c].dtype == object:
             df[c] = df[c].apply(lambda v: str(v) if v is not None and not (isinstance(v, float) and np.isnan(v)) else None)
