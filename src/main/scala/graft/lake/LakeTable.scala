@@ -1368,6 +1368,13 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       if (!fs.exists(p))
         problems += s"lineage mirror row missing for v${e.version}"
     }
+    snap.properties.foreach { case (k, v) if k.startsWith("tag.") =>
+      val ok = scala.util.Try(v.toLong).toOption
+        .exists(ver => fs.exists(new Path(snapsPath, f"v$ver%012d.json")))
+      if (!ok) problems +=
+        s"dangling tag ${k.stripPrefix("tag.")} -> v$v (snapshot missing)"
+    case _ => ()
+    }
     problems.toSeq
   }
 
@@ -1421,6 +1428,62 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     snapshot.properties.collect {
       case (k, v) if k.startsWith("link.") => k.stripPrefix("link.") -> v
     }
+
+  // ----------------------------------------------------------------- tags
+
+  /** Pin a snapshot version under a name (Iceberg-style tag refs) — the
+    * dataset-release primitive a training pipeline needs: a model's
+    * training set is "this table at tag `release-X`", and the pin makes
+    * that read reproducible forever because [[vacuum]] never expires a
+    * tagged version. Stored as a `tag.<name>` property, so tags ride the
+    * ordinary metadata-commit protocol (concurrent taggers rebase through
+    * the same create-if-absent arbiter as data commits) and propagate
+    * forward through every later snapshot. The target version must exist
+    * on disk; re-pointing an existing tag requires `replace = true`
+    * (tags are immutable by default, like Iceberg's). */
+  def tag(name: String, version: Option[Long] = None,
+      replace: Boolean = false): Snapshot = {
+    require(name.nonEmpty && !name.exists(c => c.isWhitespace || c == '='),
+      s"bad tag name '$name'")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' would be ambiguous with a version number")
+    val v = version.getOrElse(snapshot.version)
+    snapshotAt(v) // target must be a real, readable snapshot
+    val key = s"tag.$name"
+    publishMeta(base => {
+      val existing = base.properties.get(key)
+      require(replace || existing.forall(_ == v.toString),
+        s"tag '$name' already points at v${existing.getOrElse("?")}; " +
+          "pass replace = true to move it")
+      base.copy(version = base.version + 1,
+        properties = base.properties + (key -> v.toString))
+    }, applied = _.properties.get(key).contains(v.toString))
+  }
+
+  /** Remove a tag; its target becomes vacuumable again (unless still in
+    * the retention window). Requires the tag to exist. */
+  def dropTag(name: String): Snapshot = {
+    val key = s"tag.$name"
+    require(snapshot.properties.contains(key), s"no tag '$name'")
+    publishMeta(base => base.copy(version = base.version + 1,
+      properties = base.properties - key),
+      applied = b => !b.properties.contains(key))
+  }
+
+  /** Tag name → pinned version. Malformed `tag.*` values (reachable only
+    * through manual set-property) are omitted here; [[fsck]] flags them. */
+  def tags: Map[String, Long] =
+    snapshot.properties.collect {
+      case (k, v) if k.startsWith("tag.") =>
+        scala.util.Try(v.toLong).toOption.map(k.stripPrefix("tag.") -> _)
+    }.flatten.toMap
+
+  /** Resolve a version reference: all digits → a version number, anything
+    * else → a tag name (unknown tags are an error, not a silent miss). */
+  def resolveRef(ref: String): Long =
+    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
+    else tags.getOrElse(ref,
+      throw new IllegalArgumentException(s"unknown tag '$ref'"))
 
   // ------------------------------------------------------------------ DDL
 
@@ -1479,7 +1542,9 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * the bytes for time travel; unbounded retention is unbounded
     * storage). Keeps the newest `keepSnapshots` EXISTING versions (plus
     * CURRENT) — retention counts snapshots actually on disk, not version
-    * numbers, so sparse version sets after a prior vacuum are honored.
+    * numbers, so sparse version sets after a prior vacuum are honored —
+    * and every [[tag]]ged version, however old: a pinned dataset release
+    * stays readable until its tag is dropped.
     * Any data file or manifest referenced only by expired versions is
     * deleted, then the old `vN.json` files themselves. The `_lineage`
     * mirror is never touched (it is the permanent audit log). Returns
@@ -1492,7 +1557,15 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
-    val keep = (all.takeRight(keepSnapshots) :+ cur.version).distinct
+    // tagged versions are pinned; a tag whose snapshot file is already
+    // gone, or whose value is not a version number (both only reachable
+    // by manual edits — fsck flags them), cannot pin anything. A tag
+    // COMMITTED CONCURRENTLY with this vacuum may still dangle (the same
+    // expire-vs-tag race Iceberg has); fsck is the detector.
+    val tagged = cur.properties.collect {
+      case (k, v) if k.startsWith("tag.") => scala.util.Try(v.toLong).toOption
+    }.flatten.toSeq.filter(all.contains)
+    val keep = (all.takeRight(keepSnapshots) ++ tagged :+ cur.version).distinct
     val expire = all.filterNot(keep.contains)
     val keptSnaps = keep.map(snapshotAt)
     val expSnaps = expire.map(snapshotAt)

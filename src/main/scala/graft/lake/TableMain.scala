@@ -20,7 +20,8 @@ import graft.cdc.{MergeApply, MergeConfig}
   *  - `history [n]`                newest `n` (default 20) lineage rows
   *                                 (the full log lives in `_lineage`)
   *  - `schema`                     user schema as DDL + column docs
-  *  - `show [n] [--at <version>]`  sample rows, optionally time-traveled
+  *  - `show [n] [--at <ref>]`      sample rows, optionally time-traveled
+  *                                 (`ref` = version number or tag name)
   *  - `tail <days> [n]`            sample rows from the last `days` days
   *                                 of event time ([[LakeTable
   *                                 .incrementalTail]] — file-skipping via
@@ -43,6 +44,13 @@ import graft.cdc.{MergeApply, MergeConfig}
   *                                 than the grace window
   *  - `set-property <key> <value>` snapshot property (e.g.
   *                                 `watermark.column`)
+  *  - `tag <name> [version] [--replace]`
+  *                                 pin a snapshot under a name (a
+  *                                 dataset release; vacuum never
+  *                                 expires a tagged version)
+  *  - `tags`                       list tags
+  *  - `drop-tag <name>`            unpin (the version becomes
+  *                                 vacuumable again)
   *  - `fsck`                       integrity audit: manifest vs disk
   *                                 (file existence, footer row counts,
   *                                 stat sanity, lineage-mirror
@@ -60,7 +68,7 @@ object TableMain {
       System.err.println(
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
           "history schema show tail compact rebucket vacuum vacuum-orphans " +
-          "recover set-property fsck")
+          "recover set-property tag tags drop-tag fsck")
       return 1
     }
     val dir = args.head
@@ -122,8 +130,9 @@ object TableMain {
           val (asOf, posArgs) =
             if (i < 0) (None, rest)
             else {
-              require(i + 1 < rest.length, "--at needs a version")
-              (Some(rest(i + 1).toLong), rest.take(i) ++ rest.drop(i + 2))
+              require(i + 1 < rest.length, "--at needs a version or tag")
+              (Some(table.resolveRef(rest(i + 1))),
+                rest.take(i) ++ rest.drop(i + 2))
             }
           val n = posArgs.headOption.map(_.toInt).getOrElse(20)
           table.read(asOf = asOf).limit(n).collect()
@@ -183,6 +192,23 @@ object TableMain {
           require(rest.length == 2, "set-property needs <key> <value>")
           val s2 = table.setProperty(rest(0), rest(1))
           out(s"[table] ${rest(0)}=${rest(1)} -> v${s2.version}")
+          0
+        case "tag" =>
+          val (flags, pos) = rest.partition(_ == "--replace")
+          require(pos.nonEmpty, "tag needs <name> [version] [--replace]")
+          val target = pos.drop(1).headOption.map(_.toLong)
+          val s2 = table.tag(pos.head, target, replace = flags.nonEmpty)
+          out(s"[table] tag ${pos.head} -> " +
+            s"v${s2.properties(s"tag.${pos.head}")} (at v${s2.version})")
+          0
+        case "tags" =>
+          table.tags.toSeq.sortBy(_._1).foreach { case (n, v) =>
+            out(f"$n%-30s v$v") }
+          0
+        case "drop-tag" =>
+          require(rest.length == 1, "drop-tag needs <name>")
+          val s2 = table.dropTag(rest.head)
+          out(s"[table] dropped tag ${rest.head} -> v${s2.version}")
           0
         case "fsck" =>
           val problems = table.fsck()

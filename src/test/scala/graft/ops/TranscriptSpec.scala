@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Transcript pack: ordered conversation assembly + gap sessionization.
+  * Structural invariants here; value-exactness is the driver's DuckDB
+  * oracle gate. */
+class TranscriptSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+  private def events = spark.read.parquet(s"$sf/events.parquet")
+
+  test("assembly emits one row per conversation, every turn exactly once, in turn order") {
+    val out = q("q42_assemble_transcript").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = events
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        val sorted = rows.sortBy(_._2)
+        u -> (sorted.map(_._3).mkString("|"), sorted.length.toLong,
+          sorted.map(_._2).max)
+      }
+    assert(out == want)
+  }
+
+  test("assembly is order-stable: shuffled input assembles identically") {
+    val base = TranscriptQueries
+      .assemble(events, "user_id", "event_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    // adversarial arrival order: collect_list sees turns backwards
+    val reversed = TranscriptQueries.assemble(
+      events.orderBy(col("event_id").desc), "user_id", "event_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(base == reversed)
+  }
+
+  test("assembly plan: hash aggregation only — no window, no global sort") {
+    val plan = q("q42_assemble_transcript")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"collect_list not running as a hash aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window exchange:\n$plan")
+  }
+
+  test("sessionization partitions the stream; every cut is a real gap") {
+    val out = q("q43_sessionize").collect()
+    assert(out.map(_.getLong(2)).sum == events.count(),
+      "sessions must partition the event stream")
+    // recompute per-actor timelines and check each boundary decision
+    val gap = TranscriptQueries.SessionGapUs
+    val byUser = events.select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(_._2).sortBy(_.toInstant(java.time.ZoneOffset.UTC)) }
+    val sessions = out.map { r =>
+      (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](3), r.getAs[java.time.LocalDateTime](4))
+    }
+    def us(i: java.time.LocalDateTime): Long = {
+      val inst = i.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }
+    sessions.groupBy(_._1).foreach { case (u, ss) =>
+      val ordered = ss.sortBy(_._2)
+      // contiguous ordinals starting at 1; inter-session gaps exceed the cut
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(us(b._3) - us(a._4) > gap,
+          s"user $u sessions ${a._2}/${b._2} not separated by > $gap us")
+        case _ =>
+      }
+      // within a session no internal gap exceeds the cut
+      val spans = ordered.map(s => (us(s._3), us(s._4)))
+      val times = byUser(u).map(us)
+      spans.foreach { case (lo, hi) =>
+        val inside = times.filter(t => t >= lo && t <= hi).sorted
+        inside.sliding(2).foreach {
+          case Array(x, y) => assert(y - x <= gap)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("sessionization plan: one exchange, one sort — rollup reuses the window partitioning") {
+    val plan = TranscriptQueries.sessionize(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"whole operator should cost exactly one exchange, found $exchanges:\n$plan")
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts == 1,
+      s"both window frames should share one sort, found $sorts:\n$plan")
+  }
+
+  test("sessionization gap knob: a huge gap yields one session per actor") {
+    val one = TranscriptQueries.sessionize(events, gapUs = Long.MaxValue)
+    val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(one.count() == users)
+    assert(one.select(max(col("session_no"))).head().getLong(0) == 1L)
+  }
+}
