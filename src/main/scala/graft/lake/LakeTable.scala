@@ -1440,7 +1440,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * the same create-if-absent arbiter as data commits) and propagate
     * forward through every later snapshot. The target version must exist
     * on disk; re-pointing an existing tag requires `replace = true`
-    * (tags are immutable by default, like Iceberg's). */
+    * (tags are immutable by default, like Iceberg's). Re-tagging a name
+    * at the version it already pins is an idempotent no-op (no new
+    * snapshot), so release scripts can re-run safely.
+    *
+    * One narrow race survives (the same one Iceberg's tag-vs-expire has):
+    * a vacuum that read its keep set BEFORE this tag committed may expire
+    * the target concurrently. `tag` re-verifies the target after its own
+    * commit and rolls the pin back with an error if the race was lost, so
+    * a silently dangling tag requires the vacuum to delete between that
+    * re-check and the next read; [[fsck]] is the detector of record. */
   def tag(name: String, version: Option[Long] = None,
       replace: Boolean = false): Snapshot = {
     require(name.nonEmpty && !name.exists(c => c.isWhitespace || c == '='),
@@ -1450,7 +1459,8 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val v = version.getOrElse(snapshot.version)
     snapshotAt(v) // target must be a real, readable snapshot
     val key = s"tag.$name"
-    publishMeta(base => {
+    if (snapshot.properties.get(key).contains(v.toString)) return snapshot
+    val s2 = publishMeta(base => {
       val existing = base.properties.get(key)
       require(replace || existing.forall(_ == v.toString),
         s"tag '$name' already points at v${existing.getOrElse("?")}; " +
@@ -1458,6 +1468,12 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       base.copy(version = base.version + 1,
         properties = base.properties + (key -> v.toString))
     }, applied = _.properties.get(key).contains(v.toString))
+    if (scala.util.Try(snapshotAt(v)).isFailure) {
+      scala.util.Try(dropTag(name))
+      throw new IllegalStateException(s"tag '$name' lost a race with a " +
+        s"concurrent vacuum: v$v expired while tagging; the tag was removed")
+    }
+    s2
   }
 
   /** Remove a tag; its target becomes vacuumable again (unless still in

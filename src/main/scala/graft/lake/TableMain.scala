@@ -195,7 +195,8 @@ object TableMain {
           0
         case "tag" =>
           val (flags, pos) = rest.partition(_ == "--replace")
-          require(pos.nonEmpty, "tag needs <name> [version] [--replace]")
+          require(pos.nonEmpty && pos.length <= 2,
+            "tag needs <name> [version] [--replace]")
           val target = pos.drop(1).headOption.map(_.toLong)
           val s2 = table.tag(pos.head, target, replace = flags.nonEmpty)
           out(s"[table] tag ${pos.head} -> " +

@@ -63,7 +63,7 @@ object TranscriptQueries {
             x => x.getField(textCol)),
           "|").as("transcript"),
         count(lit(1)).as("n_turns"),
-        max(col(turnCol)).as("last_event_id"))
+        max(col(turnCol)).as(s"last_$turnCol"))
 
   private val q42: Q = (s, d) =>
     assemble(t(s, d, "events"), "user_id", "event_id", "event_type")
@@ -83,12 +83,16 @@ object TranscriptQueries {
   def sessionize(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prevTs: Column = lag(col("ts"), 1).over(w)
-    // the parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. Every
-    // session here runs UTC, so the cast is a pure reinterpretation — and
-    // the gap is a DIFFERENCE, so any fixed offset would cancel anyway
-    def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+    // the parquet ts is TIMESTAMP_NTZ — subtracting two NTZ values is a
+    // pure wall-clock difference (an exact-micros day-time interval), so
+    // the gap math never touches the session time zone. Casting to
+    // TIMESTAMP first would make the cut DST-dependent for non-UTC
+    // sessions (a 5.5 h wall gap across spring-forward is a 4.5 h
+    // instant gap). The Duration literal carries gapUs exactly.
+    val gap = lit(java.time.Duration.of(gapUs,
+      java.time.temporal.ChronoUnit.MICROS))
     val boundary = when(
-      prevTs.isNull || us(col("ts")) - us(prevTs) > gapUs,
+      prevTs.isNull || (col("ts") - prevTs) > gap,
       1).otherwise(0)
     events
       .withColumn("new_sess", boundary)

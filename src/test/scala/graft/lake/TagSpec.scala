@@ -57,6 +57,20 @@ class TagSpec extends SparkSpec {
     intercept[Exception] { t.tag("ghost", Some(99999L)) }
   }
 
+  test("re-tagging the version a tag already pins is an idempotent no-op") {
+    val t = freshTable()
+    val vPinned = t.snapshot.version
+    t.tag("rel")
+    val vAfterTag = t.snapshot.version
+    // same name, same target: no new snapshot, with or without --replace
+    assert(t.tag("rel", Some(vPinned)).version == vAfterTag)
+    assert(t.tag("rel", Some(vPinned), replace = true).version == vAfterTag)
+    assert(t.tags == Map("rel" -> vPinned))
+    // bare re-tag targets CURRENT (which the tag commit itself advanced),
+    // so immutability still rejects it without --replace
+    intercept[IllegalArgumentException] { t.tag("rel") }
+  }
+
   test("vacuum never expires a tagged version; dropping the tag releases it") {
     val t = freshTable()
     val vTagged = t.snapshot.version
@@ -119,5 +133,6 @@ class TagSpec extends SparkSpec {
     assert(t.tags("rel-1") == vNow)
     assert(run("drop-tag", "rel-1") == 0)
     assert(t.tags.isEmpty)
+    assert(run("tag", "rel-1", "7", "8") == 1) // extra positional args rejected
   }
 }

@@ -100,6 +100,18 @@ class TranscriptSpec extends SparkSpec {
       s"both window frames should share one sort, found $sorts:\n$plan")
   }
 
+  test("sessionization is independent of the session time zone (DST zones included)") {
+    val utc = q("q43_sessionize").collect().map(_.toSeq).toSet
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York") // DST transitions
+      val nyc = q("q43_sessionize").collect().map(_.toSeq).toSet
+      assert(nyc == utc,
+        "gap math must be wall-clock (NTZ interval), never instant-cast")
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("sessionization gap knob: a huge gap yields one session per actor") {
     val one = TranscriptQueries.sessionize(events, gapUs = Long.MaxValue)
     val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
