@@ -51,6 +51,19 @@ import graft.cdc.{MergeApply, MergeConfig}
   *  - `tags`                       list tags
   *  - `drop-tag <name>`            unpin (the version becomes
   *                                 vacuumable again)
+  *  - `diff <fromRef> [toRef]`     endpoint change summary between two
+  *                                 refs ([[LakeTable.changeFeed]]):
+  *                                 counts per change type + sample rows
+  *  - `revert <ref>`               restore the table's DATA state to a
+  *                                 ref by merging compensating changes
+  *                                 ([[graft.cdc.Revert]] — incremental
+  *                                 consumers see the revert as ordinary
+  *                                 changes, no re-bootstrap)
+  *  - `export <outDir> [--at <ref>]`
+  *                                 materialize a snapshot (e.g. a tagged
+  *                                 dataset release) as plain parquet for
+  *                                 downstream consumers; fails if
+  *                                 `outDir` exists
   *  - `fsck`                       integrity audit: manifest vs disk
   *                                 (file existence, footer row counts,
   *                                 stat sanity, lineage-mirror
@@ -68,7 +81,7 @@ object TableMain {
       System.err.println(
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
           "history schema show tail compact rebucket vacuum vacuum-orphans " +
-          "recover set-property tag tags drop-tag fsck")
+          "recover set-property tag tags drop-tag diff revert export fsck")
       return 1
     }
     val dir = args.head
@@ -210,6 +223,45 @@ object TableMain {
           require(rest.length == 1, "drop-tag needs <name>")
           val s2 = table.dropTag(rest.head)
           out(s"[table] dropped tag ${rest.head} -> v${s2.version}")
+          0
+        case "diff" =>
+          require(rest.nonEmpty && rest.length <= 2,
+            "diff needs <fromRef> [toRef]")
+          val from = table.resolveRef(rest.head)
+          val to = rest.drop(1).headOption.map(table.resolveRef)
+          val feed = table.changeFeed(from, to).cache()
+          try {
+            val counts = feed.groupBy("_change_type").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            // one update = one pre/post pair
+            out(s"insert=${counts.getOrElse("insert", 0L)} " +
+              s"update=${counts.getOrElse("update_postimage", 0L)} " +
+              s"delete=${counts.getOrElse("delete", 0L)}")
+            feed.orderBy("_lsn").limit(20).collect()
+              .foreach(r => out(r.toString))
+          } finally feed.unpersist(): Unit
+          0
+        case "revert" =>
+          require(rest.length == 1, "revert needs <ref>")
+          val r = graft.cdc.Revert.revertTo(table, rest.head)
+          out(if (r.applied)
+            s"[table] reverted to ${rest.head}: ${r.rowsApplied} " +
+              s"compensating row(s) -> v${r.version}"
+          else s"[table] already at ${rest.head} state (no-op)")
+          0
+        case "export" =>
+          val i = rest.indexOf("--at")
+          val (asOf, posArgs) =
+            if (i < 0) (None, rest)
+            else {
+              require(i + 1 < rest.length, "--at needs a version or tag")
+              (Some(table.resolveRef(rest(i + 1))),
+                rest.take(i) ++ rest.drop(i + 2))
+            }
+          require(posArgs.length == 1, "export needs <outDir> [--at <ref>]")
+          table.read(asOf = asOf).write.parquet(posArgs.head)
+          out(s"[table] exported " +
+            s"v${asOf.getOrElse(table.snapshot.version)} -> ${posArgs.head}")
           0
         case "fsck" =>
           val problems = table.fsck()

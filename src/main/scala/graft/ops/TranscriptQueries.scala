@@ -109,6 +109,35 @@ object TranscriptQueries {
 
   private val q43: Q = (s, d) => sessionize(t(s, d, "events"))
 
+  /** Adjacent-turn transition matrix: for every consecutive event pair in
+    * an actor's timeline, count (from_type → to_type) — the Markov "what
+    * follows what" view a transcript pipeline uses for flow analysis and
+    * for mining adjacent SFT pairs. Shape at scale: the `lead` window is
+    * the same one exchange + one sort as [[sessionize]] (partition by
+    * actor, order by time); the rollup groups on (from, to) — a SECOND
+    * exchange, but over ≤ |types|² partial-aggregated rows per task, so
+    * its shuffle is bytes, not data. Emitting the pairs themselves is the
+    * same plan minus the rollup. */
+  def turnTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val q44: Q = (s, d) => turnTransitions(t(s, d, "events"))
+
+  private val q44Sql =
+    """WITH p AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS to_type
+        FROM events)
+      SELECT event_type AS from_type, to_type, COUNT(*) AS n_pairs
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2"""
+
   private val q43Sql =
     s"""WITH g AS (
         SELECT user_id, ts, event_id, value,
@@ -129,9 +158,11 @@ object TranscriptQueries {
 
   val queries: Map[String, Q] = Map(
     "q42_assemble_transcript" -> q42,
-    "q43_sessionize" -> q43)
+    "q43_sessionize" -> q43,
+    "q44_turn_transitions" -> q44)
 
   val oracles: Map[String, String] = Map(
     "q42_assemble_transcript" -> q42Sql,
-    "q43_sessionize" -> q43Sql)
+    "q43_sessionize" -> q43Sql,
+    "q44_turn_transitions" -> q44Sql)
 }

@@ -112,6 +112,25 @@ class TranscriptSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, saved)
   }
 
+  test("turn transitions: every adjacent pair counted exactly once") {
+    val out = q("q44_turn_transitions").collect()
+    val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    // each actor with k events contributes k-1 adjacent pairs
+    assert(out.map(_.getLong(2)).sum == events.count() - users)
+    // recompute one actor's timeline by hand and spot-check a transition
+    val one = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .groupBy(_.getLong(0)).maxBy(_._2.length)._2
+      .sortBy(r => (r.getAs[java.time.LocalDateTime](1)
+        .toInstant(java.time.ZoneOffset.UTC), r.getLong(2)))
+      .map(_.getString(3))
+    val want = one.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    want.foreach { case (k, n) => assert(got(k) >= n, s"missing pairs $k") }
+  }
+
   test("sessionization gap knob: a huge gap yields one session per actor") {
     val one = TranscriptQueries.sessionize(events, gapUs = Long.MaxValue)
     val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
