@@ -41,7 +41,20 @@ final case class PipelineConfig(
       * always-on 10^10-event deployment). Runs on the driver between
       * epochs; the `_lineage` mirror is never touched. */
     vacuumEveryEpochs: Int = 0,
-    vacuumKeepSnapshots: Int = 10)
+    vacuumKeepSnapshots: Int = 10,
+    /** Write-audit-publish gate (Iceberg WAP): when set, every micro-batch
+      * is first STAGED (`MergeConfig.wapId = "wap-<epochId>"`, files
+      * written, table untouched), then this predicate audits it — read
+      * the staged state via `table.readStaged(wapId)` or just the batch's
+      * resolved changes via `table.stagedChanges(wapId)` — and `true`
+      * publishes through the ordinary commit protocol while `false`
+      * QUARANTINES: staged files deleted, and a 0-row lineage entry
+      * committed under the same epoch id so the exactly-once watermark
+      * stays contiguous and the rejection is audited (rowsInBatch > 0,
+      * rowsApplied = 0). A gate that THROWS fails the stream; the restart
+      * re-adopts the pending intent and re-audits — no re-merge, no
+      * duplicate apply. Upsert method only. */
+    auditGate: Option[(LakeTable, String, Long) => Boolean] = None)
 
 /** The always-on ingest loop (SURVEY.md §7.1 item 5): a Structured
   * Streaming query that tails a file-based change feed (a directory of
@@ -76,13 +89,63 @@ object CdcPipeline {
     require(method == "upsert" || method == "insert",
       s"unknown upload method '$method' - use 'upsert' (MERGE) or " +
         "'insert' (blind append)")
-    val res =
-      if (method == "insert") MergeApply.append(table, batch, epochId, cfg.merge)
-      else MergeApply.merge(table, batch, epochId, cfg.merge)
+    require(cfg.auditGate.isEmpty || method == "upsert",
+      "auditGate stages through the merge kernel - insert destinations " +
+        "cannot be WAP-gated")
+    val res = cfg.auditGate match {
+      case Some(gate) if method == "upsert" =>
+        auditedEpoch(table, batch, epochId, cfg, gate)
+      case _ =>
+        if (method == "insert")
+          MergeApply.append(table, batch, epochId, cfg.merge)
+        else MergeApply.merge(table, batch, epochId, cfg.merge)
+    }
     if (cfg.vacuumEveryEpochs > 0 && res.applied &&
         epochId > 0 && epochId % cfg.vacuumEveryEpochs == 0)
       table.vacuum(cfg.vacuumKeepSnapshots)
     cfg.postBatch(table, epochId, res)
+  }
+
+  /** One WAP-gated epoch: stage → audit → publish-or-quarantine. Every
+    * step is crash-idempotent: re-staging adopts the pending intent, a
+    * re-published epoch is retired by publishStaged's duplicate check,
+    * and a quarantined epoch re-quarantines to the same 0-row outcome. */
+  private def auditedEpoch(table: LakeTable, batch: DataFrame, epochId: Long,
+      cfg: PipelineConfig,
+      gate: (LakeTable, String, Long) => Boolean): MergeResult = {
+    val wapId = f"wap-$epochId%012d"
+    val res = MergeApply.merge(table, batch, epochId,
+      cfg.merge.copy(wapId = Some(wapId)))
+    if (!res.staged) {
+      // epoch already committed (restart after publish-then-crash): a
+      // leftover intent is retired by publishStaged's duplicate path
+      if (table.stagedIds.contains(wapId)) table.publishStaged(wapId)
+      return res
+    }
+    if (gate(table, wapId, epochId)) {
+      val c = table.publishStaged(wapId)
+      res.copy(applied = true, version = c.version, staged = false)
+    } else {
+      table.abortStaged(wapId)
+      // quarantine: the epoch id must still land (contiguous watermark;
+      // the rejection is auditable — rowsInBatch > 0, rowsApplied = 0)
+      val snap = table.snapshot
+      val entry = graft.lake.LineageEntry(epochId, snap.version + 1,
+        res.rowsInBatch, 0L, Nil, 0, snap.files.size, -1L, "", 0L)
+      val (eid, txn) = cfg.merge.txnApp match {
+        case Some(app) => (None, Some(app -> epochId))
+        case None => (Some(epochId), None)
+      }
+      try {
+        val c = table.commit(snap, Nil, Set.empty, eid, Some(entry),
+          txn = txn)
+        res.copy(applied = false, version = c.version, staged = false)
+      } catch {
+        case _: graft.lake.EpochSupersededException =>
+          res.copy(applied = false, version = table.snapshot.version,
+            staged = false)
+      }
+    }
   }
 
   private def trigger(cfg: PipelineConfig): Trigger =

@@ -16,7 +16,13 @@ final case class MergeResult(
     rowsInBatch: Long,
     rowsApplied: Long,
     bucketsTouched: Seq[Int],
-    durationMs: Long)
+    durationMs: Long,
+    /** True when the merge was STAGED as a WAP intent
+      * ([[MergeConfig.wapId]]) instead of committed: the physical work is
+      * done and parked under `_staged/<wapId>.json`; nothing is visible
+      * until [[graft.lake.LakeTable.publishStaged]]. `applied` is false —
+      * the table did not change. */
+    staged: Boolean = false)
 
 final case class MergeConfig(
     /** Target max rows per output file; buckets whose merged size exceeds
@@ -77,7 +83,18 @@ final case class MergeConfig(
       * sink attached to a table other jobs already seeded) whose batch
       * ids start at 0 can never collide with the global watermark and
       * silently no-op. */
-    txnApp: Option[String] = None)
+    txnApp: Option[String] = None,
+    /** Write-audit-publish (Iceberg WAP): `Some(id)` runs the merge's full
+      * physical plan but STAGES the outcome as a durable commit intent
+      * (`_staged/<id>.json`) instead of publishing it — the table is
+      * unchanged until `table.publishStaged(id)` replays the intent
+      * through the ordinary commit protocol (or `abortStaged` discards
+      * it). Audit reads: `table.readStaged(id)` / `stagedChanges(id)`.
+      * Restaging an id that already has a pending intent adopts the
+      * existing intent (idempotent under crash-retry); MoR delta stages
+      * compose with commits that land in between (LWW by LSN), COW bucket
+      * rewrites conflict at publish if their buckets moved. */
+    wapId: Option[String] = None)
 
 /** The MERGE kernel (SURVEY.md §4 item 1, §7.1 item 4): applies one
   * micro-batch of change events to a [[LakeTable]] as an idempotent,
@@ -212,6 +229,28 @@ object MergeApply {
     case None => (Some(epochId), None)
   }
 
+  /** The one commit seam every merge path funnels through: publish the
+    * outcome, or — under [[MergeConfig.wapId]] — park it as a staged WAP
+    * intent. Returns (resulting version, staged?); staged outcomes leave
+    * the table at `snap.version`. */
+  private def stageOrCommit(table: LakeTable, snap: Snapshot,
+      files: Seq[graft.lake.DataFileEntry], replaced: Set[Int],
+      epochId: Long, cfg: MergeConfig,
+      entry: graft.lake.LineageEntry): (Long, Boolean) = {
+    val (eid, txn) = epochArgs(cfg, epochId)
+    cfg.wapId match {
+      case Some(id) =>
+        table.stageIntent(graft.lake.StagedIntent(id, snap.version,
+          snap.nBuckets, files, replaced.toSeq.sorted, eid,
+          txn.map(_._1), txn.map(_._2), Some(entry),
+          System.currentTimeMillis()))
+        (snap.version, true)
+      case None =>
+        (table.commit(snap, files, replaced, eid, Some(entry),
+          txn = txn).version, false)
+    }
+  }
+
   /** Read the schema-event probe: (lsn, payload) of every op="S" row the
     * observed action saw. Collecting registry rows on the driver is
     * bounded by design — schema changes are a handful of events in
@@ -325,6 +364,17 @@ object MergeApply {
       return MergeResult(applied = false, snap0.version, 0L, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
+    // WAP crash-retry: a pending intent under this wapId IS this merge's
+    // outcome (stageIntent is create-if-absent — the physical work
+    // already ran). Adopt it instead of re-writing files the intent
+    // doesn't reference.
+    cfg.wapId.filter(table.stagedIds.contains).foreach { id =>
+      val it = table.stagedIntent(id)
+      return MergeResult(applied = false, snap0.version,
+        it.lineage.map(_.rowsInBatch).getOrElse(0L),
+        0L, it.files.map(_.bucket).distinct.sorted,
+        (System.nanoTime() - t0) / 1000000L, staged = true)
+    }
     // duplicate-INPUT suppression: identical batch content (even under a
     // new epoch id / feed file name) commits a 0-row skip entry — the
     // epoch watermark stays contiguous and the skip is audited in
@@ -356,11 +406,10 @@ object MergeApply {
             val entry = LineageEntry(epochId, snap.version + 1, fpRows, 0L,
               Nil, 0, snap.files.size, -1L, "",
               (System.nanoTime() - t0) / 1000000L, inputChecksum = fp)
-            val (eid, txn) = epochArgs(cfg, epochId)
-            val c = table.commit(snap, Nil, Set.empty, eid, Some(entry),
-              txn = txn)
-            return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
-              (System.nanoTime() - t0) / 1000000L)
+            val (v, staged) = stageOrCommit(table, snap, Nil, Set.empty,
+              epochId, cfg, entry)
+            return MergeResult(applied = false, v, fpRows, 0L, Nil,
+              (System.nanoTime() - t0) / 1000000L, staged = staged)
           }
         }
         return mergeGuarded(table, batch, epochId, cfg, t0, fp)
@@ -493,10 +542,10 @@ object MergeApply {
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
           snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L,
           inputChecksum = checksum)
-        val (eid, txn) = epochArgs(cfg, epochId)
-        val c = table.commit(snap, Nil, Set.empty, eid, Some(entry), txn = txn)
-        return Right(MergeResult(applied = true, c.version, 0L, 0L,
-          Nil, (System.nanoTime() - t0) / 1000000L))
+        val (v, staged) = stageOrCommit(table, snap, Nil, Set.empty,
+          epochId, cfg, entry)
+        return Right(MergeResult(applied = !staged, v, 0L, 0L,
+          Nil, (System.nanoTime() - t0) / 1000000L, staged = staged))
       }
       val buckets = stats.map(_.getInt(0)).toSet
       val batchRows = stats.map(_.getLong(1)).sum
@@ -539,11 +588,11 @@ object MergeApply {
           r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket),
         inputChecksum = checksum,
         watermarkCol = tsCol.getOrElse(""))
-      val (eid, txn) = epochArgs(cfg, epochId)
-      val c = table.commit(snap, newFiles, buckets, eid, Some(entry), txn = txn)
-      Right(MergeResult(applied = true, c.version, batchRows,
+      val (v, staged) = stageOrCommit(table, snap, newFiles, buckets,
+        epochId, cfg, entry)
+      Right(MergeResult(applied = !staged, v, batchRows,
         batchRows, buckets.toSeq.sorted,
-        (System.nanoTime() - t0) / 1000000L))
+        (System.nanoTime() - t0) / 1000000L, staged = staged))
     } finally if (!useBucket) deduped.unpersist()
   }
 
@@ -612,10 +661,10 @@ object MergeApply {
       val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
         snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L,
         inputChecksum = checksum)
-      val (eid, txn) = epochArgs(cfg, epochId)
-      val c = table.commit(snap, Nil, Set.empty, eid, Some(entry), txn = txn)
-      return Right(MergeResult(applied = true, c.version, 0L, 0L, Nil,
-        (System.nanoTime() - t0) / 1000000L))
+      val (v, staged) = stageOrCommit(table, snap, Nil, Set.empty,
+        epochId, cfg, entry)
+      return Right(MergeResult(applied = !staged, v, 0L, 0L, Nil,
+        (System.nanoTime() - t0) / 1000000L, staged = staged))
     }
     val m = obs.get
     val batchRows = m("rows").asInstanceOf[Long]
@@ -632,6 +681,14 @@ object MergeApply {
       // the per-partition applied rows + LSN ranges (footer stats)
       partitions = partitionsOf(deltaFiles), inputChecksum = checksum,
       watermarkCol = tsCol.getOrElse(""))
+    if (cfg.wapId.nonEmpty) {
+      val (v, _) = stageOrCommit(table, snap, deltaFiles, Set.empty,
+        epochId, cfg, entry)
+      // no compaction: nothing committed — the staged deltas fold (if
+      // over threshold) in the first post-publish epoch's sweep
+      return Right(MergeResult(applied = false, v, batchRows, batchRows,
+        buckets, (System.nanoTime() - t0) / 1000000L, staged = true))
+    }
     val (eid, txn) = epochArgs(cfg, epochId)
     val committed = table.commit(snap, deltaFiles, Set.empty, eid,
       Some(entry), txn = txn)
@@ -836,6 +893,9 @@ object MergeApply {
     * the batch and keeps the epoch guard. */
   def append(table: LakeTable, batch: DataFrame, epochId: Long,
       cfg: MergeConfig = MergeConfig()): MergeResult = {
+    require(cfg.wapId.isEmpty,
+      "write-audit-publish staging is a merge-path feature (wapId is " +
+        "ignored nowhere): route audited loads through merge()")
     val t0 = System.nanoTime()
     val snap0 = table.snapshot
     if (alreadyCommitted(snap0, epochId, cfg))

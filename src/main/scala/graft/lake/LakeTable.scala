@@ -173,6 +173,35 @@ final case class LineageEntry(
       * re-deriving it from a possibly-rebased base. */
     watermarkCol: String = "")
 
+/** A durable write-audit-publish commit intent (Iceberg's WAP staged
+  * snapshot / cherry-pick workflow): the physical outcome of one merge —
+  * data files written, statistics gathered — parked OUTSIDE the version
+  * chain as `_staged/<wapId>.json`. Nothing references the files until
+  * [[LakeTable.publishStaged]] replays the intent through the ordinary
+  * commit protocol (epoch guard, rebase, conflict detection all intact),
+  * so auditors can read the staged state ([[LakeTable.readStaged]]) while
+  * every other reader and incremental consumer still sees the table
+  * without it; [[LakeTable.abortStaged]] discards it. Because the intent
+  * sits outside the chain, version-window consumers (change feed, follow,
+  * the streaming source) observe a published intent as ONE ordinary
+  * commit — no special cases downstream. */
+final case class StagedIntent(
+    wapId: String,
+    /** Version the stage was computed against — the audit read's pin, and
+      * the staleness baseline for copy-on-write bucket rewrites. */
+    baseVersion: Long,
+    /** Bucket layout at stage time: a rebucket between stage and publish
+      * invalidates the files' bucket ids (conflict at publish). */
+    nBuckets: Int,
+    files: Seq[DataFileEntry],
+    replacedBuckets: Seq[Int],
+    epochId: Option[Long],
+    /** App-scoped txn slot (split fields — json4s tuples don't round-trip). */
+    txnApp: Option[String] = None,
+    txnBatch: Option[Long] = None,
+    lineage: Option[LineageEntry] = None,
+    createdMs: Long = 0L)
+
 /** An immutable snapshot of the table: schema history, manifest list,
   * committed-epoch watermark (exactly-once guard) and recent lineage.
   * Serialized as `_snapshots/v%012d.json`; `_snapshots/CURRENT` points at
@@ -1375,6 +1404,21 @@ class LakeTable(val spark: SparkSession, val dir: String) {
         s"dangling tag ${k.stripPrefix("tag.")} -> v$v (snapshot missing)"
     case _ => ()
     }
+    stagedIds.foreach { id =>
+      scala.util.Try(stagedIntent(id)) match {
+        case scala.util.Failure(e) =>
+          problems += s"unreadable staged intent $id (${e.getMessage})"
+        case scala.util.Success(it) =>
+          if (!fs.exists(new Path(snapsPath, f"v${it.baseVersion}%012d.json")))
+            problems += s"staged intent $id pins missing base " +
+              s"v${it.baseVersion} (audit/staleness checks would fail)"
+          val conf = spark.sessionState.newHadoopConf()
+          it.files.filterNot { f =>
+            val p = new Path(f.path); p.getFileSystem(conf).exists(p)
+          }.foreach(f =>
+            problems += s"staged intent $id references missing file ${f.path}")
+      }
+    }
     problems.toSeq
   }
 
@@ -1501,6 +1545,148 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     else tags.getOrElse(ref,
       throw new IllegalArgumentException(s"unknown tag '$ref'"))
 
+  // --------------------------------------------- staged commits (WAP)
+
+  private def stagedPath = new Path(tablePath, "_staged")
+  private def intentPath(wapId: String) = new Path(stagedPath, s"$wapId.json")
+
+  /** Park a commit intent under `_staged/<wapId>.json` without touching
+    * the version chain (the stage half of write-audit-publish). The write
+    * is the same atomic create-if-absent the commit arbiter uses, so a
+    * wapId is claimed exactly once — a crashed-and-retried stage of the
+    * SAME wapId fails here and the caller adopts the existing intent
+    * (see [[graft.cdc.MergeApply.merge]]). The staged files are protected
+    * from [[vacuumOrphans]] (it reads intents) and the base version from
+    * [[vacuum]] (pinned like a tag) until publish or abort. */
+  def stageIntent(it: StagedIntent): Unit = {
+    require(it.wapId.nonEmpty && !it.wapId.exists(c =>
+      c.isWhitespace || c == '/' || c == '='), s"bad wapId '${it.wapId}'")
+    implicit val fmt: Formats = DefaultFormats
+    fs.mkdirs(stagedPath)
+    val out = createExclusive(intentPath(it.wapId))
+    try out.write(Serialization.write(it).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Pending staged wapIds (publish/abort remove them). */
+  def stagedIds: Seq[String] =
+    if (!fs.exists(stagedPath)) Nil
+    else fs.listStatus(stagedPath).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+
+  def stagedIntent(wapId: String): StagedIntent = {
+    implicit val fmt: Formats = DefaultFormats
+    val in = fs.open(intentPath(wapId))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    JsonMethods.parse(s).extract[StagedIntent]
+  }
+
+  /** The audit read: table state AS IF the staged intent had committed —
+    * pinned to the intent's base version (deterministic: later commits
+    * don't shift what the auditor sees), staged files applied on top,
+    * MoR-resolved, tombstones dropped. */
+  def readStaged(wapId: String): DataFrame = {
+    val it = stagedIntent(wapId)
+    val base = snapshotAt(it.baseVersion)
+    val rb = it.replacedBuckets.toSet
+    val synth = base.copy(files =
+      base.files.filterNot(f => rb.contains(f.bucket)) ++ it.files)
+    liveRows(synth, resolveMor(synth, synth.files))
+  }
+
+  /** Just the staged CHANGES, LWW-resolved to one winner per key, with the
+    * `__op`/`__lsn` envelope retained — what the batch asserts, deletes
+    * included (the frame an audit gate usually wants). */
+  def stagedChanges(wapId: String): DataFrame = {
+    val it = stagedIntent(wapId)
+    val base = snapshotAt(it.baseVersion)
+    val raw = readFiles(base, it.files)
+    if (it.files.exists(_.kind == "delta")) lwwResolve(raw, it.nBuckets)
+    else raw
+  }
+
+  /** Publish a staged intent: replay it through the ORDINARY commit
+    * protocol against the current snapshot — epoch guard, optimistic
+    * concurrency, rebase all apply — then retire the intent. Safe to
+    * re-run after any crash:
+    *
+    *  - intent's epoch/txn already committed (an earlier publish died
+    *    between commit and cleanup, or a second stage of the same epoch
+    *    published first): no new commit; the intent is retired, and its
+    *    files are deleted ONLY if the live snapshot doesn't reference
+    *    them (they're garbage from the losing stage — a published
+    *    intent's files are live and must stay);
+    *  - bucket layout changed since stage (rebucket): conflict — the
+    *    staged files' bucket ids are in a dead space; abort and restage;
+    *  - copy-on-write staleness: a staged BUCKET REWRITE built on
+    *    `baseVersion` loses any rows a later commit put in those buckets,
+    *    so publish conflicts unless the buckets are byte-identical to the
+    *    stage-time base. MoR delta intents (`replacedBuckets` empty)
+    *    compose by LWW and publish cleanly at any later version. */
+  def publishStaged(wapId: String): Snapshot = {
+    val it = stagedIntent(wapId)
+    val snap = snapshot
+    val dup = it.epochId.exists(snap.isCommitted) ||
+      (for { a <- it.txnApp; b <- it.txnBatch } yield
+        snap.txns.get(a).exists(b <= _.batch)).getOrElse(false)
+    if (dup) {
+      val live = snap.files.iterator.map(_.path).toSet
+      if (!it.files.exists(f => live.contains(f.path))) deleteStagedData(it)
+      fs.delete(intentPath(wapId), false)
+      return snap
+    }
+    if (snap.nBuckets != it.nBuckets)
+      throw new CommitConflictException(
+        s"staged $wapId was built under ${it.nBuckets} buckets but the " +
+          s"table now has ${snap.nBuckets} — abort and restage")
+    if (it.replacedBuckets.nonEmpty) {
+      val rb = it.replacedBuckets.toSet
+      def sig(s: Snapshot) = s.files.iterator
+        .filter(f => rb.contains(f.bucket)).map(_.path).toSet
+      if (sig(snap) != sig(snapshotAt(it.baseVersion)))
+        throw new CommitConflictException(
+          s"staged $wapId rewrites buckets that changed since " +
+            s"v${it.baseVersion} — publishing would lose those rows; " +
+            "abort and restage")
+    }
+    val c = commit(snap, it.files, it.replacedBuckets.toSet, it.epochId,
+      it.lineage,
+      txn = for { a <- it.txnApp; b <- it.txnBatch } yield (a, b))
+    fs.delete(intentPath(wapId), false)
+    c
+  }
+
+  /** Discard a staged intent: delete its data files (never published, so
+    * nothing references them — unless the intent WAS published and the
+    * cleanup crashed, in which case only the intent file is removed) and
+    * retire the intent. */
+  def abortStaged(wapId: String): Unit = {
+    val it = stagedIntent(wapId)
+    val live = snapshot.files.iterator.map(_.path).toSet
+    if (!it.files.exists(f => live.contains(f.path))) deleteStagedData(it)
+    fs.delete(intentPath(wapId), false)
+  }
+
+  /** Delete an intent's data files and any commit directory they emptied. */
+  private def deleteStagedData(it: StagedIntent): Unit = {
+    val dirs = scala.collection.mutable.Set.empty[Path]
+    it.files.foreach { f =>
+      val p = new Path(f.path)
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      dirs += p.getParent.getParent // data/commit-*/__bucket=N/part
+    }
+    dirs.foreach { d =>
+      try {
+        val it2 = fs.listFiles(d, true)
+        var any = false
+        while (!any && it2.hasNext)
+          any = it2.next().getPath.getName.endsWith(".parquet")
+        if (!any) fs.delete(d, true)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   // ------------------------------------------------------------------ DDL
 
   /** Delete all rows, keep schema + column docs (≈ wipe_data,
@@ -1581,7 +1767,15 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val tagged = cur.properties.collect {
       case (k, v) if k.startsWith("tag.") => scala.util.Try(v.toLong).toOption
     }.flatten.toSeq.filter(all.contains)
-    val keep = (all.takeRight(keepSnapshots) ++ tagged :+ cur.version).distinct
+    // staged intents pin their base version: the audit read
+    // ([[readStaged]]) and the COW staleness check at publish both
+    // resolve it — expiring it would wedge a pending stage
+    val stagedBases = stagedIds.flatMap(id =>
+      scala.util.Try(stagedIntent(id).baseVersion).toOption)
+      .filter(all.contains)
+    val keep =
+      (all.takeRight(keepSnapshots) ++ tagged ++ stagedBases :+ cur.version)
+        .distinct
     val expire = all.filterNot(keep.contains)
     val keptSnaps = keep.map(snapshotAt)
     val expSnaps = expire.map(snapshotAt)
@@ -1609,11 +1803,16 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     * commit (Iceberg's remove_orphan_files makes the same age argument).
     * Returns directories deleted. */
   def vacuumOrphans(graceMs: Long = 3600000L): Int = {
-    val live: Set[String] = fs.listStatus(snapsPath).toSeq
+    val live: Set[String] = (fs.listStatus(snapsPath).toSeq
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-      .map(snapshotAt).flatMap(_.files.map(_.path)).toSet
+      .map(snapshotAt).flatMap(_.files.map(_.path)) ++
+      // staged WAP intents reference files no snapshot sees yet — a
+      // stage pending audit past the grace window is NOT an orphan
+      stagedIds.flatMap(id =>
+        scala.util.Try(stagedIntent(id).files.map(_.path))
+          .getOrElse(Nil))).toSet
     val dataRoot = new Path(s"$dir/data")
     if (!fs.exists(dataRoot)) return 0
     val cutoff = System.currentTimeMillis() - graceMs

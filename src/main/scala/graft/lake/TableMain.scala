@@ -64,6 +64,13 @@ import graft.cdc.{MergeApply, MergeConfig}
   *                                 dataset release) as plain parquet for
   *                                 downstream consumers; fails if
   *                                 `outDir` exists
+  *  - `staged`                     pending write-audit-publish intents
+  *                                 ([[LakeTable.stagedIds]]) with base
+  *                                 version, file/row counts, epoch
+  *  - `publish <wapId>`            publish a staged intent through the
+  *                                 ordinary commit protocol
+  *                                 ([[LakeTable.publishStaged]])
+  *  - `abort-staged <wapId>`       discard a staged intent and its files
   *  - `fsck`                       integrity audit: manifest vs disk
   *                                 (file existence, footer row counts,
   *                                 stat sanity, lineage-mirror
@@ -81,7 +88,8 @@ object TableMain {
       System.err.println(
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
           "history schema show tail compact rebucket vacuum vacuum-orphans " +
-          "recover set-property tag tags drop-tag diff revert export fsck")
+          "recover set-property tag tags drop-tag diff revert export " +
+          "staged publish abort-staged fsck")
       return 1
     }
     val dir = args.head
@@ -262,6 +270,24 @@ object TableMain {
           table.read(asOf = asOf).write.parquet(posArgs.head)
           out(s"[table] exported " +
             s"v${asOf.getOrElse(table.snapshot.version)} -> ${posArgs.head}")
+          0
+        case "staged" =>
+          table.stagedIds.foreach { id =>
+            val it = table.stagedIntent(id)
+            out(f"$id%-24s base=v${it.baseVersion} " +
+              f"files=${it.files.size} rows=${it.files.map(_.rows).sum} " +
+              s"epoch=${it.epochId.orElse(it.txnBatch).getOrElse(-1L)}")
+          }
+          0
+        case "publish" =>
+          require(rest.length == 1, "publish needs <wapId>")
+          val s2 = table.publishStaged(rest.head)
+          out(s"[table] published ${rest.head} -> v${s2.version}")
+          0
+        case "abort-staged" =>
+          require(rest.length == 1, "abort-staged needs <wapId>")
+          table.abortStaged(rest.head)
+          out(s"[table] aborted ${rest.head}")
           0
         case "fsck" =>
           val problems = table.fsck()
