@@ -131,6 +131,106 @@ class TranscriptSpec extends SparkSpec {
     want.foreach { case (k, n) => assert(got(k) >= n, s"missing pairs $k") }
   }
 
+  test("funnel: stage counts and latency recompute by hand") {
+    val row = q("q45_funnel_conversion").head()
+    val evs = events
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC),
+        r.getString(2)))
+    val byUser = evs.groupBy(_._1)
+    val firstFrom = byUser.flatMap { case (u, rs) =>
+      val s = rs.filter(_._3 == "signup").map(_._2)
+      if (s.isEmpty) None else Some(u -> s.min)
+    }
+    val firstTo = firstFrom.flatMap { case (u, fs) =>
+      val p = byUser(u).filter(r => r._3 == "purchase" && !r._2.isBefore(fs))
+        .map(_._2)
+      if (p.isEmpty) None else Some(u -> (fs, p.min))
+    }
+    def us(i: java.time.Instant) =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    assert(row.getLong(0) == byUser.size)
+    assert(row.getLong(1) == firstFrom.size)
+    assert(row.getLong(2) == firstTo.size)
+    assert(row.getLong(3) ==
+      firstTo.values.map { case (a, b) => us(b) - us(a) }.sum)
+  }
+
+  test("funnel stages are monotone and latency non-negative") {
+    val row = q("q45_funnel_conversion").head()
+    assert(row.getLong(0) >= row.getLong(1))
+    assert(row.getLong(1) >= row.getLong(2))
+    assert(row.getLong(3) >= 0L)
+  }
+
+  test("conversation dedup: clusters partition the conversations; canonical is a member") {
+    val out = q("q46_conv_dedup_exact").collect()
+    val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(out.map(_.getLong(1)).sum == users,
+      "cluster sizes must sum to the conversation count")
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+    // identical transcripts hash together: duplicate one conversation
+    // under a fresh id and the cluster containing it must grow by one
+    val dup = events.withColumn("user_id",
+      when(col("user_id") === 0L, lit(100000L)).otherwise(col("user_id")))
+    val merged = TranscriptQueries.convClusters(
+      events.unionAll(dup.filter(col("user_id") === 100000L)),
+      "user_id", "event_id", "event_type").collect()
+    val grew = merged.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grew.values.sum == users + 1)
+    assert(grew.count { case (h, n) => base.get(h).exists(_ == n - 1) } == 1,
+      "exactly one cluster must absorb the duplicated conversation")
+  }
+
+  test("props extraction: per-type sums recompute by hand") {
+    val got = q("q47_props_json_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = events.select(col("event_type"), col("props")).collect()
+      .map { r =>
+        val m = """"k":\s*(-?\d+)""".r.findFirstMatchIn(r.getString(1))
+        (r.getString(0), m.map(_.group(1).toLong))
+      }
+      .groupBy(_._1).map { case (t, rs) =>
+        val ks = rs.flatMap(_._2)
+        t -> (ks.length.toLong, ks.sum)
+      }
+    assert(got == want)
+  }
+
+  test("context packing: chunks are contiguous, cover every turn, and respect the budget") {
+    val out = q("q48_context_pack_conv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sum == events.count(),
+      "chunks must partition the turn stream")
+    val budget = TranscriptQueries.ContextBudgetTokens
+    val maxTok = events.select(max(length(col("event_type")))).head().getInt(0)
+    out.groupBy(_._1).foreach { case (u, chunks) =>
+      val nos = chunks.map(_._2).sorted.toSeq
+      assert(nos == (0L until nos.length).toSeq,
+        s"user $u chunk ordinals not contiguous from 0: $nos")
+      // a chunk closes once the running total passes the budget, so it
+      // can overshoot by at most one turn's tokens
+      chunks.foreach { case (_, no, _, tok) =>
+        assert(tok < budget + maxTok, s"user $u chunk $no size $tok")
+      }
+      // every chunk except the last must have CONSUMED the budget
+      chunks.sortBy(_._2).dropRight(1).foreach { case (_, no, _, tok) =>
+        assert(tok >= budget - maxTok + 1,
+          s"user $u non-final chunk $no under-filled: $tok")
+      }
+    }
+  }
+
+  test("context packing plan: one exchange, one sort — rollup reuses the window partitioning") {
+    val plan = TranscriptQueries.contextPack(events)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"whole operator should cost exactly one exchange, found $exchanges:\n$plan")
+  }
+
   test("sessionization gap knob: a huge gap yields one session per actor") {
     val one = TranscriptQueries.sessionize(events, gapUs = Long.MaxValue)
     val users = events.select(countDistinct(col("user_id"))).head().getLong(0)
