@@ -1,7 +1,7 @@
 package graft.cdc
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,7 +22,21 @@ final case class MergeResult(
       * done and parked under `_staged/<wapId>.json`; nothing is visible
       * until [[graft.lake.LakeTable.publishStaged]]. `applied` is false —
       * the table did not change. */
-    staged: Boolean = false)
+    staged: Boolean = false,
+    /** Envelope-invalid events diverted to the dead-letter directory by
+      * `invalidRows = "quarantine"` (0 otherwise). */
+    rejectedEvents: Long = 0L)
+
+/** Thrown (before anything commits) when `invalidRows = "fail"` and the
+  * batch carries envelope-invalid change events — see
+  * [[MergeConfig.invalidRows]]. */
+final class PoisonEventException(val count: Long, val epochId: Long)
+  extends RuntimeException(
+    s"epoch $epochId carries $count envelope-invalid change event(s) " +
+      "(null/uncastable lsn or key, op outside {I,U,D}, or an envelope " +
+      "value the target schema cannot cast); nothing was committed — " +
+      "fix the feed, or run with MergeConfig(invalidRows = \"quarantine\") " +
+      "to dead-letter them")
 
 final case class MergeConfig(
     /** Target max rows per output file; buckets whose merged size exceeds
@@ -84,6 +98,28 @@ final case class MergeConfig(
       * ids start at 0 can never collide with the global watermark and
       * silently no-op. */
     txnApp: Option[String] = None,
+    /** Poison-event policy for envelope-invalid change events — null/
+      * uncastable `lsn`, an op outside {I, U, D}, a null or uncastable
+      * key column, or any envelope value the merge's ANSI cast would
+      * blow up on (the reference raises on schema-invalid rows:
+      * marshmallow validation in engine/wprdc_etl/pipeline/pipeline.py —
+      * silently upserting a null-keyed row corrupts the table instead):
+      *  - "fail" (default): abort the merge with [[PoisonEventException]]
+      *    BEFORE anything commits — loud, like the reference. Nothing
+      *    lands; crash-orphaned delta files are reclaimed the standard
+      *    way (vacuumOrphans).
+      *  - "quarantine": divert invalid events to
+      *    `<table>/_rejects/<app>/epoch=<id>/` (parquet, with a
+      *    `reject_reason` column; overwrite ⇒ idempotent under replay),
+      *    apply the valid remainder, and record `rejectedEvents` in the
+      *    commit's lineage row — the dead-letter queue a production tail
+      *    runs with, because one poison event must not stall 10^10.
+      *  - "off": trust the feed (no validation expressions in the plan).
+      * Validation rides the merge's OWN first action as an `observe`
+      * metric plus a codegen'd filter — zero extra Spark jobs when the
+      * batch is clean; quarantine pays one extra (rare-path) action to
+      * write the rejects. */
+    invalidRows: String = "fail",
     /** Write-audit-publish (Iceberg WAP): `Some(id)` runs the merge's full
       * physical plan but STAGES the outcome as a durable commit intent
       * (`_staged/<id>.json`) instead of publishing it — the table is
@@ -263,6 +299,91 @@ object MergeApply {
       .map(_.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
         .toSeq.map(r => (r.getLong(0), r.getString(1))))
       .getOrElse(Nil)
+
+  /** NULL for a well-formed change event, else a short reject-reason
+    * code. Covers the event IDENTITY — `lsn` non-null and castable, `op`
+    * inside {I, U, D}, every key column present, non-null, and castable —
+    * plus castability of every envelope value [[normalize]] will
+    * ANSI-cast (raw column or `extras` fallback, the same resolution
+    * normalize uses), so a quarantined feed can never crash the merge
+    * plan mid-write. Pure codegen'd expressions; no UDF. */
+  private def invalidReasonExpr(batch: DataFrame, userSchema: StructType)
+      : Column = {
+    val present = batch.columns.toSet
+    def rawOf(name: String): Option[Column] =
+      if (present.contains(name)) Some(col(name))
+      else if (present.contains("extras"))
+        Some(element_at(col("extras"), name))
+      else None
+    val keySet = KEY.toSet
+    val fieldChecks = userSchema.fields.toSeq.flatMap { f =>
+      rawOf(f.name).toSeq.flatMap { c =>
+        val uncastable = c.isNotNull && c.try_cast(f.dataType).isNull
+        if (keySet.contains(f.name))
+          Seq(c.isNull -> s"null_key:${f.name}",
+            uncastable -> s"bad_cast:${f.name}")
+        else Seq(uncastable -> s"bad_cast:${f.name}")
+      }
+    }
+    // a key column absent from BOTH the envelope and extras is null for
+    // every row of the batch
+    val missingKeys = KEY.filter(rawOf(_).isEmpty)
+      .map(k => lit(true) -> s"null_key:$k")
+    val checks = Seq(
+      col("lsn").isNull -> "null_lsn",
+      (col("lsn").isNotNull && col("lsn").try_cast(LongType).isNull)
+        -> "bad_lsn",
+      (col("op").isNull || !col("op").isin("I", "U", "D")) -> "bad_op") ++
+      missingKeys ++ fieldChecks
+    checks.foldRight(lit(null).cast(StringType)) { case ((p, r), acc) =>
+      when(p, lit(r)).otherwise(acc)
+    }
+  }
+
+  /** Attach envelope validation ([[MergeConfig.invalidRows]]) to the
+    * batch: an `observe` metric counting invalid events — it rides the
+    * merge's own first action, no extra Spark job — plus a codegen'd
+    * filter dropping them from the plan. Returns the guarded frame and
+    * the observation (`None` when validation is off). */
+  private def validationWrap(dataBatch: DataFrame, userSchema: StructType,
+      cfg: MergeConfig)
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+    if (cfg.invalidRows == "off") (dataBatch, None)
+    else {
+      val bad = invalidReasonExpr(dataBatch, userSchema).isNotNull
+      val io = org.apache.spark.sql.Observation()
+      (dataBatch.observe(io, count(when(bad, lit(1))).as("invalid"))
+        .filter(!bad), Some(io))
+    }
+
+  /** Resolve the validation observation AFTER the merge's first action.
+    * Clean batch (or validation off): returns 0. Fail mode: reclaims
+    * `written` (uncommitted output files) and throws
+    * [[PoisonEventException]] — nothing was committed. Quarantine mode:
+    * writes the invalid events with their `reject_reason` to
+    * `<table>/_rejects/<app>/epoch=<id>/` — an OVERWRITE per epoch, so a
+    * replayed epoch re-quarantines to the identical dead-letter set —
+    * and returns the count for the commit's lineage row. */
+  private def resolveInvalid(table: LakeTable, rawBatch: DataFrame,
+      userSchema: StructType, epochId: Long, cfg: MergeConfig,
+      n: Long, written: Seq[graft.lake.DataFileEntry]): Long = {
+    if (n == 0L) return 0L
+    if (cfg.invalidRows != "quarantine") {
+      if (written.nonEmpty) {
+        val dir = new Path(written.head.path).getParent.getParent
+        dir.getFileSystem(table.spark.sessionState.newHadoopConf())
+          .delete(dir, true)
+      }
+      throw new PoisonEventException(n, epochId)
+    }
+    val dest = new Path(new Path(table.dir, "_rejects"),
+      s"${cfg.txnApp.getOrElse("_global")}/epoch=$epochId")
+    rawBatch
+      .withColumn("reject_reason", invalidReasonExpr(rawBatch, userSchema))
+      .filter(col("reject_reason").isNotNull)
+      .write.mode("overwrite").parquet(dest.toString)
+    n
+  }
 
   /** Order-independent content fingerprint of a batch: row count + two
     * combines (XOR and exact decimal SUM — the sum breaks XOR's
@@ -480,7 +601,7 @@ object MergeApply {
       cfg: MergeConfig, t0: Long, probe: Boolean, checksum: String = "")
       : Either[Seq[(Long, String)], MergeResult] = {
     val hasExtras = batch.columns.contains("extras")
-    val (dataBatch, probeObs) =
+    val (dataBatch0, probeObs) =
       if (!hasExtras) (batch, None)
       else if (probe) {
         val obs = org.apache.spark.sql.Observation()
@@ -491,6 +612,31 @@ object MergeApply {
     val snap = table.snapshot
     val spark = table.spark
     val nB = snap.nBuckets
+
+    // envelope validation rides the first action (observe + filter — no
+    // extra job); resolved by invalidAfterAction once that action ran
+    val (dataBatch, invalidObs) =
+      validationWrap(dataBatch0, snap.userSchema, cfg)
+    def invalidAfterAction(written: Seq[graft.lake.DataFileEntry]): Long =
+      resolveInvalid(table, dataBatch0, snap.userSchema, epochId, cfg,
+        invalidObs.flatMap(_.get.get("invalid")).flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L), written)
+    // ZERO-OUTPUT paths only: when the validation/S filters leave nothing
+    // to write, the action may run zero tasks and BOTH observations
+    // resolve to empty maps (a local-relation batch even folds its
+    // filters at optimization time) — an S event or a poison row must
+    // not vanish into a 0-row commit. These eager twins re-check with
+    // dedicated (tiny) actions; the non-empty hot path never calls them.
+    def eagerSEvents(): Seq[(Long, String)] =
+      if (probeObs.isEmpty) Nil
+      else batch.filter(col("op") === "S").select(col("lsn"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def invalidEager(): Long =
+      if (invalidObs.isEmpty) 0L
+      else resolveInvalid(table, dataBatch0, snap.userSchema, epochId, cfg,
+        dataBatch0.where(
+          invalidReasonExpr(dataBatch0, snap.userSchema).isNotNull).count(),
+        Nil)
 
     val timing = sys.env.contains("GRAFT_MERGE_TIMING")
     var tPhase = System.nanoTime()
@@ -505,7 +651,7 @@ object MergeApply {
 
     if (cfg.writeMode == "mor")
       return mergeMor(table, batchNorm, epochId, cfg, snap, t0, lap, probeObs,
-        checksum)
+        checksum, invalidAfterAction, () => eagerSEvents(), () => invalidEager())
 
     // bucket strategy: no pre-dedup of the batch — intra-batch duplicates
     // collapse in the single bucket-level pass below (stats then count
@@ -539,14 +685,24 @@ object MergeApply {
       val sev = probeEvents(probeObs)
       if (sev.nonEmpty) return Left(sev)
       if (stats.isEmpty) {
+        // zero stats groups ⇒ the action may have run zero tasks and the
+        // observations resolved empty — re-check schema events and poison
+        // rows eagerly, exactly like the MoR zero-output branch
+        val sevE = eagerSEvents()
+        if (sevE.nonEmpty) return Left(sevE)
+        val rejected = invalidEager()
         val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
           snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L,
-          inputChecksum = checksum)
+          inputChecksum = checksum, rejectedEvents = rejected)
         val (v, staged) = stageOrCommit(table, snap, Nil, Set.empty,
           epochId, cfg, entry)
         return Right(MergeResult(applied = !staged, v, 0L, 0L,
-          Nil, (System.nanoTime() - t0) / 1000000L, staged = staged))
+          Nil, (System.nanoTime() - t0) / 1000000L, staged = staged,
+          rejectedEvents = rejected))
       }
+      // envelope validation resolved on the same stats action; COW has
+      // written nothing yet, so fail mode has nothing to reclaim
+      val rejected = invalidAfterAction(Nil)
       val buckets = stats.map(_.getInt(0)).toSet
       val batchRows = stats.map(_.getLong(1)).sum
       val maxLsn = stats.map(_.getLong(2)).max
@@ -587,12 +743,13 @@ object MergeApply {
         partitions = stats.map(r => BucketLineage(r.getInt(0),
           r.getLong(1), r.getLong(5), r.getLong(2))).toSeq.sortBy(_.bucket),
         inputChecksum = checksum,
-        watermarkCol = tsCol.getOrElse(""))
+        watermarkCol = tsCol.getOrElse(""), rejectedEvents = rejected)
       val (v, staged) = stageOrCommit(table, snap, newFiles, buckets,
         epochId, cfg, entry)
       Right(MergeResult(applied = !staged, v, batchRows,
         batchRows, buckets.toSeq.sorted,
-        (System.nanoTime() - t0) / 1000000L, staged = staged))
+        (System.nanoTime() - t0) / 1000000L, staged = staged,
+        rejectedEvents = rejected))
     } finally if (!useBucket) deduped.unpersist()
   }
 
@@ -606,7 +763,10 @@ object MergeApply {
   private def mergeMor(table: LakeTable, batchNorm: DataFrame, epochId: Long,
       cfg: MergeConfig, snap: Snapshot, t0: Long, lap: String => Unit,
       probeObs: Option[org.apache.spark.sql.Observation] = None,
-      checksum: String = "")
+      checksum: String = "",
+      invalidAfterAction: Seq[DataFileEntry] => Long = _ => 0L,
+      eagerSEvents: () => Seq[(Long, String)] = () => Nil,
+      invalidEager: () => Long = () => 0L)
       : Either[Seq[(Long, String)], MergeResult] = {
     // previous commit's event-time high-watermark -> late-data metric
     // (rides on the same observe; no extra job). Compaction entries
@@ -650,22 +810,36 @@ object MergeApply {
       }
       return Left(sev)
     }
-    // an empty batch (possible under a streaming source: a restart can
-    // trigger one micro-batch for a metadata-only offset change) writes no
-    // files and — having run zero tasks — resolves the observation to an
-    // empty map. Commit the epoch anyway, with a 0-row lineage entry: the
-    // committed-epoch watermark must stay CONTIGUOUS (a skipped epoch id
-    // would hold the watermark back forever and defeat the bounded
-    // recent-set guard); the COW path (stats.isEmpty) does the same.
+    // a zero-output batch (a truly empty micro-batch — streaming restarts
+    // trigger those for metadata-only offset changes — OR a batch whose
+    // rows were ALL consumed by the S/validation filters) may have run
+    // zero tasks, resolving both observations to empty maps. Re-check
+    // schema events and poison rows with the eager twins before
+    // committing the 0-row entry: a widen event arriving in the same
+    // batch as the first value needing it is EXACTLY this shape (the
+    // value is invalid pre-widen, so the filter empties the batch). The
+    // epoch must still land — the committed-epoch watermark stays
+    // CONTIGUOUS (a skipped epoch id would hold the watermark back
+    // forever and defeat the bounded recent-set guard); the COW path
+    // (stats.isEmpty) does the same.
     if (deltaFiles.isEmpty) {
+      val sevE = eagerSEvents()
+      if (sevE.nonEmpty) return Left(sevE) // nothing written: no cleanup
+      val rejected = invalidEager()
       val entry = LineageEntry(epochId, snap.version + 1, 0L, 0L, Nil, 0,
         snap.files.size, -1L, "", (System.nanoTime() - t0) / 1000000L,
-        inputChecksum = checksum)
+        inputChecksum = checksum, rejectedEvents = rejected)
       val (v, staged) = stageOrCommit(table, snap, Nil, Set.empty,
         epochId, cfg, entry)
       return Right(MergeResult(applied = !staged, v, 0L, 0L, Nil,
-        (System.nanoTime() - t0) / 1000000L, staged = staged))
+        (System.nanoTime() - t0) / 1000000L, staged = staged,
+        rejectedEvents = rejected))
     }
+    // envelope validation resolved on the write action (files exist, so
+    // tasks ran and the observation is authoritative): fail mode reclaims
+    // the uncommitted deltas and throws; quarantine mode dead-letters the
+    // invalid events and applies the valid remainder
+    val rejected = invalidAfterAction(deltaFiles)
     val m = obs.get
     val batchRows = m("rows").asInstanceOf[Long]
     val maxLsn = Option(m("maxLsn")).map(_.asInstanceOf[Long]).getOrElse(-1L)
@@ -680,14 +854,15 @@ object MergeApply {
       // delta files hold exactly this batch, so the manifest entries ARE
       // the per-partition applied rows + LSN ranges (footer stats)
       partitions = partitionsOf(deltaFiles), inputChecksum = checksum,
-      watermarkCol = tsCol.getOrElse(""))
+      watermarkCol = tsCol.getOrElse(""), rejectedEvents = rejected)
     if (cfg.wapId.nonEmpty) {
       val (v, _) = stageOrCommit(table, snap, deltaFiles, Set.empty,
         epochId, cfg, entry)
       // no compaction: nothing committed — the staged deltas fold (if
       // over threshold) in the first post-publish epoch's sweep
       return Right(MergeResult(applied = false, v, batchRows, batchRows,
-        buckets, (System.nanoTime() - t0) / 1000000L, staged = true))
+        buckets, (System.nanoTime() - t0) / 1000000L, staged = true,
+        rejectedEvents = rejected))
     }
     val (eid, txn) = epochArgs(cfg, epochId)
     val committed = table.commit(snap, deltaFiles, Set.empty, eid,
@@ -708,7 +883,8 @@ object MergeApply {
       } catch { case _: graft.lake.CommitConflictException => () }
     }
     Right(MergeResult(applied = true, table.snapshot.version, batchRows,
-      batchRows, buckets, (System.nanoTime() - t0) / 1000000L))
+      batchRows, buckets, (System.nanoTime() - t0) / 1000000L,
+      rejectedEvents = rejected))
   }
 
   /** Fold all files of the given buckets back to base files (per-bucket

@@ -150,6 +150,11 @@ final case class LineageEntry(
       * (watermark semantics without discarding: CDC must apply late
       * events; LWW ordering is by LSN, not ts). */
     lateEvents: Long = 0L,
+    /** Envelope-invalid events this batch carried that were diverted to
+      * the `_rejects` dead-letter directory instead of applied
+      * (`MergeConfig.invalidRows = "quarantine"`; always 0 under "fail" —
+      * a poison batch never commits — and under "off"). */
+    rejectedEvents: Long = 0L,
     /** Low end of the batch's LSN range — with [[maxLsn]] this is the
       * "source offset range" the north rule asks lineage to carry
       * (-1 when not computed, e.g. blind appends / compactions). */
@@ -1913,6 +1918,7 @@ object LakeTable {
     StructField("filesCarried", IntegerType),
     StructField("maxLsn", LongType), StructField("watermarkTs", StringType),
     StructField("durationMs", LongType), StructField("lateEvents", LongType),
+    StructField("rejectedEvents", LongType),
     StructField("minLsn", LongType),
     StructField("partitions", ArrayType(StructType(Seq(
       StructField("bucket", IntegerType), StructField("rows", LongType),

@@ -1,5 +1,6 @@
 package graft.lake
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 import graft.cdc.{MergeApply, MergeConfig}
@@ -89,7 +90,7 @@ object TableMain {
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
           "history schema show tail compact rebucket vacuum vacuum-orphans " +
           "recover set-property tag tags drop-tag diff revert export " +
-          "staged publish abort-staged fsck")
+          "staged publish abort-staged rejects fsck")
       return 1
     }
     val dir = args.head
@@ -289,6 +290,35 @@ object TableMain {
           table.abortStaged(rest.head)
           out(s"[table] aborted ${rest.head}")
           0
+        case "rejects" =>
+          // dead-letter inventory (MergeConfig.invalidRows="quarantine"):
+          // one line per quarantined epoch, then a per-reason rollup —
+          // the triage view for "what is the feed sending us?"
+          val root = new Path(dir, "_rejects")
+          val fs = root.getFileSystem(
+            spark.sessionState.newHadoopConf())
+          if (!fs.exists(root)) { out("[table] no rejects"); 0 }
+          else {
+            val epochDirs = fs.listStatus(root).filter(_.isDirectory)
+              .flatMap(app => fs.listStatus(app.getPath)
+                .filter(d => d.isDirectory &&
+                  d.getPath.getName.startsWith("epoch=")))
+              .map(_.getPath.toString).sorted
+            if (epochDirs.isEmpty) { out("[table] no rejects"); 0 }
+            else {
+              val all = spark.read.parquet(epochDirs: _*)
+              epochDirs.foreach { d =>
+                val n = spark.read.parquet(d).count()
+                val tail = d.split("/_rejects/").last
+                out(f"$tail%-32s $n%6d event(s)")
+              }
+              all.groupBy("reject_reason").count()
+                .orderBy(org.apache.spark.sql.functions.col("count").desc)
+                .collect().foreach(r =>
+                  out(f"reason ${r.getString(0)}%-24s ${r.getLong(1)}%6d"))
+              0
+            }
+          }
         case "fsck" =>
           val problems = table.fsck()
           if (problems.isEmpty) {

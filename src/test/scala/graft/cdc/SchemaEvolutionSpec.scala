@@ -102,6 +102,20 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got == Map("c1" -> 5L, "c2" -> 9999999999L))
   }
 
+  test("a pure registry batch (no data rows) still applies its events") {
+    // zero-output hazard: with every row consumed by the S filter the
+    // write action can run zero tasks, resolving the probe observation to
+    // an empty map — the eager re-check in the 0-row branch must still
+    // find and apply the event (and the epoch must still land)
+    val table = LakeTable.createTable(spark, tmpDir("evo-pure-s"),
+      Schemas.transcript, nBuckets = 2)
+    val r = MergeApply.merge(table, v2(Seq(
+      (1L, "S", null, 0, """{"add":{"name":"meta","type":"string"}}""", null, null))), 0L)
+    assert(r.applied)
+    assert(table.snapshot.userSchema.fieldNames.contains("meta"))
+    assert(table.snapshot.maxCommittedEpoch == 0L)
+  }
+
   test("replayed widen is a no-op when the column was widened further") {
     val table = LakeTable.createTable(spark, tmpDir("evo-rewiden"),
       Schemas.transcript, nBuckets = 2)
