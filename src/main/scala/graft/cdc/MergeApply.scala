@@ -376,8 +376,15 @@ object MergeApply {
       }
       throw new PoisonEventException(n, epochId)
     }
+    // writer identities can be arbitrary strings (the sink derives them
+    // from checkpoint URIs — colons, slashes): slug them for the path,
+    // keeping distinct identities distinct via a hash suffix
+    val app = cfg.txnApp.map { a =>
+      val slug = a.replaceAll("[^A-Za-z0-9._-]", "_")
+      if (slug == a) a else s"$slug-${Integer.toHexString(a.hashCode)}"
+    }.getOrElse("_global")
     val dest = new Path(new Path(table.dir, "_rejects"),
-      s"${cfg.txnApp.getOrElse("_global")}/epoch=$epochId")
+      s"$app/epoch=$epochId")
     rawBatch
       .withColumn("reject_reason", invalidReasonExpr(rawBatch, userSchema))
       .filter(col("reject_reason").isNotNull)
@@ -1119,8 +1126,12 @@ object MergeApply {
       return MergeResult(applied = false, c.version, fpRows, 0L, Nil,
         (System.nanoTime() - t0) / 1000000L)
     }
-    val dataBatch = applySchemaEvents(table, batch)
+    val dataBatch0 = applySchemaEvents(table, batch)
     val snap = table.snapshot
+    // same envelope-validation contract as merge(): the insert fast path
+    // must not silently append a null-keyed or op-garbage event either
+    val (dataBatch, invalidObs) =
+      validationWrap(dataBatch0, snap.userSchema, cfg)
     val norm = normalize(dataBatch, snap.userSchema)
       .withColumn("__bucket", LakeTable.bucketExpr(snap.nBuckets))
     val useBucket = cfg.dedup == "bucket"
@@ -1134,6 +1145,16 @@ object MergeApply {
     // (reference: engine/payload/united_way/211.py:286-293)
     val newFiles = writeBuckets(table, deduped, 1, snap,
       prePartitioned = useBucket, kind = "delta")
+    val rejected =
+      if (newFiles.nonEmpty)
+        resolveInvalid(table, dataBatch0, snap.userSchema, epochId, cfg,
+          invalidObs.flatMap(_.get.get("invalid")).flatMap(Option(_))
+            .map(_.asInstanceOf[Long]).getOrElse(0L), newFiles)
+      else if (invalidObs.isEmpty) 0L
+      else // zero-output write: observations may be unresolved (see merge)
+        resolveInvalid(table, dataBatch0, snap.userSchema, epochId, cfg,
+          dataBatch0.where(invalidReasonExpr(dataBatch0, snap.userSchema)
+            .isNotNull).count(), Nil)
     val rows = newFiles.map(_.rows).sum
     val parts = partitionsOf(newFiles)
     val appMins = parts.map(_.minLsn).filter(_ >= 0)
@@ -1142,13 +1163,13 @@ object MergeApply {
       if (parts.isEmpty) -1L else parts.map(_.maxLsn).max, "",
       (System.nanoTime() - t0) / 1000000L,
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
-      partitions = parts, inputChecksum = fp)
+      partitions = parts, inputChecksum = fp, rejectedEvents = rejected)
     // EpochSuperseded/CommitConflict propagate to append()'s retry loop
     val (eid, txn) = epochArgs(cfg, epochId)
     val c = table.commit(snap, newFiles, Set.empty, eid, Some(entry), txn = txn)
     MergeResult(applied = true, c.version, rows, rows,
       newFiles.map(_.bucket).distinct.sorted,
-      (System.nanoTime() - t0) / 1000000L)
+      (System.nanoTime() - t0) / 1000000L, rejectedEvents = rejected)
   }
 
   /** Write `df` (user cols + __lsn + __op + __bucket) under

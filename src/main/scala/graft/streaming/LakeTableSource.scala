@@ -470,8 +470,15 @@ class LakeTableSourceProvider extends StreamSourceProvider
             "<stable id>); a table this stream exclusively owns may opt " +
             "into the global epoch space with " +
             ".option(\"globalEpochSpace\", \"true\")")))
+    // poison-event policy (MergeConfig.invalidRows): a long-running tail
+    // usually wants "quarantine" — one malformed event must not kill the
+    // stream — while the default "fail" keeps the strict posture
+    val invalid = parameters.getOrElse("invalidRows", "fail")
+    require(Set("fail", "quarantine", "off").contains(invalid),
+      s"invalidRows must be fail, quarantine, or off, got '$invalid'")
     new LakeTableSink(sqlContext, d, method,
-      graft.cdc.MergeConfig(writeMode = mode, txnApp = txnApp))
+      graft.cdc.MergeConfig(writeMode = mode, txnApp = txnApp,
+        invalidRows = invalid))
   }
 
   override def sourceSchema(sqlContext: SQLContext,

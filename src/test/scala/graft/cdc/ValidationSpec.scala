@@ -174,6 +174,31 @@ class ValidationSpec extends SparkSpec {
     assert(lines2 == Seq("[table] no rejects"))
   }
 
+  test("append (insert fast path) validates the same envelope contract") {
+    val dir = tmpDir("val-append")
+    val table = LakeTable.createTable(spark, dir, Schemas.transcript,
+      nBuckets = 2)
+    intercept[PoisonEventException] {
+      MergeApply.append(table,
+        Seq((1L, "I", "a", 0, "user", "x"),
+          (2L, "I", null.asInstanceOf[String], 0, "user", "y"))
+          .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text"),
+        epochId = 0L)
+    }
+    assert(table.read().count() == 0L, "nothing may commit")
+    // quarantine applies the valid remainder and dead-letters the rest
+    val q = MergeConfig(invalidRows = "quarantine")
+    val res = MergeApply.append(table,
+      Seq((1L, "I", "a", 0, "user", "x"),
+        (2L, "I", null.asInstanceOf[String], 0, "user", "y"))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text"),
+      epochId = 0L, q)
+    assert(res.applied && res.rowsApplied == 1L && res.rejectedEvents == 1L)
+    assert(table.read().count() == 1L)
+    assert(spark.read.parquet(s"$dir/_rejects/_global/epoch=0")
+      .head().getAs[String]("reject_reason") == "null_key:conv_id")
+  }
+
   test("a clean feed pays no quarantine action and rejects nothing") {
     val dir = tmpDir("val-clean")
     val table = LakeTable.createTable(spark, dir, Schemas.transcript,

@@ -5,10 +5,12 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.lit
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
 import graft.SparkSpec
 import graft.cdc.{MergeApply, MergeConfig, MergeResult}
 import graft.lake.LakeTable
-import graft.model.Schemas
+import graft.model.{ChangeEvent, Schemas}
 
 /** `format("graft-table")` — the lake table as a Structured Streaming
   * source. Exactly-once table-to-table replication across restarts,
@@ -244,6 +246,39 @@ class LakeTableSourceSpec extends SparkSpec {
     MergeApply.merge(src, batch(Seq((1L, "U", "late", 0, "x"))), 0L, MergeConfig())
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     assert(s.latestOffset(null, ReadLimit.allAvailable()) == null)
+  }
+
+  test("sink invalidRows=quarantine dead-letters poison events without killing the stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dstDir = tmpDir("lts-dlq")
+    val dst = LakeTable.createTable(spark, dstDir, Schemas.transcript, 2)
+    val ckpt = tmpDir("lts-dlq-ckpt")
+    val in = MemoryStream[ChangeEvent]
+    val q = in.toDF()
+      .writeStream.format("graft-table").option("path", dstDir)
+      .option("checkpointLocation", ckpt)
+      .option("invalidRows", "quarantine")
+      .start()
+    try {
+      in.addData(ChangeEvent(1, "I", "a", 0, "user", "x", null, ts),
+        ChangeEvent(2, "X", "b", 0, "user", "y", null, ts), // unknown op
+        ChangeEvent(3, "I", null, 0, "user", "z", null, ts)) // null key
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(state(dst) == Set(("a", 0, "x")))
+    // dead letters landed under the SLUGGED writer-identity directory
+    // (the ckpt-derived identity carries colons/slashes)
+    val rej = new java.io.File(s"$dstDir/_rejects")
+    assert(rej.isDirectory)
+    val appDirs = rej.listFiles().filter(_.isDirectory)
+    assert(appDirs.length == 1 && appDirs.head.getName.startsWith("ckpt_"),
+      appDirs.map(_.getName).mkString(","))
+    val rows = spark.read.parquet(
+      appDirs.head.listFiles().filter(_.isDirectory).head.getPath.toString)
+      .select("lsn", "reject_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(2L -> "bad_op", 3L -> "null_key:conv_id"))
   }
 
   test("sink attaches safely to a destination with already-committed global epochs") {
