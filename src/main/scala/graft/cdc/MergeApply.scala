@@ -347,7 +347,10 @@ object MergeApply {
     * the observation (`None` when validation is off). */
   private def validationWrap(dataBatch: DataFrame, userSchema: StructType,
       cfg: MergeConfig)
-      : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) = {
+    require(Set("fail", "quarantine", "off").contains(cfg.invalidRows),
+      s"invalidRows must be fail, quarantine, or off, got " +
+        s"'${cfg.invalidRows}'")
     if (cfg.invalidRows == "off") (dataBatch, None)
     else {
       val bad = invalidReasonExpr(dataBatch, userSchema).isNotNull
@@ -355,6 +358,7 @@ object MergeApply {
       (dataBatch.observe(io, count(when(bad, lit(1))).as("invalid"))
         .filter(!bad), Some(io))
     }
+  }
 
   /** Resolve the validation observation AFTER the merge's first action.
     * Clean batch (or validation off): returns 0. Fail mode: reclaims

@@ -90,7 +90,7 @@ object TableMain {
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
           "history schema show tail compact rebucket vacuum vacuum-orphans " +
           "recover set-property tag tags drop-tag diff revert export " +
-          "staged publish abort-staged rejects fsck")
+          "export-conversations staged publish abort-staged rejects fsck")
       return 1
     }
     val dir = args.head
@@ -270,6 +270,24 @@ object TableMain {
           require(posArgs.length == 1, "export needs <outDir> [--at <ref>]")
           table.read(asOf = asOf).write.parquet(posArgs.head)
           out(s"[table] exported " +
+            s"v${asOf.getOrElse(table.snapshot.version)} -> ${posArgs.head}")
+          0
+        case "export-conversations" =>
+          // the training-artifact export: one JSON document per
+          // conversation, turns in order, one line each (ConvExport)
+          val i = rest.indexOf("--at")
+          val (asOf, posArgs) =
+            if (i < 0) (None, rest)
+            else {
+              require(i + 1 < rest.length, "--at needs a version or tag")
+              (Some(table.resolveRef(rest(i + 1))),
+                rest.take(i) ++ rest.drop(i + 2))
+            }
+          require(posArgs.length == 1,
+            "export-conversations needs <outDir> [--at <ref>]")
+          graft.ops.ConvExport.writeJsonl(table.read(asOf = asOf),
+            posArgs.head)
+          out(s"[table] exported conversations " +
             s"v${asOf.getOrElse(table.snapshot.version)} -> ${posArgs.head}")
           0
         case "staged" =>
