@@ -407,15 +407,51 @@ class LakeTableSink(sqlContext: SQLContext, tableDir: String,
   override def toString: String = s"LakeTableSink[$tableDir]"
 }
 
-/** Registers short name `graft-table` (META-INF/services). */
+/** Registers short name `graft-table` (META-INF/services). Serves all
+  * four surfaces of the format: streaming source (CDF tail), streaming
+  * sink (merge/append per micro-batch), batch read
+  * ([[graft.lake.GraftBatchRelation]] — pruned/pushed-down state reads,
+  * time travel, metadata tables) and batch write
+  * ([[graft.lake.GraftBatchWrite]]). */
 class LakeTableSourceProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft-table"
 
   private def dir(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       """graft-table requires .option("path", <table dir>)"""))
+
+  /** Batch read: `spark.read.format("graft-table").load(dir)`, with
+    * `.option("at", versionOrTag)` time travel and
+    * `.option("meta", lineage|files|tags)` metadata tables. Also the
+    * relation behind `CREATE TEMPORARY VIEW … USING graft-table`. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val d = dir(parameters)
+    require(LakeTable.load(sqlContext.sparkSession, d).exists,
+      s"no lake table at $d — create it first (LakeTable.createTable " +
+        "or a batch write)")
+    parameters.get("meta") match {
+      case Some(m) =>
+        new graft.lake.GraftMetaRelation(sqlContext, d, m,
+          parameters.get("at"))
+      case None =>
+        new graft.lake.GraftBatchRelation(sqlContext, d,
+          parameters.get("at"))
+    }
+  }
+
+  /** Batch write: `df.write.format("graft-table").mode(…).save(dir)` —
+    * see [[graft.lake.GraftBatchWrite]] for envelope vs plain-row
+    * semantics and the txnAppId/batchId idempotence contract. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: DataFrame): org.apache.spark.sql.sources.BaseRelation =
+    graft.lake.GraftBatchWrite.write(sqlContext, mode, parameters, data)
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

@@ -1,0 +1,206 @@
+package graft.lake
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.SparkSpec
+import graft.cdc.MergeApply
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.model.Schemas
+
+/** The batch read/write surface of the `graft-table` format:
+  * spark.read/.write + SQL views, bucket pruning from SQL predicates,
+  * time travel, metadata tables, SaveMode + idempotence contracts. */
+class BatchRelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(nEvents = 4000L, nConvs = 60L, maxTurns = 8)
+
+  private def seeded(prefix: String): (String, LakeTable) = {
+    val dir = tmpDir(prefix)
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, 4)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    (dir, t)
+  }
+
+  private def canon(df: DataFrame): Seq[Row] =
+    df.orderBy(Schemas.transcript.fieldNames.map(col).toSeq: _*).collect().toSeq
+
+  test("batch read equals LakeTable.read, including under concurrent use") {
+    val (dir, t) = seeded("br-eq")
+    val got = spark.read.format("graft-table").load(dir)
+    assert(got.schema == Schemas.transcript)
+    assert(canon(got) == canon(t.read()))
+  }
+
+  test("conv_id predicates prune to bucket sets (unit) and stay exact (e2e)") {
+    import GraftBatchRelation.convKeys
+    assert(convKeys(Array(EqualTo("conv_id", "c1"))) == Some(Set("c1")))
+    assert(convKeys(Array(In("conv_id", Array[Any]("a", "b")))) ==
+      Some(Set("a", "b")))
+    assert(convKeys(Array(
+      Or(EqualTo("conv_id", "a"), EqualTo("conv_id", "b")))) ==
+      Some(Set("a", "b")))
+    // AND of two different equalities is a contradiction -> empty set
+    assert(convKeys(Array(EqualTo("conv_id", "a"), EqualTo("conv_id", "b")))
+      == Some(Set.empty[String]))
+    // AND with an unrelated predicate keeps the restriction
+    assert(convKeys(Array(
+      And(EqualTo("conv_id", "a"), GreaterThan("turn_idx", 3)))) ==
+      Some(Set("a")))
+    // OR with an unrestricted side cannot bound the scan
+    assert(convKeys(Array(
+      Or(EqualTo("conv_id", "a"), GreaterThan("turn_idx", 3)))).isEmpty)
+
+    val (dir, t) = seeded("br-prune")
+    val conv = t.read().select("conv_id").as[String].head()
+    val rel = spark.read.format("graft-table").load(dir)
+    assert(canon(rel.filter(col("conv_id") === conv)) ==
+      canon(t.readConv(conv)))
+    // contradiction executes as an empty scan, not an error
+    assert(rel.filter(col("conv_id") === "a" && col("conv_id") === "b")
+      .count() == 0)
+    // non-key predicates still answer exactly (re-applied above the scan)
+    assert(rel.filter(col("turn_idx") >= 4).count() ==
+      t.read().filter(col("turn_idx") >= 4).count())
+  }
+
+  test("time travel: at = version or tag pins the whole relation") {
+    val (dir, t) = seeded("br-travel")
+    val v1 = t.snapshot.version
+    t.tag("release-1")
+    val extra = Seq((9000000L, "I", "travel-conv", 0, "user", "late row",
+      null: String, Timestamp.valueOf("2026-03-01 00:00:00")))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, extra, 1L)
+    def readAt(ref: String) = spark.read.format("graft-table")
+      .option("at", ref).load(dir)
+    assert(readAt(v1.toString).count() == t.read(Some(v1)).count())
+    assert(canon(readAt("release-1")) == canon(t.read(Some(v1))))
+    assert(readAt("release-1").filter(col("conv_id") === "travel-conv")
+      .count() == 0)
+    assert(spark.read.format("graft-table").load(dir)
+      .filter(col("conv_id") === "travel-conv").count() == 1)
+  }
+
+  test("meta tables: lineage, files, tags") {
+    val (dir, t) = seeded("br-meta")
+    val tagged = t.snapshot.version // the tag commit itself bumps version
+    t.tag("r1")
+    def meta(m: String) = spark.read.format("graft-table")
+      .option("meta", m).load(dir)
+    val lin = meta("lineage")
+    assert(lin.count() >= 1)
+    assert(lin.columns.contains("epochId") || lin.columns.contains("epoch_id"))
+    val files = meta("files")
+    assert(files.count() == t.snapshot.files.size)
+    assert(files.select("bucket").distinct().as[Int].collect().toSet
+      .subsetOf((0 until 4).toSet))
+    assert(files.filter(col("max_lsn") >= 0).count() > 0)
+    val tags = meta("tags").as[(String, Long)].collect().toMap
+    assert(tags == Map("r1" -> tagged))
+    intercept[IllegalArgumentException] {
+      meta("nope").count()
+    }
+  }
+
+  test("plain SQL over a graft-table view, with key pushdown") {
+    val (dir, t) = seeded("br-sql")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_sql_v " +
+      s"USING `graft-table` OPTIONS (path '$dir')")
+    val conv = t.read().select("conv_id").as[String].head()
+    val got = spark.sql(
+      s"SELECT turn_idx, role, text FROM lake_sql_v WHERE conv_id = '$conv' " +
+        "ORDER BY turn_idx")
+    val want = t.readConv(conv).select("turn_idx", "role", "text")
+      .orderBy("turn_idx")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // aggregate over the empty-projection scan path
+    assert(spark.sql("SELECT count(*) FROM lake_sql_v").as[Long].head() ==
+      t.read().count())
+  }
+
+  test("plain-row batch write: auto-LSN inserts that replace their keys") {
+    val (dir, t) = seeded("br-write")
+    val conv = t.read().select("conv_id").as[String].head()
+    val before = t.read().count()
+    val existingTurn = t.readConv(conv).select("turn_idx").as[Int].head()
+    val rows = Seq(
+      (conv, existingTurn, "assistant", "REWRITTEN", null: String,
+        Timestamp.valueOf("2026-03-02 00:00:00")),
+      ("brand-new-conv", 0, "user", "fresh", null: String,
+        Timestamp.valueOf("2026-03-02 00:00:01")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    rows.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    val after = spark.read.format("graft-table").load(dir)
+    assert(after.count() == before + 1) // one replaced, one new
+    assert(after.filter(col("conv_id") === conv &&
+      col("turn_idx") === existingTurn).select("text").as[String].head() ==
+      "REWRITTEN")
+    assert(after.filter(col("conv_id") === "brand-new-conv").count() == 1)
+  }
+
+  test("envelope batch write: upsert merges, deletes apply") {
+    val (dir, t) = seeded("br-env")
+    val conv = t.read().select("conv_id").as[String].head()
+    val victim = t.readConv(conv).select("turn_idx").as[Int].head()
+    val high = t.highLsn(t.snapshot)
+    val env = Seq(
+      (high + 1, "D", conv, victim, null: String, null: String,
+        null: String, null: Timestamp))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    env.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft-table").load(dir)
+      .filter(col("conv_id") === conv && col("turn_idx") === victim)
+      .count() == 0)
+  }
+
+  test("SaveMode contract: create, overwrite, errorIfExists, ignore") {
+    val dir = tmpDir("br-mode")
+    val rows = Seq(("c1", 0, "user", "hello", null: String,
+      Timestamp.valueOf("2026-03-03 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // create-on-first-write with explicit layout
+    rows.write.format("graft-table").option("nBuckets", "2")
+      .mode(SaveMode.Append).save(dir)
+    val t = LakeTable.load(spark, dir)
+    assert(t.exists && t.snapshot.nBuckets == 2)
+    assert(t.read().count() == 1)
+    intercept[IllegalArgumentException] {
+      rows.write.format("graft-table").mode(SaveMode.ErrorIfExists).save(dir)
+    }
+    rows.write.format("graft-table").mode(SaveMode.Ignore).save(dir)
+    assert(t.read().count() == 1)
+    val repl = Seq(("c2", 0, "user", "replaced", null: String,
+      Timestamp.valueOf("2026-03-03 00:00:01")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    repl.write.format("graft-table").mode(SaveMode.Overwrite).save(dir)
+    assert(t.read().select("conv_id").as[String].collect().toSeq ==
+      Seq("c2"))
+    // truncate-based overwrite preserved schema + layout (wipe_data)
+    assert(t.snapshot.nBuckets == 2)
+  }
+
+  test("txnAppId + batchId makes batch-write re-runs no-ops") {
+    val dir = tmpDir("br-idem")
+    val rows = Seq(("c1", 0, "user", "once", null: String,
+      Timestamp.valueOf("2026-03-04 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def run(): Unit = rows.write.format("graft-table")
+      .option("txnAppId", "nightly-load").option("batchId", "7")
+      .mode(SaveMode.Append).save(dir)
+    run(); run()
+    val t = LakeTable.load(spark, dir)
+    assert(t.read().count() == 1)
+    // anonymous writes DO re-apply (a write is a user action): the same
+    // key written again lands as a newer LSN version, count unchanged,
+    // but a new commit exists
+    val v = t.snapshot.version
+    rows.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    assert(t.snapshot.version > v)
+    assert(t.read().count() == 1)
+  }
+}
