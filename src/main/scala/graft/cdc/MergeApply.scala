@@ -1079,7 +1079,24 @@ object MergeApply {
     * known fresh (e.g. time-gap incremental loads). Still LWW-dedups within
     * the batch and keeps the epoch guard. */
   def append(table: LakeTable, batch: DataFrame, epochId: Long,
-      cfg: MergeConfig = MergeConfig()): MergeResult = {
+      cfg: MergeConfig = MergeConfig()): MergeResult =
+    appendOrReplace(table, batch, epochId, cfg, replaceExisting = false)
+
+  /** Atomic whole-table overwrite: ONE commit that both retires every
+    * live file and registers the batch's winners (the truncate-then-load
+    * two-commit shape publishes an empty table to concurrent readers
+    * between the commits, and a crash between them loses the data).
+    * Same envelope/validation/epoch-guard contract as [[append]]; the
+    * within-batch LWW dedup leaves one version per key, so the files
+    * land as `base` (no MoR resolution needed on read). Backs
+    * `SaveMode.Overwrite` in [[graft.lake.GraftBatchWrite]]. */
+  def replace(table: LakeTable, batch: DataFrame, epochId: Long,
+      cfg: MergeConfig = MergeConfig()): MergeResult =
+    appendOrReplace(table, batch, epochId, cfg, replaceExisting = true)
+
+  private def appendOrReplace(table: LakeTable, batch: DataFrame,
+      epochId: Long, cfg: MergeConfig, replaceExisting: Boolean)
+      : MergeResult = {
     require(cfg.wapId.isEmpty,
       "write-audit-publish staging is a merge-path feature (wapId is " +
         "ignored nowhere): route audited loads through merge()")
@@ -1098,7 +1115,8 @@ object MergeApply {
       if (cfg.inputChecksumGate) batchFingerprint(batch) else (0L, "")
     var conflictRetries = 0
     while (true) {
-      try return appendOnce(table, batch, epochId, cfg, t0, fpRows, fp)
+      try return appendOnce(table, batch, epochId, cfg, t0, fpRows, fp,
+        replaceExisting)
       catch {
         case _: graft.lake.EpochSupersededException =>
           return MergeResult(applied = false, table.snapshot.version, 0L, 0L,
@@ -1114,7 +1132,8 @@ object MergeApply {
   }
 
   private def appendOnce(table: LakeTable, batch: DataFrame, epochId: Long,
-      cfg: MergeConfig, t0: Long, fpRows: Long, fp: String): MergeResult = {
+      cfg: MergeConfig, t0: Long, fpRows: Long, fp: String,
+      replaceExisting: Boolean = false): MergeResult = {
     // every attempt re-reads the snapshot: a racer's epoch or checksum
     // commit between attempts is honored
     val snap0 = table.snapshot
@@ -1148,7 +1167,8 @@ object MergeApply {
     // correct only "because date-gap logic makes it idempotent per-day"
     // (reference: engine/payload/united_way/211.py:286-293)
     val newFiles = writeBuckets(table, deduped, 1, snap,
-      prePartitioned = useBucket, kind = "delta")
+      prePartitioned = useBucket,
+      kind = if (replaceExisting) "base" else "delta")
     val rejected =
       if (newFiles.nonEmpty)
         resolveInvalid(table, dataBatch0, snap.userSchema, epochId, cfg,
@@ -1168,9 +1188,15 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L,
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
       partitions = parts, inputChecksum = fp, rejectedEvents = rejected)
-    // EpochSuperseded/CommitConflict propagate to append()'s retry loop
+    // EpochSuperseded/CommitConflict propagate to append()'s retry loop.
+    // replaceExisting retires every live file in the SAME commit (the
+    // atomic-overwrite contract of [[replace]]); a conflict retry
+    // recomputes the retired set from the fresh snapshot.
+    val replaced =
+      if (replaceExisting) snap.files.map(_.bucket).toSet
+      else Set.empty[Int]
     val (eid, txn) = epochArgs(cfg, epochId)
-    val c = table.commit(snap, newFiles, Set.empty, eid, Some(entry), txn = txn)
+    val c = table.commit(snap, newFiles, replaced, eid, Some(entry), txn = txn)
     MergeResult(applied = true, c.version, rows, rows,
       newFiles.map(_.bucket).distinct.sorted,
       (System.nanoTime() - t0) / 1000000L, rejectedEvents = rejected)

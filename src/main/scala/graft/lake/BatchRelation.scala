@@ -43,14 +43,29 @@ final class GraftBatchRelation(
 
   private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
 
-  /** The whole relation is pinned to ONE snapshot at construction:
-    * schema and every buildScan agree even under concurrent commits
-    * (the same read-race pinning contract as [[LakeTable.read]]). */
+  /** Schema (and the `at` ref, when given) resolve at construction. */
   private val pinnedSnap: Snapshot =
     at.map(r => table.snapshotAt(table.resolveRef(r)))
       .getOrElse(table.snapshot)
 
   override val schema: StructType = pinnedSnap.userSchema
+
+  /** Snapshot one scan executes against. With `at` the relation is a
+    * frozen release read — always the construction-time snapshot.
+    * Without it, each scan re-resolves the CURRENT snapshot, because a
+    * `CREATE TEMPORARY VIEW … USING graft-table` view keeps this
+    * relation instance alive indefinitely and must not serve stale data
+    * forever. A DSv1 relation's schema is fixed, though, so if the
+    * table's schema has EVOLVED since construction the scan falls back
+    * to the pinned snapshot (type-correct, stale) — re-create the view
+    * after schema evolution (self-joins of one view may legitimately
+    * scan twice; each scan is internally pinned to one snapshot). */
+  private def scanSnap(): Snapshot =
+    if (at.isDefined) pinnedSnap
+    else {
+      val s = table.snapshot
+      if (s.userSchema == schema) s else pinnedSnap
+    }
 
   /** Upper-bound-biased row estimate (1 KiB/row over the manifest's
     * row counts — no data scan): genuinely small dimension tables stay
@@ -65,15 +80,16 @@ final class GraftBatchRelation(
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    val snap = scanSnap()
     val base = GraftBatchRelation.convKeys(filters) match {
       case Some(keys) if keys.isEmpty =>
         // contradictory key predicates (e.g. conv_id = 'a' AND = 'b')
         sqlContext.sparkSession.createDataFrame(
-          new java.util.ArrayList[Row](), pinnedSnap.userSchema)
+          new java.util.ArrayList[Row](), snap.userSchema)
       case Some(keys) =>
-        val buckets = keys.map(LakeTable.bucketOf(_, pinnedSnap.nBuckets))
-        table.readBuckets(buckets, Some(pinnedSnap.version))
-      case None => table.read(Some(pinnedSnap.version))
+        val buckets = keys.map(LakeTable.bucketOf(_, snap.nBuckets))
+        table.readBuckets(buckets, Some(snap.version))
+      case None => table.read(Some(snap.version))
     }
     // apply translatable predicates inside the plan: Catalyst pushes
     // them through the LWW window to the parquet scan (stats + blooms)
@@ -119,9 +135,18 @@ object GraftBatchRelation {
 
   /** Best-effort `Filter` → `Column` translation for in-plan pushdown.
     * `None` for anything not cleanly expressible — safe, because Spark
-    * re-applies every filter above the scan (see `unhandledFilters`). */
-  private[lake] def translate(f: Filter, schema: StructType)
-      : Option[Column] = {
+    * re-applies every filter above the scan (see `unhandledFilters`).
+    *
+    * Soundness direction: the in-scan filter must be WEAKER than (or
+    * equal to) the original predicate — re-application above the scan
+    * can only remove rows, never restore dropped ones. The `And` case
+    * therefore may keep one translated side alone… but only while
+    * un-negated: under `Not`, a weakened operand inverts into a
+    * STRONGER filter that silently drops matching rows, so `Not`
+    * demands an `exact` translation of its operand (both `And`/`Or`
+    * sides present, recursively). */
+  private[lake] def translate(f: Filter, schema: StructType,
+      exact: Boolean = false): Option[Column] = {
     def has(a: String) = schema.fieldNames.contains(a)
     def l(v: Any): Option[Column] = v match {
       case null => None
@@ -145,13 +170,15 @@ object GraftBatchRelation {
       case StringStartsWith(a, v) if has(a) => Some(col(a).startsWith(v))
       case StringEndsWith(a, v) if has(a) => Some(col(a).endsWith(v))
       case StringContains(a, v) if has(a) => Some(col(a).contains(v))
-      case Not(c) => translate(c, schema).map(!_)
-      case And(x, y) => (translate(x, schema), translate(y, schema)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (a, b) => a.orElse(b) // AND: either side alone is sound
-      }
+      case Not(c) => translate(c, schema, exact = true).map(!_)
+      case And(x, y) =>
+        (translate(x, schema, exact), translate(y, schema, exact)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case _ if exact => None // a weakened AND is unsound under Not
+          case (a, b) => a.orElse(b) // AND: either side alone is sound
+        }
       case Or(x, y) =>
-        for { a <- translate(x, schema); b <- translate(y, schema) }
+        for { a <- translate(x, schema, exact); b <- translate(y, schema, exact) }
           yield a || b
       case _ => None
     }
@@ -177,9 +204,17 @@ final class GraftMetaRelation(
 
   private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
 
-  private def metaDF: DataFrame = {
+  /** Built once — schema and scan serve the same frame (the pinning
+    * contract), and the lineage mirror is read once, not per accessor.
+    * `at` is only meaningful for `files` (the one snapshot-shaped meta
+    * table); combining it with lineage/tags is rejected rather than
+    * silently ignored. */
+  private val metaDF: DataFrame = {
     val spark = sqlContext.sparkSession
     import spark.implicits._
+    require(at.isEmpty || meta == "files",
+      s"""option "at" applies only to meta=files (lineage is the full """ +
+        s"append-only history; tags are current refs) — got meta=$meta")
     meta match {
       case "lineage" => table.lineageTable
       case "files" =>
@@ -217,10 +252,12 @@ final class GraftMetaRelation(
   *    files, so readers LWW-resolve key overlap correctly.
   *
   * `SaveMode` semantics: `Append` loads into the (possibly new) table;
-  * `Overwrite` truncates first (schema and column docs survive — the
-  * wipe_data contract); `ErrorIfExists`/`Ignore` behave per their names.
-  * A missing table is created from the written schema
-  * (`.option("nBuckets", n)` sizes the layout, default 32).
+  * `Overwrite` replaces the table's contents in ONE atomic commit
+  * (schema and column docs survive — the wipe_data contract; concurrent
+  * readers see old state or new state, never an empty table);
+  * `ErrorIfExists`/`Ignore` behave per their names. A missing table is
+  * created from the written schema (`.option("nBuckets", n)` sizes the
+  * layout, default 32).
   *
   * Idempotence: each anonymous write commits under a fresh app-scoped
   * txn slot, so re-running a script genuinely re-applies it (a batch
@@ -235,28 +272,18 @@ object GraftBatchWrite {
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       """graft-table requires .option("path", <table dir>) / save(<dir>)"""))
-    var table = LakeTable.load(spark, dir)
-    val existed = table.exists
-    if (mode == SaveMode.ErrorIfExists && existed)
-      throw new IllegalArgumentException(
-        s"lake table at $dir already exists (SaveMode.ErrorIfExists)")
-    if (mode == SaveMode.Ignore && existed)
-      return new GraftBatchRelation(sqlContext, dir, None)
 
-    val hasEnvelope =
-      data.columns.contains("lsn") && data.columns.contains("op")
-    if (!existed) {
-      val userSchema =
-        if (hasEnvelope)
-          StructType(data.schema.fields.filterNot(f =>
-            f.name == "lsn" || f.name == "op"))
-        else data.schema
-      val nBuckets = parameters.get("nBuckets").map(_.toInt).getOrElse(32)
-      table = LakeTable.createTable(spark, dir, userSchema, nBuckets)
-    } else if (mode == SaveMode.Overwrite) {
-      table.truncate()
-    }
-
+    // ---- validate EVERY option before any state change: a typo'd
+    // option (or a malformed batchId) must cost an error, never a table
+    val hasLsn = data.columns.contains("lsn")
+    val hasOp = data.columns.contains("op")
+    require(hasLsn == hasOp,
+      "half a change-event envelope: the frame carries " +
+        (if (hasLsn) "'lsn' without 'op'" else "'op' without 'lsn'") +
+        " — a full envelope applies as change events; dropping/renaming " +
+        "the stray column writes it as plain data (auto-envelope would " +
+        "silently overwrite its values)")
+    val hasEnvelope = hasLsn && hasOp
     val method =
       parameters.getOrElse("method", if (hasEnvelope) "upsert" else "insert")
     require(method == "upsert" || method == "insert",
@@ -267,6 +294,38 @@ object GraftBatchWrite {
     val invalid = parameters.getOrElse("invalidRows", "fail")
     require(Set("fail", "quarantine", "off").contains(invalid),
       s"invalidRows must be fail, quarantine, or off, got '$invalid'")
+    val nBucketsOpt = parameters.get("nBuckets").map(_.toInt)
+    // txnAppId/batchId travel as a pair — a lone batchId silently
+    // falling back to a fresh slot would drop the replay protection the
+    // caller asked for
+    val idem: Option[(String, Long)] =
+      (parameters.get("txnAppId"), parameters.get("batchId")) match {
+        case (Some(id), Some(b)) => Some((id, b.toLong))
+        case (Some(_), None) => throw new IllegalArgumentException(
+          """.option("txnAppId", …) needs .option("batchId", <n>) — """ +
+            "the pair is the idempotence key for replayed batch writes")
+        case (None, Some(_)) => throw new IllegalArgumentException(
+          """.option("batchId", …) needs .option("txnAppId", <id>) — """ +
+            "without the slot id the batch id protects nothing")
+        case (None, None) => None
+      }
+
+    var table = LakeTable.load(spark, dir)
+    val existed = table.exists
+    if (mode == SaveMode.ErrorIfExists && existed)
+      throw new IllegalArgumentException(
+        s"lake table at $dir already exists (SaveMode.ErrorIfExists)")
+    if (mode == SaveMode.Ignore && existed)
+      return new GraftBatchRelation(sqlContext, dir, None)
+    if (!existed) {
+      val userSchema =
+        if (hasEnvelope)
+          StructType(data.schema.fields.filterNot(f =>
+            f.name == "lsn" || f.name == "op"))
+        else data.schema
+      table = LakeTable.createTable(spark, dir, userSchema,
+        nBucketsOpt.getOrElse(32))
+    }
 
     val batch =
       if (hasEnvelope) data
@@ -278,12 +337,8 @@ object GraftBatchWrite {
           .withColumn("op", lit("I"))
       }
 
-    val (txnApp, batchId) = parameters.get("txnAppId") match {
-      case Some(id) =>
-        (Some(id), parameters.get("batchId").map(_.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            """.option("txnAppId", …) needs .option("batchId", <n>) — """ +
-              "the pair is the idempotence key for replayed batch writes")))
+    val (txnApp, batchId) = idem match {
+      case Some((id, b)) => (Some(id), b)
       case None =>
         // fresh slot per write: a re-run re-applies (see scaladoc); slot
         // retention evicts the oldest identities, so churn is bounded
@@ -291,7 +346,17 @@ object GraftBatchWrite {
     }
     val cfg = graft.cdc.MergeConfig(writeMode = writeMode, txnApp = txnApp,
       invalidRows = invalid)
-    if (method == "insert") graft.cdc.MergeApply.append(table, batch, batchId, cfg)
+    // Overwrite on an existing table is ONE atomic commit (retire every
+    // live file + register the batch) — never truncate-then-load, which
+    // publishes an empty table to concurrent readers and, under a
+    // txnAppId replay, would destroy the data BEFORE the idempotence
+    // guard could no-op the load. The guard sits inside the commit
+    // protocol, so a replayed (txnAppId, batchId) Overwrite is a full
+    // no-op, data intact.
+    if (existed && mode == SaveMode.Overwrite)
+      graft.cdc.MergeApply.replace(table, batch, batchId, cfg)
+    else if (method == "insert")
+      graft.cdc.MergeApply.append(table, batch, batchId, cfg)
     else graft.cdc.MergeApply.merge(table, batch, batchId, cfg)
     new GraftBatchRelation(sqlContext, dir, None)
   }

@@ -55,6 +55,17 @@ class BatchRelationSpec extends SparkSpec {
     assert(convKeys(Array(
       Or(EqualTo("conv_id", "a"), GreaterThan("turn_idx", 3)))).isEmpty)
 
+    // translate soundness under negation: And may be weakened to one
+    // side only while UN-negated — Not of a weakened operand would be a
+    // stronger-than-original filter that drops matching rows
+    val sch = Schemas.transcript
+    val weakenable = And(EqualTo("role", "user"),
+      EqualTo("text", new Object)) // untranslatable literal
+    assert(GraftBatchRelation.translate(weakenable, sch).isDefined)
+    assert(GraftBatchRelation.translate(Not(weakenable), sch).isEmpty)
+    assert(GraftBatchRelation.translate(
+      Not(And(EqualTo("role", "user"), EqualTo("tool", "t"))), sch).isDefined)
+
     val (dir, t) = seeded("br-prune")
     val conv = t.read().select("conv_id").as[String].head()
     val rel = spark.read.format("graft-table").load(dir)
@@ -105,6 +116,14 @@ class BatchRelationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       meta("nope").count()
     }
+    // at applies only to the snapshot-shaped files table — silently
+    // ignoring it on lineage/tags would misreport a time-traveled read
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("meta", "tags")
+        .option("at", "r1").load(dir).count()
+    }
+    assert(spark.read.format("graft-table").option("meta", "files")
+      .option("at", "r1").load(dir).count() == t.snapshotAt(tagged).files.size)
   }
 
   test("plain SQL over a graft-table view, with key pushdown") {
@@ -177,11 +196,79 @@ class BatchRelationSpec extends SparkSpec {
     val repl = Seq(("c2", 0, "user", "replaced", null: String,
       Timestamp.valueOf("2026-03-03 00:00:01")))
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val vBefore = t.snapshot.version
     repl.write.format("graft-table").mode(SaveMode.Overwrite).save(dir)
     assert(t.read().select("conv_id").as[String].collect().toSeq ==
       Seq("c2"))
-    // truncate-based overwrite preserved schema + layout (wipe_data)
+    // overwrite preserved schema + layout (wipe_data) and was ONE
+    // atomic commit — no intermediate empty-table state ever published
     assert(t.snapshot.nBuckets == 2)
+    assert(t.snapshot.version == vBefore + 1)
+  }
+
+  test("half-envelope and lone-batchId inputs are rejected, not clobbered") {
+    val dir = tmpDir("br-guard")
+    val half = Seq(("c1", 0, "user", "x", null: String,
+      Timestamp.valueOf("2026-03-05 00:00:00"), 42L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn")
+    intercept[IllegalArgumentException] {
+      half.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    }
+    val rows = half.drop("lsn")
+    intercept[IllegalArgumentException] {
+      rows.write.format("graft-table").option("batchId", "3")
+        .mode(SaveMode.Append).save(dir)
+    }
+    // nothing was created by the failed writes
+    assert(!LakeTable.load(spark, dir).exists)
+    // a typo'd option on an Overwrite fails BEFORE touching the table
+    rows.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    val t = LakeTable.load(spark, dir)
+    intercept[IllegalArgumentException] {
+      rows.write.format("graft-table").option("method", "upsertt")
+        .mode(SaveMode.Overwrite).save(dir)
+    }
+    assert(t.read().count() == 1)
+  }
+
+  test("replayed (txnAppId, batchId) Overwrite is a no-op with data intact") {
+    val dir = tmpDir("br-ow-idem")
+    val seedRows = Seq(("c1", 0, "user", "v1", null: String,
+      Timestamp.valueOf("2026-03-06 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    seedRows.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    val repl = Seq(("c2", 0, "user", "v2", null: String,
+      Timestamp.valueOf("2026-03-06 00:00:01")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def overwrite(): Unit = repl.write.format("graft-table")
+      .option("txnAppId", "ow-job").option("batchId", "1")
+      .mode(SaveMode.Overwrite).save(dir)
+    overwrite()
+    val t = LakeTable.load(spark, dir)
+    assert(t.read().select("text").as[String].collect().toSeq == Seq("v2"))
+    val v = t.snapshot.version
+    // the orchestrator retries the same (appId, batchId): the guard
+    // sits INSIDE the atomic replace commit, so nothing is destroyed
+    overwrite()
+    assert(t.snapshot.version == v)
+    assert(t.read().select("text").as[String].collect().toSeq == Seq("v2"))
+  }
+
+  test("a graft-table SQL view stays fresh across commits") {
+    val (dir, t) = seeded("br-fresh")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_fresh_v " +
+      s"USING `graft-table` OPTIONS (path '$dir')")
+    val before = spark.sql("SELECT count(*) FROM lake_fresh_v")
+      .as[Long].head()
+    val extra = Seq(("fresh-conv", 0, "user", "new row", null: String,
+      Timestamp.valueOf("2026-03-07 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    extra.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    // the view's relation instance re-resolves the snapshot per scan
+    assert(spark.sql("SELECT count(*) FROM lake_fresh_v").as[Long].head()
+      == before + 1)
+    // an at-pinned read stays frozen by contract
+    assert(t.read().count() == before + 1)
   }
 
   test("txnAppId + batchId makes batch-write re-runs no-ops") {
