@@ -89,7 +89,26 @@ final class GraftBatchRelation(
       case Some(keys) =>
         val buckets = keys.map(LakeTable.bucketOf(_, snap.nBuckets))
         table.readBuckets(buckets, Some(snap.version))
-      case None => table.read(Some(snap.version))
+      case None =>
+        // no key restriction: event-time lower bounds on the table's
+        // event-time column skip files via the manifest zone maps — a
+        // `WHERE ts > …` over years of history reads the tail, not the
+        // table (exactness does not depend on this: the readTimeTail
+        // filter and Spark's re-applied predicate both hold)
+        val tsCol = table.watermarkColumn
+          .filter(c => snap.userSchema.fields.exists(f =>
+            f.name == c && f.dataType ==
+              org.apache.spark.sql.types.TimestampType))
+          .orElse(snap.userSchema.fields.find(f =>
+            f.name == "ts" && f.dataType ==
+              org.apache.spark.sql.types.TimestampType).map(_.name))
+        tsCol.flatMap(c =>
+            GraftBatchRelation.tsLowerBoundMicros(filters, c).map((c, _)))
+          match {
+          case Some((c, cutoff)) =>
+            table.readTimeTail(c, cutoff, Some(snap.version))
+          case None => table.read(Some(snap.version))
+        }
     }
     // apply translatable predicates inside the plan: Catalyst pushes
     // them through the LWW window to the parquet scan (stats + blooms)
@@ -131,6 +150,37 @@ object GraftBatchRelation {
     case Or(a, b) => // both sides must be restricted for OR to bound
       for { x <- convSet(a); y <- convSet(b) } yield x union y
     case _ => None
+  }
+
+  /** Strictly-greater event-time lower bound (UTC epoch micros of
+    * column `c`) implied by the filters, for zone-map file skipping via
+    * [[LakeTable.readTimeTail]]. Top-level array = AND (max of bounds);
+    * `Or` bounds only when BOTH sides do (min). `>` at value v bounds
+    * at v; `>=` at v bounds at v − 1 µs (storage is micros, so the
+    * boundary is exact). `None` = no usable bound. */
+  private[lake] def tsLowerBoundMicros(filters: Array[Filter], c: String)
+      : Option[Long] = {
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    def bound(f: Filter): Option[Long] = f match {
+      case GreaterThan(a, v) if a == c => micros(v)
+      case GreaterThanOrEqual(a, v) if a == c => micros(v).map(_ - 1L)
+      case EqualTo(a, v) if a == c => micros(v).map(_ - 1L)
+      case And(x, y) => (bound(x), bound(y)) match {
+        case (Some(l), Some(r)) => Some(math.max(l, r))
+        case (l, r) => l.orElse(r)
+      }
+      case Or(x, y) =>
+        for { l <- bound(x); r <- bound(y) } yield math.min(l, r)
+      case _ => None
+    }
+    val bs = filters.flatMap(bound)
+    if (bs.isEmpty) None else Some(bs.max)
   }
 
   /** Best-effort `Filter` → `Column` translation for in-plan pushdown.

@@ -1302,6 +1302,30 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Table state restricted to event-time strictly after `cutoffMicros`
+    * (UTC epoch micros of column `c`), file-skipped from the manifest's
+    * event-time zone maps alone ([[LakeTable.tsCandidates]]) — the
+    * arbitrary-cutoff sibling of [[incrementalTail]] (which derives its
+    * cutoff from the table's own high-water anchor). A `WHERE ts >
+    * literal` over years of history reads the matching tail files, not
+    * the table; rows with a null event time are outside every window
+    * (the predicate's own SQL semantics). Safe on any column: files
+    * whose stats describe a different column (or none) are kept
+    * conservatively and the explicit filter does the rest, and
+    * delta-bearing buckets keep ALL their files so LWW stays exact
+    * (the newer-LSN-but-older-ts trap, see `TsSkipSpec`). Backs the
+    * batch relation's event-time predicate pushdown. */
+  def readTimeTail(c: String, cutoffMicros: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.map(snapshotAt).getOrElse(snapshot)
+    require(snap.userSchema.fields.exists(f =>
+      f.name == c && f.dataType == org.apache.spark.sql.types.TimestampType),
+      s"'$c' is not a timestamp column of the table schema")
+    liveRows(snap,
+      resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoffMicros, c)))
+      .filter(col(c) > timestamp_micros(lit(cutoffMicros)))
+  }
+
   /** Driver-side inverse of MergeApply's `date_format(_, TsFmt)`: parse
     * the fixed-width watermark string back to epoch micros in the
     * SESSION timezone — the same zone `date_format` rendered it in, so

@@ -79,6 +79,39 @@ class BatchRelationSpec extends SparkSpec {
       t.read().filter(col("turn_idx") >= 4).count())
   }
 
+  test("event-time lower bounds push into the zone-map tail read") {
+    import GraftBatchRelation.tsLowerBoundMicros
+    val v = Timestamp.valueOf("2026-01-20 00:00:00")
+    val m = v.getTime / 1000L * 1000000L + v.getNanos / 1000L
+    assert(tsLowerBoundMicros(Array(GreaterThan("ts", v)), "ts") == Some(m))
+    assert(tsLowerBoundMicros(Array(GreaterThanOrEqual("ts", v)), "ts") ==
+      Some(m - 1))
+    assert(tsLowerBoundMicros(Array(EqualTo("ts", v)), "ts") == Some(m - 1))
+    // AND takes the tighter bound; an unbounded conjunct doesn't block
+    assert(tsLowerBoundMicros(Array(
+      And(GreaterThan("ts", v), EqualTo("role", "user"))), "ts") == Some(m))
+    // OR bounds only when both sides do (min); else no bound
+    val earlier = Timestamp.valueOf("2026-01-10 00:00:00")
+    val mE = earlier.getTime / 1000L * 1000000L
+    assert(tsLowerBoundMicros(Array(
+      Or(GreaterThan("ts", v), GreaterThan("ts", earlier))), "ts") ==
+      Some(mE))
+    assert(tsLowerBoundMicros(Array(
+      Or(GreaterThan("ts", v), EqualTo("role", "user"))), "ts").isEmpty)
+    assert(tsLowerBoundMicros(Array(GreaterThan("other", v)), "ts").isEmpty)
+
+    // e2e: the pushed plan answers exactly like the brute filter
+    val (dir, t) = seeded("br-ts")
+    val mid = t.read().selectExpr("percentile(unix_micros(ts), 0.5)")
+      .as[Double].head().toLong
+    val midTs = new Timestamp(mid / 1000L)
+    val rel = spark.read.format("graft-table").load(dir)
+    assert(rel.filter(col("ts") > lit(midTs)).count() ==
+      t.read().filter(col("ts") > lit(midTs)).count())
+    assert(rel.filter(col("ts") >= lit(midTs)).count() ==
+      t.read().filter(col("ts") >= lit(midTs)).count())
+  }
+
   test("time travel: at = version or tag pins the whole relation") {
     val (dir, t) = seeded("br-travel")
     val v1 = t.snapshot.version

@@ -110,6 +110,37 @@ class TsSkipSpec extends SparkSpec {
     assert(cands.forall(_.bucket == 0), s"only bucket 0 survives: $cands")
   }
 
+  test("readTimeTail: arbitrary cutoff prunes files, matches brute filter") {
+    val t = LakeTable.createTable(spark, tmpDir("ts-rtt"),
+      Schemas.transcript, 4,
+      properties = Map(graft.spec.TimeField.WatermarkColumn -> "ts"))
+    val recent = convIn(0, "r3-")
+    MergeApply.merge(t, batch(
+      ev(1, "I", convIn(0, "r1-"), 0, ts(1)),
+      ev(2, "I", convIn(1, "r1-"), 0, ts(2)),
+      ev(3, "I", convIn(2, "r1-"), 0, ts(2)),
+      ev(4, "I", convIn(3, "r1-"), 0, ts(3))), 0L)
+    MergeApply.merge(t, batch(
+      ev(5, "I", convIn(1, "r2-"), 0, ts(12)),
+      ev(6, "I", convIn(2, "r2-"), 0, ts(13))), 1L)
+    MergeApply.merge(t, batch(ev(7, "I", recent, 0, ts(25))), 2L)
+    val cutoff = micros(ts(20))
+    val got = t.readTimeTail("ts", cutoff)
+      .select("conv_id").as[String].collect().toSet
+    assert(got == Set(recent))
+    val brute = t.read().filter(col("ts") > timestamp_micros(lit(cutoff)))
+      .select("conv_id").as[String].collect().toSet
+    assert(got == brute)
+    // pruning engaged: only bucket 0 can hold post-cutoff rows
+    val cands = LakeTable.tsCandidates(t.snapshot.files, cutoff, "ts")
+    assert(cands.size < t.snapshot.files.size && cands.forall(_.bucket == 0))
+    // boundary is strict, like the filter it serves
+    assert(t.readTimeTail("ts", micros(ts(25))).count() == 0)
+    assert(t.readTimeTail("ts", micros(ts(25)) - 1).count() == 1)
+    // a non-timestamp column is rejected up front
+    intercept[IllegalArgumentException] { t.readTimeTail("role", 0L) }
+  }
+
   test("LWW trap: event time is not aligned with LSN; tail stays exact") {
     val t = LakeTable.createTable(spark, tmpDir("ts-lww"),
       Schemas.transcript, 2,
