@@ -25,10 +25,18 @@ import org.apache.spark.sql.types._
   *    silently.
   *  - row payload: `after` for I/U, `before` for D (a Debezium delete
   *    carries only the preimage).
-  *  - `lsn`: `source.lsn`, falling back to `source.sequence` (some
-  *    connectors emit the LSN there as a stringified number) and then
-  *    `ts_ms` — in that order, first non-null. Feeds with none of the
-  *    three produce null LSNs and fail validation loudly.
+  *  - `lsn`: ONE ordering field per feed, chosen by `lsnField` —
+  *    `"lsn"` (default; Postgres logical decoding), `"sequence"`
+  *    (connectors emitting the LSN as a stringified number), or
+  *    `"ts_ms"` (payload-level, with `source.ts_ms` as the same-space
+  *    fallback; MySQL-shaped feeds without an LSN field — note
+  *    millisecond resolution means two same-key changes within one
+  *    millisecond tie, so prefer a real LSN whenever the connector
+  *    provides one). A per-row fallback ACROSS spaces would be unsound:
+  *    one ts_ms-sized value (~1.7e12) leaking into an LSN-sized feed
+  *    (~1e9) would out-win every genuine update of its key forever. A
+  *    record missing the chosen field yields a null LSN and fails
+  *    validation loudly — never a silently mis-ordered event.
   *
   * Kafka log-compaction tombstones (null/empty value) are dropped when
   * `dropTombstones` is set (default): they are a topic-retention
@@ -64,8 +72,10 @@ object DebeziumAdapter {
     * merge's envelope validation (fail or quarantine — never a silent
     * upsert). */
   def toEnvelope(raw: DataFrame, userSchema: StructType,
-      jsonCol: String = "value", dropTombstones: Boolean = true)
-      : DataFrame = {
+      jsonCol: String = "value", dropTombstones: Boolean = true,
+      lsnField: String = "lsn"): DataFrame = {
+    require(Set("lsn", "sequence", "ts_ms").contains(lsnField),
+      s"lsnField must be lsn, sequence, or ts_ms, got '$lsnField'")
     val ps = payloadSchema(userSchema)
     val wrapped = StructType(Seq(StructField("payload", ps)))
     val json = col(jsonCol).cast(StringType)
@@ -84,10 +94,15 @@ object DebeziumAdapter {
       .when(op === "d", lit("D"))
     val row = when(mappedOp === "D", p.getField("before"))
       .otherwise(p.getField("after"))
-    val lsn = coalesce(
-      p.getField("source").getField("lsn"),
-      p.getField("source").getField("sequence").cast(LongType),
-      p.getField("ts_ms"))
+    val lsn = lsnField match {
+      case "lsn" => p.getField("source").getField("lsn")
+      case "sequence" =>
+        p.getField("source").getField("sequence").cast(LongType)
+      case "ts_ms" => // payload-level first; source.ts_ms is the SAME
+        // clock (same space), so this one coalesce is sound
+        coalesce(p.getField("ts_ms"),
+          p.getField("source").getField("ts_ms"))
+    }
     base
       .select(lsn.as("lsn"), mappedOp.as("op"), row.as("__row"))
       .select(col("lsn"), col("op"), col("__row.*"))

@@ -202,19 +202,12 @@ object MergeApply {
     if (events.isEmpty) batch else batch.filter(col("op") =!= "S")
   }
 
-  /** The table's event-time column for watermark/late-data stats: the
-    * registered `watermark.column` property, else a literal `ts` column
-    * (the transcript default) — in both cases only when the schema
-    * actually has it AS A TIMESTAMP (a string column that happens to be
-    * named `ts` would store a lexicographic "watermark" and feed garbage
-    * into the next epoch's late-event cast). Feeds with no event-time
-    * column simply carry no event-time lineage stats. */
-  private def eventTimeCol(snap: Snapshot): Option[String] = {
-    def tsTyped(name: String): Boolean = snap.userSchema.fields
-      .exists(f => f.name == name && f.dataType == TimestampType)
-    snap.properties.get(graft.spec.TimeField.WatermarkColumn).filter(tsTyped)
-      .orElse(Some("ts").filter(tsTyped))
-  }
+  /** The table's event-time column for watermark/late-data stats —
+    * [[Snapshot.eventTimeColumn]], shared with the batch relation's
+    * time pruning. Feeds with no event-time column simply carry no
+    * event-time lineage stats. */
+  private def eventTimeCol(snap: Snapshot): Option[String] =
+    snap.eventTimeColumn
 
   /** Apply the table's opt-in bloom indexing
     * ([[graft.lake.LakeTable.BloomColumnsProp]]) to a FILE-GROUP-REWRITE

@@ -94,15 +94,11 @@ final class GraftBatchRelation(
         // event-time column skip files via the manifest zone maps — a
         // `WHERE ts > …` over years of history reads the tail, not the
         // table (exactness does not depend on this: the readTimeTail
-        // filter and Spark's re-applied predicate both hold)
-        val tsCol = table.watermarkColumn
-          .filter(c => snap.userSchema.fields.exists(f =>
-            f.name == c && f.dataType ==
-              org.apache.spark.sql.types.TimestampType))
-          .orElse(snap.userSchema.fields.find(f =>
-            f.name == "ts" && f.dataType ==
-              org.apache.spark.sql.types.TimestampType).map(_.name))
-        tsCol.flatMap(c =>
+        // filter and Spark's re-applied predicate both hold). The
+        // column comes from the SCAN's snapshot — a time-traveled
+        // relation prunes on what that snapshot registered, not on a
+        // later repointed watermark.column
+        snap.eventTimeColumn.flatMap(c =>
             GraftBatchRelation.tsLowerBoundMicros(filters, c).map((c, _)))
           match {
           case Some((c, cutoff)) =>
@@ -162,8 +158,12 @@ object GraftBatchRelation {
       : Option[Long] = {
     def micros(v: Any): Option[Long] = v match {
       case t: java.sql.Timestamp =>
-        Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+        // floorDiv: plain / truncates toward zero, which for PRE-EPOCH
+        // timestamps with fractional seconds lands a full second high —
+        // a too-high cutoff silently drops matching rows
+        Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
       case i: java.time.Instant =>
+        // Instant is already floor-normalized (nano in [0, 1e9))
         Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       case _ => None
     }

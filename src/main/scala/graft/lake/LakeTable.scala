@@ -265,6 +265,24 @@ final case class Snapshot(
 
   def userSchema: StructType =
     DataType.fromJson(schemas(currentSchemaVersion.toString)).asInstanceOf[StructType]
+
+  /** The snapshot's event-time column for watermark/zone-map purposes:
+    * the registered `watermark.column` property, else a literal `ts`
+    * column (the transcript default) — in both cases only when the
+    * schema actually has it AS A TIMESTAMP (a string column that
+    * happens to be named `ts` would store a lexicographic "watermark"
+    * and feed garbage into the next epoch's late-event cast). Shared by
+    * the merge's stat registration and the batch relation's time
+    * pruning, so the two can never disagree on which column the zone
+    * maps describe. */
+  def eventTimeColumn: Option[String] = {
+    def tsTyped(name: String): Boolean = userSchema.fields
+      .exists(f => f.name == name && f.dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    properties.get(graft.spec.TimeField.WatermarkColumn).filter(tsTyped)
+      .orElse(Some("ts").filter(tsTyped))
+  }
+
   def schemaAt(v: Int): StructType =
     DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
   def isCommitted(epochId: Long): Boolean =
@@ -1295,12 +1313,19 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       case None => // empty table (or every retained ts is null)
         liveRows(snap, resolveMor(snap, Nil))
       case Some(anchor) =>
-        val cutoff = anchor - days.toLong * 86400000000L
-        liveRows(snap,
-          resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoff, c)))
-          .filter(col(c) > timestamp_micros(lit(cutoff)))
+        timeWindow(snap, c, anchor - days.toLong * 86400000000L)
     }
   }
+
+  /** Zone-map-pruned strictly-after event-time window over one resolved
+    * snapshot — the shared tail of [[incrementalTail]] and
+    * [[readTimeTail]] (one place, so the LWW-trap and null-ts handling
+    * can never drift between the two). */
+  private def timeWindow(snap: Snapshot, c: String,
+      cutoffMicros: Long): DataFrame =
+    liveRows(snap,
+      resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoffMicros, c)))
+      .filter(col(c) > timestamp_micros(lit(cutoffMicros)))
 
   /** Table state restricted to event-time strictly after `cutoffMicros`
     * (UTC epoch micros of column `c`), file-skipped from the manifest's
@@ -1321,9 +1346,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     require(snap.userSchema.fields.exists(f =>
       f.name == c && f.dataType == org.apache.spark.sql.types.TimestampType),
       s"'$c' is not a timestamp column of the table schema")
-    liveRows(snap,
-      resolveMor(snap, LakeTable.tsCandidates(snap.files, cutoffMicros, c)))
-      .filter(col(c) > timestamp_micros(lit(cutoffMicros)))
+    timeWindow(snap, c, cutoffMicros)
   }
 
   /** Driver-side inverse of MergeApply's `date_format(_, TsFmt)`: parse

@@ -95,7 +95,7 @@ class DebeziumSpec extends SparkSpec {
       Seq("ok"))
   }
 
-  test("source.sequence and ts_ms are LSN fallbacks, in order") {
+  test("lsnField picks ONE ordering space per feed; missing field fails loud") {
     val t0 = "2026-01-01T00:00:00Z"
     val seqRec =
       s"""{"op":"c","before":null,"after":${rowJson("s1", 0, "user", "a", t0)},""" +
@@ -103,9 +103,28 @@ class DebeziumSpec extends SparkSpec {
     val tsRec =
       s"""{"op":"c","before":null,"after":${rowJson("s2", 0, "user", "b", t0)},""" +
         s""""ts_ms":77,"source":{"ts_ms":9}}"""
+    val srcTsRec = // no payload ts_ms -> same-clock source.ts_ms fallback
+      s"""{"op":"c","before":null,"after":${rowJson("s3", 0, "user", "c", t0)},""" +
+        s""""source":{"ts_ms":9}}"""
+    def lsns(field: String, recs: String*): Seq[Long] =
+      DebeziumAdapter.toEnvelope(recs.toDF("value"), Schemas.transcript,
+        lsnField = field)
+        .orderBy("conv_id").select("lsn").as[java.lang.Long]
+        .collect().toSeq.map(Long.unbox)
+    assert(lsns("sequence", seqRec) == Seq(42L))
+    assert(lsns("ts_ms", tsRec, srcTsRec) == Seq(77L, 9L))
+    // the default space is source.lsn — a record without it gets a null
+    // LSN and is REJECTED by validation, never silently mis-ordered
+    // into a different clock's values
     val env = DebeziumAdapter.toEnvelope(
-      Seq(seqRec, tsRec).toDF("value"), Schemas.transcript)
-    val lsns = env.orderBy("conv_id").select("lsn").as[Long].collect().toSeq
-    assert(lsns == Seq(42L, 77L))
+      Seq(seqRec).toDF("value"), Schemas.transcript)
+    assert(env.select("lsn").head().isNullAt(0))
+    val table = LakeTable.createTable(spark, tmpDir("dbz-space"),
+      Schemas.transcript, 2)
+    intercept[PoisonEventException] { MergeApply.merge(table, env, 0L) }
+    intercept[IllegalArgumentException] {
+      DebeziumAdapter.toEnvelope(Seq(seqRec).toDF("value"),
+        Schemas.transcript, lsnField = "gtid")
+    }
   }
 }
