@@ -39,7 +39,7 @@ final class GraftBatchRelation(
     override val sqlContext: SQLContext,
     tableDir: String,
     at: Option[String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
 
@@ -119,6 +119,20 @@ final class GraftBatchRelation(
       // .rdd conversion; needConversion covers the re-encode)
       filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
     }
+  }
+
+  /** `INSERT INTO <view>` / `INSERT OVERWRITE <view>` over a
+    * `USING graft-table` view — SQL's route into [[GraftBatchWrite]]
+    * (plain rows: auto-LSN key replacement; overwrite: the atomic
+    * whole-table replace). An `at`-pinned (release) view is read-only. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(at.isEmpty,
+      "an at-pinned graft-table view is a frozen release read — " +
+        "INSERT targets the live table (create a view without 'at')")
+    GraftBatchWrite.write(sqlContext,
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+      Map("path" -> tableDir), data)
+    ()
   }
 }
 

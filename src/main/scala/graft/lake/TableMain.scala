@@ -88,9 +88,10 @@ object TableMain {
     if (args.length < 2) {
       System.err.println(
         "usage: TableMain <tableDir> <command> [args] — commands: status " +
-          "history schema show tail compact rebucket vacuum vacuum-orphans " +
-          "recover set-property tag tags drop-tag diff revert export " +
-          "export-conversations staged publish abort-staged rejects fsck")
+          "history schema show tail tail-after compact rebucket vacuum " +
+          "vacuum-orphans recover set-property tag tags drop-tag diff " +
+          "revert export export-conversations staged publish abort-staged " +
+          "rejects fsck")
       return 1
     }
     val dir = args.head
@@ -165,6 +166,29 @@ object TableMain {
           val days = rest.head.toInt
           val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
           table.incrementalTail(days).limit(n).collect()
+            .foreach(r => out(r.toString))
+          0
+        case "tail-after" =>
+          // arbitrary-cutoff sibling of `tail`: rows with event time
+          // strictly after an ISO instant (2026-01-20T00:00:00 or a
+          // bare date), zone-map file-skipped (LakeTable.readTimeTail)
+          require(rest.nonEmpty,
+            "tail-after needs an ISO timestamp (yyyy-MM-ddTHH:mm:ss) " +
+              "or date (yyyy-MM-dd)")
+          val c = table.snapshot.eventTimeColumn.getOrElse(
+            throw new IllegalArgumentException(
+              "table has no timestamp event-time column " +
+                "(watermark.column or ts)"))
+          val raw = rest.head
+          val ldt =
+            if (raw.contains("T")) java.time.LocalDateTime.parse(raw)
+            else java.time.LocalDate.parse(raw).atStartOfDay()
+          val zone = java.time.ZoneId.of(
+            spark.conf.get("spark.sql.session.timeZone"))
+          val inst = ldt.atZone(zone).toInstant
+          val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
+          table.readTimeTail(c, micros).limit(n).collect()
             .foreach(r => out(r.toString))
           0
         case "compact" =>

@@ -175,6 +175,44 @@ class BatchRelationSpec extends SparkSpec {
       t.read().count())
   }
 
+  test("SQL INSERT INTO / OVERWRITE a graft-table view; CTAS; pinned views read-only") {
+    val (dir, t) = seeded("br-ins")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_ins_v " +
+      s"USING `graft-table` OPTIONS (path '$dir')")
+    val before = t.read().count()
+    spark.sql("INSERT INTO lake_ins_v VALUES " +
+      "('ins-conv', 0, 'user', 'via sql', NULL, TIMESTAMP'2026-03-08 00:00:00')")
+    assert(t.read().count() == before + 1)
+    assert(spark.sql(
+      "SELECT text FROM lake_ins_v WHERE conv_id = 'ins-conv'")
+      .as[String].head() == "via sql")
+    // CTAS through the provider: a second lake table from a query
+    val dir2 = tmpDir("br-ctas")
+    spark.sql("DROP TABLE IF EXISTS ctas_t")
+    spark.sql(s"CREATE TABLE ctas_t USING `graft-table` " +
+      s"OPTIONS (path '$dir2', nBuckets '2') AS " +
+      "SELECT * FROM lake_ins_v WHERE conv_id = 'ins-conv'")
+    val t2 = LakeTable.load(spark, dir2)
+    assert(t2.exists && t2.snapshot.nBuckets == 2)
+    assert(t2.read().select("text").as[String].collect().toSeq ==
+      Seq("via sql"))
+    spark.sql("DROP TABLE ctas_t")
+    // INSERT OVERWRITE = the atomic whole-table replace
+    spark.sql("INSERT OVERWRITE lake_ins_v VALUES " +
+      "('only-conv', 0, 'user', 'wiped', NULL, TIMESTAMP'2026-03-08 00:00:01')")
+    assert(t.read().select("conv_id").as[String].collect().toSeq ==
+      Seq("only-conv"))
+    // an at-pinned release view refuses writes
+    t.tag("frozen")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_frozen_v " +
+      s"USING `graft-table` OPTIONS (path '$dir', at 'frozen')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lake_frozen_v VALUES " +
+        "('x', 0, 'user', 'no', NULL, TIMESTAMP'2026-03-08 00:00:02')")
+    }
+    assert(e.getMessage.contains("frozen release"))
+  }
+
   test("plain-row batch write: auto-LSN inserts that replace their keys") {
     val (dir, t) = seeded("br-write")
     val conv = t.read().select("conv_id").as[String].head()

@@ -68,6 +68,12 @@ class TableMainSpec extends SparkSpec {
     val (code, rows) = cli(dir, "tail", "7")
     assert(code == 0 && rows.size == 1 && rows.head.contains("new"))
     assert(cli(dir, "tail")._1 == 1, "missing days is a usage error")
+    // tail-after: arbitrary ISO cutoff through the same zone-map path
+    val (cA, rowsA) = cli(dir, "tail-after", "2026-01-20T00:00:00")
+    assert(cA == 0 && rowsA.size == 1 && rowsA.head.contains("new"))
+    val (cB, rowsB) = cli(dir, "tail-after", "2026-01-01")
+    assert(cB == 0 && rowsB.size == 2)
+    assert(cli(dir, "tail-after")._1 == 1, "missing cutoff is a usage error")
     // no watermark.column: a clean execution error, not a stack trace
     val t2dir = tmpDir("tm-tail-nowm")
     LakeTable.createTable(spark, t2dir, Schemas.transcript, 2)
