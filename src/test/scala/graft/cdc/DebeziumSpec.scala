@@ -95,6 +95,34 @@ class DebeziumSpec extends SparkSpec {
       Seq("ok"))
   }
 
+  test("streaming composition: json feed -> toEnvelope -> graft-table sink") {
+    // the README's one-liner binlog-to-lake pipeline, end to end: a
+    // file stream of Debezium JSON through the adapter into the
+    // exactly-once sink
+    val t0 = "2026-01-01T00:00:00Z"
+    val feedDir = tmpDir("dbz-feed")
+    val lines = Seq(
+      rec("c", 1, null, rowJson("sc1", 0, "user", "hello", t0), wrapped = true),
+      rec("c", 2, null, rowJson("sc1", 1, "assistant", "hi", t0), wrapped = false),
+      rec("u", 3, null, rowJson("sc1", 1, "assistant", "hi!", t0), wrapped = true))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(feedDir, "batch-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val tableDir = tmpDir("dbz-sink")
+    LakeTable.createTable(spark, tableDir, Schemas.transcript, 2)
+    val raw = spark.readStream.text(feedDir) // fixed schema: value STRING
+    val env = DebeziumAdapter.toEnvelope(raw, Schemas.transcript)
+    val q = env.writeStream.format("graft-table")
+      .option("path", tableDir)
+      .option("checkpointLocation", tmpDir("dbz-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = LakeTable.load(spark, tableDir).read()
+      .select("turn_idx", "text").as[(Int, String)].collect().toSet
+    assert(got == Set((0, "hello"), (1, "hi!")))
+  }
+
   test("lsnField picks ONE ordering space per feed; missing field fails loud") {
     val t0 = "2026-01-01T00:00:00Z"
     val seqRec =

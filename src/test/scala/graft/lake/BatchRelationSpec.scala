@@ -112,6 +112,19 @@ class BatchRelationSpec extends SparkSpec {
       t.read().filter(col("ts") >= lit(midTs)).count())
   }
 
+  test("key predicates reach the parquet scan through the LWW window") {
+    // the in-plan filter story the relation relies on: a conv_id
+    // predicate pushes through the LWW window (partitioned by conv_id)
+    // down to the parquet scan, engaging row-group stats and blooms
+    val (_, t) = seeded("br-push")
+    val conv = t.read().select("conv_id").as[String].head()
+    val plan = t.read().filter(col("conv_id") === conv)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains(s"EqualTo(conv_id,$conv)"),
+      s"conv_id equality did not reach the scan:\n$plan")
+  }
+
   test("time travel: at = version or tag pins the whole relation") {
     val (dir, t) = seeded("br-travel")
     val v1 = t.snapshot.version
