@@ -249,6 +249,30 @@ object GraftBatchRelation {
   }
 }
 
+/** A point-in-time incremental read served as a DSv1 relation — the
+  * batch/SQL face of the two incremental surfaces:
+  *  - `.option("sinceLsn", n)` → [[LakeTable.readSince]]: every key
+  *    whose winning version landed after the LSN cut, tombstones
+  *    included, in the merge-ready envelope (user columns + `__lsn` +
+  *    `__op`), manifest-pruned to O(new data);
+  *  - `.option("changesFrom", ref)` (+ optional `changesTo`) →
+  *    [[LakeTable.changeFeed]]: the CDF image rows (`_change_type`
+  *    insert / update_preimage / update_postimage / delete) between two
+  *    versions OR TAGS — `spark.read … .option("changesFrom",
+  *    "release-1")` is "what changed since the last release" as one
+  *    DataFrame (Delta's `table_changes`, with named refs).
+  * The frame resolves ONCE at construction — an incremental read is a
+  * window between explicit cuts, not a live view; re-create the
+  * relation to advance the window. */
+final class GraftFrameRelation(
+    override val sqlContext: SQLContext,
+    build: () => DataFrame)
+    extends BaseRelation with TableScan {
+  private val df: DataFrame = build()
+  override val schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
+}
+
 /** Metadata tables of a lake table, Iceberg-style (`table$files`), as
   * `.option("meta", …)` reads:
   *  - `lineage` — the queryable per-commit lineage (inline + the

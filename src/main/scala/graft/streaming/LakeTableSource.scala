@@ -432,17 +432,36 @@ class LakeTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {
     val d = dir(parameters)
-    require(LakeTable.load(sqlContext.sparkSession, d).exists,
+    val t = LakeTable.load(sqlContext.sparkSession, d)
+    require(t.exists,
       s"no lake table at $d — create it first (LakeTable.createTable " +
         "or a batch write)")
-    parameters.get("meta") match {
-      case Some(m) =>
-        new graft.lake.GraftMetaRelation(sqlContext, d, m,
-          parameters.get("at"))
-      case None =>
-        new graft.lake.GraftBatchRelation(sqlContext, d,
-          parameters.get("at"))
-    }
+    val incremental = Seq("sinceLsn", "changesFrom", "changesTo")
+      .flatMap(k => parameters.get(k).map(k -> _)).toMap
+    val exclusive = Seq(parameters.contains("meta"),
+      incremental.contains("sinceLsn"), incremental.contains("changesFrom"))
+    require(exclusive.count(identity) <= 1,
+      "meta, sinceLsn, and changesFrom are mutually exclusive read modes")
+    require(incremental.contains("changesFrom") ||
+      !incremental.contains("changesTo"),
+      """.option("changesTo", …) needs .option("changesFrom", <ref>)""")
+    if (parameters.contains("meta"))
+      new graft.lake.GraftMetaRelation(sqlContext, d,
+        parameters("meta"), parameters.get("at"))
+    else if (incremental.contains("sinceLsn"))
+      new graft.lake.GraftFrameRelation(sqlContext, () =>
+        t.readSince(incremental("sinceLsn").toLong,
+          parameters.get("at").map(t.resolveRef)))
+    else if (incremental.contains("changesFrom"))
+      // refs resolve versions AND tags: changesFrom=release-1 is "what
+      // changed since that release"; changesTo defaults to `at`, else
+      // the current version
+      new graft.lake.GraftFrameRelation(sqlContext, () =>
+        t.changeFeed(t.resolveRef(incremental("changesFrom")),
+          incremental.get("changesTo").orElse(parameters.get("at"))
+            .map(t.resolveRef)))
+    else
+      new graft.lake.GraftBatchRelation(sqlContext, d, parameters.get("at"))
   }
 
   /** Batch write: `df.write.format("graft-table").mode(…).save(dir)` —

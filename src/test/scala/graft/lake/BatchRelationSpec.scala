@@ -226,6 +226,53 @@ class BatchRelationSpec extends SparkSpec {
     assert(e.getMessage.contains("frozen release"))
   }
 
+  test("incremental batch reads: sinceLsn envelope and changesFrom CDF") {
+    val (dir, t) = seeded("br-incr")
+    t.tag("r1")
+    val v1 = t.tags("r1")
+    val high = t.highLsn(t.snapshot)
+    val conv = t.read().select("conv_id").as[String].head()
+    val victimTurn = t.readConv(conv).select("turn_idx").as[Int].head()
+    MergeApply.merge(t, Seq(
+      (high + 1, "U", conv, victimTurn, "assistant", "CHANGED",
+        null: String, Timestamp.valueOf("2026-03-09 00:00:00")),
+      (high + 2, "I", "incr-conv", 0, "user", "added", null: String,
+        Timestamp.valueOf("2026-03-09 00:00:01")))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      1L)
+
+    // envelope read past the LSN cut — equals the library call
+    val since = spark.read.format("graft-table")
+      .option("sinceLsn", high.toString).load(dir)
+    assert(since.columns.contains("__lsn") && since.columns.contains("__op"))
+    assert(since.select("conv_id", "text").as[(String, String)]
+      .collect().toSet ==
+      t.readSince(high).select("conv_id", "text").as[(String, String)]
+        .collect().toSet)
+    assert(since.count() == 2)
+
+    // CDF between a TAG and now: one update (pre+post) and one insert
+    val feed = spark.read.format("graft-table")
+      .option("changesFrom", "r1").load(dir)
+    val types = feed.select("_change_type").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(types == Map("update_preimage" -> 1, "update_postimage" -> 1,
+      "insert" -> 1))
+    assert(feed.collect().toSet ==
+      t.changeFeed(v1).collect().toSet)
+
+    // explicit empty window and option exclusivity
+    assert(spark.read.format("graft-table").option("changesFrom", "r1")
+      .option("changesTo", v1.toString).load(dir).count() == 0)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("sinceLsn", "0")
+        .option("changesFrom", "r1").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("changesTo", "1").load(dir)
+    }
+  }
+
   test("plain-row batch write: auto-LSN inserts that replace their keys") {
     val (dir, t) = seeded("br-write")
     val conv = t.read().select("conv_id").as[String].head()
