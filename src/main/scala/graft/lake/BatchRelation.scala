@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.StructType
 final class GraftBatchRelation(
     override val sqlContext: SQLContext,
     tableDir: String,
-    at: Option[String])
+    at: Option[String],
+    viewOptions: Map[String, String] = Map.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val table = LakeTable.load(sqlContext.sparkSession, tableDir)
@@ -70,9 +71,11 @@ final class GraftBatchRelation(
   /** Upper-bound-biased row estimate (1 KiB/row over the manifest's
     * row counts — no data scan): genuinely small dimension tables stay
     * broadcastable in joins; anything sizable never accidentally
-    * broadcasts. */
-  override val sizeInBytes: Long =
-    math.max(pinnedSnap.files.map(_.rows).sum * 1024L, 1L)
+    * broadcasts. A def over the SCAN snapshot, not a construction-time
+    * val: this relation is writable (INSERT INTO a view), so a frozen
+    * estimate of a since-grown table could mis-broadcast it. */
+  override def sizeInBytes: Long =
+    math.max(scanSnap().files.map(_.rows).sum * 1024L, 1L)
 
   /** All filters re-applied by Spark above the scan — see class doc. */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
@@ -124,14 +127,18 @@ final class GraftBatchRelation(
   /** `INSERT INTO <view>` / `INSERT OVERWRITE <view>` over a
     * `USING graft-table` view — SQL's route into [[GraftBatchWrite]]
     * (plain rows: auto-LSN key replacement; overwrite: the atomic
-    * whole-table replace). An `at`-pinned (release) view is read-only. */
+    * whole-table replace). The view's declared OPTIONS (writeMode,
+    * invalidRows, method, txnAppId/batchId, …) travel with the write —
+    * accepting an option at view creation and dropping it at write
+    * time would silently change semantics. An `at`-pinned (release)
+    * view is read-only. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(at.isEmpty,
       "an at-pinned graft-table view is a frozen release read — " +
         "INSERT targets the live table (create a view without 'at')")
     GraftBatchWrite.write(sqlContext,
       if (overwrite) SaveMode.Overwrite else SaveMode.Append,
-      Map("path" -> tableDir), data)
+      viewOptions + ("path" -> tableDir), data)
     ()
   }
 }
@@ -170,15 +177,12 @@ object GraftBatchRelation {
     * boundary is exact). `None` = no usable bound. */
   private[lake] def tsLowerBoundMicros(filters: Array[Filter], c: String)
       : Option[Long] = {
+    // one shared floor-exact formula ([[LakeTable.microsOf]]): a
+    // truncating division would land a second high on pre-epoch values
+    // and the too-high cutoff would silently drop matching rows
     def micros(v: Any): Option[Long] = v match {
-      case t: java.sql.Timestamp =>
-        // floorDiv: plain / truncates toward zero, which for PRE-EPOCH
-        // timestamps with fractional seconds lands a full second high —
-        // a too-high cutoff silently drops matching rows
-        Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
-      case i: java.time.Instant =>
-        // Instant is already floor-normalized (nano in [0, 1e9))
-        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case t: java.sql.Timestamp => Some(LakeTable.microsOf(t.toInstant))
+      case i: java.time.Instant => Some(LakeTable.microsOf(i))
       case _ => None
     }
     def bound(f: Filter): Option[Long] = f match {
@@ -266,9 +270,8 @@ object GraftBatchRelation {
   * relation to advance the window. */
 final class GraftFrameRelation(
     override val sqlContext: SQLContext,
-    build: () => DataFrame)
+    df: DataFrame)
     extends BaseRelation with TableScan {
-  private val df: DataFrame = build()
   override val schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
 }
@@ -404,7 +407,7 @@ object GraftBatchWrite {
       throw new IllegalArgumentException(
         s"lake table at $dir already exists (SaveMode.ErrorIfExists)")
     if (mode == SaveMode.Ignore && existed)
-      return new GraftBatchRelation(sqlContext, dir, None)
+      return new GraftBatchRelation(sqlContext, dir, None, parameters)
     if (!existed) {
       val userSchema =
         if (hasEnvelope)
@@ -446,6 +449,6 @@ object GraftBatchWrite {
     else if (method == "insert")
       graft.cdc.MergeApply.append(table, batch, batchId, cfg)
     else graft.cdc.MergeApply.merge(table, batch, batchId, cfg)
-    new GraftBatchRelation(sqlContext, dir, None)
+    new GraftBatchRelation(sqlContext, dir, None, parameters)
   }
 }

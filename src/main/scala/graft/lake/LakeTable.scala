@@ -1359,7 +1359,7 @@ class LakeTable(val spark: SparkSession, val dir: String) {
     val i = java.time.LocalDateTime.parse(s,
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
       .atZone(zone).toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
+    LakeTable.microsOf(i)
   }
 
   def lineage: Seq[LineageEntry] = snapshot.lineage
@@ -2011,6 +2011,14 @@ object LakeTable {
     * across Spark versions within a deployment (documented contract). */
   def bucketExpr(nBuckets: Int) =
     pmod(hash(col("conv_id")), lit(nBuckets)).cast(IntegerType)
+
+  /** UTC epoch micros of an instant — THE timestamp-to-micros formula
+    * (Instant normalizes nano into [0, 1e9), so pre-epoch values are
+    * exact where a truncating division would land a second high).
+    * Every conversion routes here: the zone-map cutoffs, the watermark
+    * parse, the CLI. `java.sql.Timestamp.toInstant` feeds it directly. */
+  def microsOf(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
 
   /** Driver-side twin of [[bucketExpr]] for point lookups: same murmur3
     * (seed 42, Spark's `hash`), same non-negative mod. */

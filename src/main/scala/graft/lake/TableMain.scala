@@ -180,13 +180,18 @@ object TableMain {
               "table has no timestamp event-time column " +
                 "(watermark.column or ts)"))
           val raw = rest.head
-          val ldt =
-            if (raw.contains("T")) java.time.LocalDateTime.parse(raw)
-            else java.time.LocalDate.parse(raw).atStartOfDay()
           val zone = java.time.ZoneId.of(
             spark.conf.get("spark.sql.session.timeZone"))
-          val inst = ldt.atZone(zone).toInstant
-          val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          // accept the three common ISO spellings: instant (trailing Z
+          // or offset), local date-time (session zone), bare date
+          val inst =
+            try java.time.Instant.parse(raw)
+            catch { case _: java.time.format.DateTimeParseException =>
+              (if (raw.contains("T")) java.time.LocalDateTime.parse(raw)
+               else java.time.LocalDate.parse(raw).atStartOfDay())
+                .atZone(zone).toInstant
+            }
+          val micros = LakeTable.microsOf(inst)
           val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
           table.readTimeTail(c, micros).limit(n).collect()
             .foreach(r => out(r.toString))

@@ -436,32 +436,34 @@ class LakeTableSourceProvider extends StreamSourceProvider
     require(t.exists,
       s"no lake table at $d — create it first (LakeTable.createTable " +
         "or a batch write)")
-    val incremental = Seq("sinceLsn", "changesFrom", "changesTo")
-      .flatMap(k => parameters.get(k).map(k -> _)).toMap
-    val exclusive = Seq(parameters.contains("meta"),
-      incremental.contains("sinceLsn"), incremental.contains("changesFrom"))
-    require(exclusive.count(identity) <= 1,
+    val exclusive = Seq("meta", "sinceLsn", "changesFrom")
+      .count(parameters.contains)
+    require(exclusive <= 1,
       "meta, sinceLsn, and changesFrom are mutually exclusive read modes")
-    require(incremental.contains("changesFrom") ||
-      !incremental.contains("changesTo"),
+    require(parameters.contains("changesFrom") ||
+      !parameters.contains("changesTo"),
       """.option("changesTo", …) needs .option("changesFrom", <ref>)""")
+    require(!(parameters.contains("changesTo") && parameters.contains("at")),
+      "changesTo and at both name the window's end — pass one " +
+        "(silently preferring one would misreport the window)")
     if (parameters.contains("meta"))
       new graft.lake.GraftMetaRelation(sqlContext, d,
         parameters("meta"), parameters.get("at"))
-    else if (incremental.contains("sinceLsn"))
-      new graft.lake.GraftFrameRelation(sqlContext, () =>
-        t.readSince(incremental("sinceLsn").toLong,
+    else if (parameters.contains("sinceLsn"))
+      new graft.lake.GraftFrameRelation(sqlContext,
+        t.readSince(parameters("sinceLsn").toLong,
           parameters.get("at").map(t.resolveRef)))
-    else if (incremental.contains("changesFrom"))
+    else if (parameters.contains("changesFrom"))
       // refs resolve versions AND tags: changesFrom=release-1 is "what
-      // changed since that release"; changesTo defaults to `at`, else
-      // the current version
-      new graft.lake.GraftFrameRelation(sqlContext, () =>
-        t.changeFeed(t.resolveRef(incremental("changesFrom")),
-          incremental.get("changesTo").orElse(parameters.get("at"))
+      // changed since that release"; changesTo (or at) names the
+      // window's end, else the current version
+      new graft.lake.GraftFrameRelation(sqlContext,
+        t.changeFeed(t.resolveRef(parameters("changesFrom")),
+          parameters.get("changesTo").orElse(parameters.get("at"))
             .map(t.resolveRef)))
     else
-      new graft.lake.GraftBatchRelation(sqlContext, d, parameters.get("at"))
+      new graft.lake.GraftBatchRelation(sqlContext, d,
+        parameters.get("at"), parameters)
   }
 
   /** Batch write: `df.write.format("graft-table").mode(…).save(dir)` —

@@ -117,7 +117,7 @@ class DebeziumSpec extends SparkSpec {
       .option("checkpointLocation", tmpDir("dbz-ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
     val got = LakeTable.load(spark, tableDir).read()
       .select("turn_idx", "text").as[(Int, String)].collect().toSet
     assert(got == Set((0, "hello"), (1, "hi!")))

@@ -224,6 +224,19 @@ class BatchRelationSpec extends SparkSpec {
         "('x', 0, 'user', 'no', NULL, TIMESTAMP'2026-03-08 00:00:02')")
     }
     assert(e.getMessage.contains("frozen release"))
+    // a view's declared write OPTIONS travel with SQL INSERT: the
+    // txnAppId/batchId idempotence pair makes the second INSERT a no-op
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_idem_v " +
+      s"USING `graft-table` OPTIONS (path '$dir', " +
+      "txnAppId 'sql-load', batchId '9')")
+    val n0 = t.read().count()
+    spark.sql("INSERT INTO lake_idem_v VALUES " +
+      "('sql-idem', 0, 'user', 'once', NULL, TIMESTAMP'2026-03-08 00:00:03')")
+    spark.sql("INSERT INTO lake_idem_v VALUES " +
+      "('sql-idem-2', 0, 'user', 'never lands', NULL, " +
+      "TIMESTAMP'2026-03-08 00:00:04')")
+    assert(t.read().count() == n0 + 1)
+    assert(t.read().filter(col("conv_id") === "sql-idem-2").count() == 0)
   }
 
   test("incremental batch reads: sinceLsn envelope and changesFrom CDF") {
