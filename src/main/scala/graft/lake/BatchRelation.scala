@@ -386,6 +386,7 @@ object GraftBatchWrite {
     require(Set("fail", "quarantine", "off").contains(invalid),
       s"invalidRows must be fail, quarantine, or off, got '$invalid'")
     val nBucketsOpt = parameters.get("nBuckets").map(_.toInt)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     // txnAppId/batchId travel as a pair — a lone batchId silently
     // falling back to a fresh slot would drop the replay protection the
     // caller asked for
@@ -416,6 +417,38 @@ object GraftBatchWrite {
         else data.schema
       table = LakeTable.createTable(spark, dir, userSchema,
         nBucketsOpt.getOrElse(32))
+    }
+
+    // schema evolution on write (Delta's mergeSchema): new columns are
+    // added (old rows read back null), compatibly-typed columns widen —
+    // the SAME non-destructive evolution ops the op="S" registry events
+    // drive, so a batch writer and the change stream can never diverge
+    // on semantics. Without the flag, the merge's own alignment rejects
+    // the unknown shape (a typo'd column must not silently vanish —
+    // see the align contract: unknown columns would be dropped).
+    if (mergeSchema) {
+      val have = table.snapshot.userSchema
+      val incoming = data.schema.fields.filterNot(f =>
+        f.name == "lsn" || f.name == "op")
+      incoming.foreach { f =>
+        have.fields.find(_.name == f.name) match {
+          case None => table.addColumn(f.name, f.dataType)
+          case Some(old) if old.dataType != f.dataType &&
+              LakeTable.canWiden(old.dataType, f.dataType) =>
+            table.widenColumn(f.name, f.dataType)
+          case _ => () // present with the same (or narrower) type
+        }
+      }
+    } else {
+      // "extras" is the sanctioned in-envelope evolution channel (the
+      // op="S" registry path reads new-column values out of it)
+      val unknown = data.schema.fieldNames.filterNot(n =>
+        n == "lsn" || n == "op" || n == "extras" ||
+          table.snapshot.userSchema.fieldNames.contains(n))
+      require(unknown.isEmpty,
+        s"columns not in the table schema: ${unknown.mkString(", ")} — " +
+          """evolve the schema with .option("mergeSchema", "true") """ +
+          "or drop/rename them (silently discarding data is not an option)")
     }
 
     val batch =

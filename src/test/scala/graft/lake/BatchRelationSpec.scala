@@ -415,6 +415,41 @@ class BatchRelationSpec extends SparkSpec {
     assert(t.read().count() == before + 1)
   }
 
+  test("mergeSchema evolves on write; unknown columns without it fail loud") {
+    val dir = tmpDir("br-evolve")
+    val rows = Seq(("e1", 0, "user", "v1", null: String,
+      Timestamp.valueOf("2026-03-10 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    rows.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    val t = LakeTable.load(spark, dir)
+    val withMeta = Seq(("e2", 0, "user", "v2", null: String,
+      Timestamp.valueOf("2026-03-10 00:00:01"), "m-2"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "meta")
+    // without the flag: loud failure, nothing written, nothing dropped
+    val e = intercept[IllegalArgumentException] {
+      withMeta.write.format("graft-table").mode(SaveMode.Append).save(dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    assert(t.read().count() == 1)
+    // with it: column added, old rows read back null, new value lands
+    withMeta.write.format("graft-table").option("mergeSchema", "true")
+      .mode(SaveMode.Append).save(dir)
+    assert(t.snapshot.userSchema.fieldNames.contains("meta"))
+    assert(t.read().filter(col("conv_id") === "e1")
+      .select("meta").as[String].head() == null)
+    assert(t.read().filter(col("conv_id") === "e2")
+      .select("meta").as[String].head() == "m-2")
+    // widening: turn_idx int -> long via a long-typed write
+    val widened = Seq(("e3", 5L, "user", "v3", null: String,
+      Timestamp.valueOf("2026-03-10 00:00:02"), "m-3"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "meta")
+    widened.write.format("graft-table").option("mergeSchema", "true")
+      .mode(SaveMode.Append).save(dir)
+    assert(t.snapshot.userSchema("turn_idx").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.read().count() == 3)
+  }
+
   test("txnAppId + batchId makes batch-write re-runs no-ops") {
     val dir = tmpDir("br-idem")
     val rows = Seq(("c1", 0, "user", "once", null: String,
