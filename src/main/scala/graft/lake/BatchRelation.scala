@@ -420,44 +420,51 @@ object GraftBatchWrite {
     }
 
     // schema evolution on write (Delta's mergeSchema): new columns are
-    // added (old rows read back null), compatibly-typed columns widen —
-    // the SAME non-destructive evolution ops the op="S" registry events
-    // drive, so a batch writer and the change stream can never diverge
-    // on semantics. Without the flag, the merge's own alignment rejects
-    // the unknown shape (a typo'd column must not silently vanish —
-    // see the align contract: unknown columns would be dropped).
-    if (mergeSchema) {
-      val have = table.snapshot.userSchema
-      val incoming = data.schema.fields.filterNot(f =>
-        f.name == "lsn" || f.name == "op")
-      incoming.foreach { f =>
-        have.fields.find(_.name == f.name) match {
-          case None => table.addColumn(f.name, f.dataType)
-          case Some(old) if old.dataType != f.dataType &&
-              LakeTable.canWiden(old.dataType, f.dataType) =>
-            table.widenColumn(f.name, f.dataType)
-          case _ => () // present with the same (or narrower) type
+    // added (old rows read back null), compatibly-typed columns widen,
+    // incompatible changes fail loud — ONE schema commit for the whole
+    // diff ([[LakeTable.evolveSchema]], the same non-destructive
+    // evolution the op="S" registry events drive). The schema commit
+    // precedes the data commit as its own idempotent commit — the
+    // engine's evolution model everywhere (the streaming path applies
+    // op="S" events the same way): a failed data write leaves a valid
+    // evolved-but-unfilled schema, retried idempotently. Without the
+    // flag, unknown shapes are rejected below (a typo'd column must not
+    // silently vanish — the merge's alignment would drop it).
+    val writeData =
+      if (mergeSchema) {
+        // "extras" and the envelope are transport, never data columns
+        val incoming = StructType(data.schema.fields.filterNot(f =>
+          f.name == "lsn" || f.name == "op" || f.name == "extras"))
+        table.evolveSchema(incoming)
+        // align case-variant spellings to the canonical schema names:
+        // the merge's alignment matches exactly, and a variant would
+        // otherwise null-fill the real column and drop the data
+        val canon = table.snapshot.userSchema.fieldNames
+        data.columns.foldLeft(data) { (d, c) =>
+          canon.find(n => n.equalsIgnoreCase(c) && n != c)
+            .map(d.withColumnRenamed(c, _)).getOrElse(d)
         }
+      } else {
+        // "extras" is the sanctioned in-envelope evolution channel (the
+        // op="S" registry path reads new-column values out of it)
+        val unknown = data.schema.fieldNames.filterNot(n =>
+          n == "lsn" || n == "op" || n == "extras" ||
+            table.snapshot.userSchema.fieldNames.contains(n))
+        require(unknown.isEmpty,
+          s"columns not in the table schema: ${unknown.mkString(", ")} — " +
+            """evolve the schema with .option("mergeSchema", "true") """ +
+            "or drop/rename them (silently discarding data is not an option)")
+        data
       }
-    } else {
-      // "extras" is the sanctioned in-envelope evolution channel (the
-      // op="S" registry path reads new-column values out of it)
-      val unknown = data.schema.fieldNames.filterNot(n =>
-        n == "lsn" || n == "op" || n == "extras" ||
-          table.snapshot.userSchema.fieldNames.contains(n))
-      require(unknown.isEmpty,
-        s"columns not in the table schema: ${unknown.mkString(", ")} — " +
-          """evolve the schema with .option("mergeSchema", "true") """ +
-          "or drop/rename them (silently discarding data is not an option)")
-    }
 
     val batch =
-      if (hasEnvelope) data
+      if (hasEnvelope) writeData
       else {
         // partition-sparse but unique and strictly above the current
         // high-water: deterministic given the incoming partitioning
         val high = table.highLsn(table.snapshot)
-        data.withColumn("lsn", lit(high + 1L) + monotonically_increasing_id())
+        writeData
+          .withColumn("lsn", lit(high + 1L) + monotonically_increasing_id())
           .withColumn("op", lit("I"))
       }
 

@@ -1790,6 +1790,49 @@ class LakeTable(val spark: SparkSession, val dir: String) {
       newColumnDocs = Option(doc).map(name -> _).toMap)
   }
 
+  /** Evolve the schema toward `incoming` in ONE commit: every incoming
+    * column absent from the current schema is ADDED nullable at the
+    * end; every matching column (case-insensitive, mirroring Spark's
+    * default analysis — a case-variant must never fork a duplicate
+    * column) whose incoming type differs is WIDENED when
+    * [[LakeTable.canWiden]] allows, REJECTED otherwise — an
+    * incompatible change must fail loud here, not resurface later as
+    * per-row cast nulls or errors. A narrower incoming type is fine
+    * (the write path upcasts). Dropping columns is out of scope
+    * (shrinking is [[replaceSchema]]'s destructive job). Returns
+    * without committing when nothing changes. One commit for any
+    * number of changes — not a commit per column. Backs the batch
+    * writer's `mergeSchema`; the streaming twin is the op="S" registry
+    * event path ([[graft.cdc.SchemaRegistry]]), which shares these
+    * evolution semantics. */
+  def evolveSchema(incoming: StructType): Snapshot = {
+    val base = snapshot
+    val cur = base.userSchema
+    val widens = scala.collection.mutable.ListBuffer[(String, DataType)]()
+    val adds = scala.collection.mutable.ListBuffer[StructField]()
+    incoming.fields.foreach { f =>
+      cur.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None => adds += StructField(f.name, f.dataType, nullable = true)
+        case Some(old) if old.dataType == f.dataType => ()
+        case Some(old) if LakeTable.canWiden(old.dataType, f.dataType) =>
+          widens += old.name -> f.dataType // keep the existing spelling
+        case Some(old) if LakeTable.canWiden(f.dataType, old.dataType) =>
+          () // incoming is narrower: the write's upcast absorbs it
+        case Some(old) => throw new IllegalArgumentException(
+          s"incompatible type change for column ${old.name}: " +
+            s"${old.dataType.simpleString} -> ${f.dataType.simpleString} " +
+            "is neither a widening nor a narrowing — rewrite the feed " +
+            "or migrate with replaceSchema")
+      }
+    }
+    if (adds.isEmpty && widens.isEmpty) return base
+    val newSchema = StructType(cur.fields.map(f =>
+      widens.find(_._1 == f.name).map(w => f.copy(dataType = w._2))
+        .getOrElse(f)) ++ adds)
+    commit(base, Nil, Set.empty, None, None,
+      schemaUpdate = Some((base.currentSchemaVersion + 1, newSchema)))
+  }
+
   /** Expire old snapshots and delete data files no snapshot references
     * anymore — the maintenance operation every snapshot-log table needs
     * at scale (COW/compaction replace files in the manifest but leave

@@ -439,7 +439,9 @@ class BatchRelationSpec extends SparkSpec {
       .select("meta").as[String].head() == null)
     assert(t.read().filter(col("conv_id") === "e2")
       .select("meta").as[String].head() == "m-2")
-    // widening: turn_idx int -> long via a long-typed write
+    // widening: turn_idx int -> long via a long-typed write; the whole
+    // evolution (widen) is ONE schema commit, then one data commit
+    val vPre = t.snapshot.version
     val widened = Seq(("e3", 5L, "user", "v3", null: String,
       Timestamp.valueOf("2026-03-10 00:00:02"), "m-3"))
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "meta")
@@ -448,6 +450,41 @@ class BatchRelationSpec extends SparkSpec {
     assert(t.snapshot.userSchema("turn_idx").dataType ==
       org.apache.spark.sql.types.LongType)
     assert(t.read().count() == 3)
+    assert(t.snapshot.version == vPre + 2, "one schema + one data commit")
+
+    // a case-variant spelling maps onto the existing column — never a
+    // duplicate, never a silent null-fill of the canonical one
+    val variant = Seq(("e4", 0L, "user", "v4", null: String,
+      Timestamp.valueOf("2026-03-10 00:00:03"), "m-4"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "Meta")
+    variant.write.format("graft-table").option("mergeSchema", "true")
+      .mode(SaveMode.Append).save(dir)
+    assert(t.snapshot.userSchema.fieldNames.count(
+      _.equalsIgnoreCase("meta")) == 1)
+    assert(t.read().filter(col("conv_id") === "e4")
+      .select("meta").as[String].head() == "m-4")
+
+    // an incompatible type change fails loud even under mergeSchema
+    val bad = Seq(("e5", 0L, "user", "v5", null: String,
+      Timestamp.valueOf("2026-03-10 00:00:04"), 42))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "meta")
+    val e2 = intercept[IllegalArgumentException] {
+      bad.write.format("graft-table").option("mergeSchema", "true")
+        .mode(SaveMode.Append).save(dir)
+    }
+    assert(e2.getMessage.contains("incompatible type change"))
+
+    // "extras" is transport, not data: mergeSchema must not materialize
+    // the envelope channel as a table column
+    val envExtras = Seq((1000000L, "I", "e6", 0L, "user", "v6",
+      null: String, Timestamp.valueOf("2026-03-10 00:00:05"),
+      Map.empty[String, String]))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool",
+        "ts", "extras")
+    envExtras.write.format("graft-table").option("mergeSchema", "true")
+      .mode(SaveMode.Append).save(dir)
+    assert(!t.snapshot.userSchema.fieldNames.contains("extras"))
+    assert(t.read().filter(col("conv_id") === "e6").count() == 1)
   }
 
   test("txnAppId + batchId makes batch-write re-runs no-ops") {
