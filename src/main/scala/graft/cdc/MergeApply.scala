@@ -1182,11 +1182,16 @@ object MergeApply {
       minLsn = if (appMins.isEmpty) -1L else appMins.min,
       partitions = parts, inputChecksum = fp, rejectedEvents = rejected)
     // EpochSuperseded/CommitConflict propagate to append()'s retry loop.
-    // replaceExisting retires every live file in the SAME commit (the
-    // atomic-overwrite contract of [[replace]]); a conflict retry
-    // recomputes the retired set from the fresh snapshot.
+    // replaceExisting retires the FULL bucket space, not just buckets
+    // with live files at the read snapshot: rebase's conflict signature
+    // covers exactly the retired buckets, so a concurrent append into a
+    // bucket that was EMPTY here must land in the signature too —
+    // otherwise its rows would silently survive the atomic
+    // whole-table-replace contract of [[replace]] while the same append
+    // into a populated bucket gets conflict-retried. Retiring an empty
+    // bucket is free (no files dropped) and makes the outcome uniform.
     val replaced =
-      if (replaceExisting) snap.files.map(_.bucket).toSet
+      if (replaceExisting) (0 until snap.nBuckets).toSet
       else Set.empty[Int]
     val (eid, txn) = epochArgs(cfg, epochId)
     val c = table.commit(snap, newFiles, replaced, eid, Some(entry), txn = txn)

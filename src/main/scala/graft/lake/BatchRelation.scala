@@ -51,6 +51,12 @@ final class GraftBatchRelation(
 
   override val schema: StructType = pinnedSnap.userSchema
 
+  /** Count of scans served from the stale pinned snapshot because the
+    * schema evolved under a live view — observable so the warning below
+    * is testable (and greppable in production logs). */
+  private[lake] val staleFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Snapshot one scan executes against. With `at` the relation is a
     * frozen release read — always the construction-time snapshot.
     * Without it, each scan re-resolves the CURRENT snapshot, because a
@@ -58,14 +64,26 @@ final class GraftBatchRelation(
     * relation instance alive indefinitely and must not serve stale data
     * forever. A DSv1 relation's schema is fixed, though, so if the
     * table's schema has EVOLVED since construction the scan falls back
-    * to the pinned snapshot (type-correct, stale) — re-create the view
-    * after schema evolution (self-joins of one view may legitimately
-    * scan twice; each scan is internally pinned to one snapshot). */
+    * to the pinned snapshot (type-correct, stale) — WARNED below, since
+    * a long-lived view would otherwise quietly read old data forever —
+    * re-create the view after schema evolution (self-joins of one view
+    * may legitimately scan twice; each scan is internally pinned to one
+    * snapshot). */
   private def scanSnap(): Snapshot =
     if (at.isDefined) pinnedSnap
     else {
       val s = table.snapshot
-      if (s.userSchema == schema) s else pinnedSnap
+      if (s.userSchema == schema) s
+      else {
+        staleFallbacks.incrementAndGet()
+        GraftBatchRelation.log.warn(
+          s"graft-table view over $tableDir: schema evolved at " +
+            s"v${s.version} but this relation was built against " +
+            s"v${pinnedSnap.version} — serving the STALE pinned " +
+            "snapshot (DSv1 schemas are fixed); re-create the view to " +
+            "read current data")
+        pinnedSnap
+      }
     }
 
   /** Upper-bound-biased row estimate (1 KiB/row over the manifest's
@@ -144,6 +162,9 @@ final class GraftBatchRelation(
 }
 
 object GraftBatchRelation {
+
+  private[lake] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchRelation])
 
   /** Key set implied by the filters for bucket pruning, treating the
     * top-level array as AND-combined (the DSv1 contract). `None` = the
@@ -365,7 +386,23 @@ object GraftBatchWrite {
       """graft-table requires .option("path", <table dir>) / save(<dir>)"""))
 
     // ---- validate EVERY option before any state change: a typo'd
-    // option (or a malformed batchId) must cost an error, never a table
+    // option (or a malformed batchId) must cost an error, never a table.
+    // That includes unknown KEYS, not just bad values — a misspelled
+    // .option("writeMod", "cow") or "mergeShema" silently applying the
+    // default would change write semantics without any error. Read-side
+    // keys are admitted because a view's options travel with INSERT INTO
+    // (GraftBatchRelation.insert forwards viewOptions here).
+    val knownKeys = Set(
+      "path", "method", "writemode", "invalidrows", "nbuckets",
+      "mergeschema", "txnappid", "batchid",
+      "at", "meta", "sincelsn", "changesfrom", "changesto")
+    val unknownKeys =
+      parameters.keys.filterNot(k => knownKeys(k.toLowerCase)).toSeq.sorted
+    require(unknownKeys.isEmpty,
+      s"unknown graft-table write option(s): ${unknownKeys.mkString(", ")}" +
+        " — known: path, method, writeMode, invalidRows, nBuckets, " +
+        "mergeSchema, txnAppId, batchId (plus read-side at/meta/" +
+        "sinceLsn/changesFrom/changesTo on a view)")
     val hasLsn = data.columns.contains("lsn")
     val hasOp = data.columns.contains("op")
     require(hasLsn == hasOp,

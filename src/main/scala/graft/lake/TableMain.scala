@@ -134,12 +134,59 @@ object TableMain {
             out(s"linked:           ${k.stripPrefix("link.")} -> $v") }
           0
         case "history" =>
-          val n = rest.headOption.map(_.toInt).getOrElse(20)
-          table.lineage.takeRight(n).reverse.foreach { e =>
+          // history [n] [--epoch-from A] [--epoch-to B] [--rejects-only]
+          // filters make the quarantine/lineage path operable without
+          // reading parquet by hand: "which epochs rejected events?",
+          // "what landed between epochs 40 and 60?". Filtered reads go
+          // through the FULL append-only `_lineage` mirror (the inline
+          // snapshot log is bounded at maxLineageInSnapshot rows).
+          var n = 20
+          var from = Long.MinValue
+          var to = Long.MaxValue
+          var rejOnly = false
+          var args = rest.toList
+          while (args.nonEmpty) args match {
+            case "--epoch-from" :: v :: t => from = v.toLong; args = t
+            case "--epoch-to" :: v :: t => to = v.toLong; args = t
+            case "--rejects-only" :: t => rejOnly = true; args = t
+            case ("--epoch-from" | "--epoch-to") :: Nil =>
+              throw new IllegalArgumentException(s"${args.head} needs a value")
+            case v :: t => n = v.toInt; args = t
+          }
+          val filtered = from != Long.MinValue || to != Long.MaxValue || rejOnly
+          val entries: Seq[LineageEntry] =
+            if (!filtered) table.lineage
+            else {
+              import org.apache.spark.sql.functions.col
+              val mirror = table.lineageTable
+                .filter(col("epochId") >= from && col("epochId") <= to)
+              val bounded =
+                if (rejOnly) mirror.filter(col("rejectedEvents") > 0)
+                else mirror
+              bounded.orderBy(col("version")).collect().toSeq.map(r =>
+                LineageEntry(
+                  epochId = r.getAs[Long]("epochId"),
+                  version = r.getAs[Long]("version"),
+                  rowsInBatch = r.getAs[Long]("rowsInBatch"),
+                  rowsApplied = r.getAs[Long]("rowsApplied"),
+                  bucketsTouched = Option(r.getAs[scala.collection.Seq[Int]](
+                    "bucketsTouched")).map(_.toSeq).getOrElse(Nil),
+                  filesRewritten = r.getAs[Int]("filesRewritten"),
+                  filesCarried = r.getAs[Int]("filesCarried"),
+                  maxLsn = r.getAs[Long]("maxLsn"),
+                  watermarkTs = Option(r.getAs[String]("watermarkTs"))
+                    .getOrElse(""),
+                  durationMs = r.getAs[Long]("durationMs"),
+                  minLsn = r.getAs[Long]("minLsn"),
+                  rejectedEvents = r.getAs[Long]("rejectedEvents")))
+            }
+          entries.takeRight(n).reverse.foreach { e =>
+            val rej = if (e.rejectedEvents > 0)
+              f" REJECTED=${e.rejectedEvents}" else ""
             out(f"v${e.version}%-6d epoch=${e.epochId}%-8d " +
               f"rows=${e.rowsApplied}%-9d buckets=${e.bucketsTouched.size}%-4d " +
               f"files+${e.filesRewritten}/~${e.filesCarried} " +
-              f"lsn=[${e.minLsn},${e.maxLsn}] ${e.durationMs} ms")
+              f"lsn=[${e.minLsn},${e.maxLsn}] ${e.durationMs} ms$rej")
           }
           0
         case "schema" =>
@@ -184,12 +231,18 @@ object TableMain {
             spark.conf.get("spark.sql.session.timeZone"))
           // accept the three common ISO spellings: instant (trailing Z
           // or offset), local date-time (session zone), bare date
+          // Instant.parse accepts only ISO_INSTANT (trailing Z), so a
+          // numeric offset like +05:00 needs the OffsetDateTime branch
+          // before the zone-less fallbacks
           val inst =
             try java.time.Instant.parse(raw)
             catch { case _: java.time.format.DateTimeParseException =>
-              (if (raw.contains("T")) java.time.LocalDateTime.parse(raw)
-               else java.time.LocalDate.parse(raw).atStartOfDay())
-                .atZone(zone).toInstant
+              try java.time.OffsetDateTime.parse(raw).toInstant
+              catch { case _: java.time.format.DateTimeParseException =>
+                (if (raw.contains("T")) java.time.LocalDateTime.parse(raw)
+                 else java.time.LocalDate.parse(raw).atStartOfDay())
+                  .atZone(zone).toInstant
+              }
             }
           val micros = LakeTable.microsOf(inst)
           val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)

@@ -49,11 +49,24 @@ object CorpusQueries {
   /** (doc_id, sh) — one row per distinct shingle per doc. Persisted:
     * every consumer (signature build, candidate self-join, exact-Jaccard
     * verification) reuses it; without the persist the self-joins would
-    * re-evaluate the scan+explode subtree once per side. */
+    * re-evaluate the scan+explode subtree once per side. Callers MUST
+    * release it via [[materializeAndRelease]] — Verify runs all 48
+    * queries in one session, so a leaked persist holds blocks for the
+    * session's life. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), explode(shinglesCol).as("sh"))
       .persist()
+
+  /** Materialize `result` off the cached lineage (eager localCheckpoint
+    * — same blocks-survive-nothing pattern as signLshCandidates), then
+    * unpersist every frame the plan referenced, even on failure. The
+    * returned frame's lineage is the checkpoint, so no consumer can
+    * recompute through the released caches. */
+  private def materializeAndRelease(result: => DataFrame,
+      cached: DataFrame*): DataFrame =
+    try result.localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
 
   /** Word -> deterministic 32-bit int, computable identically in DuckDB
     * as ('0x' || substr(md5(w),1,8))::BIGINT. */
@@ -319,7 +332,7 @@ object CorpusQueries {
     * variants (q26/q27) are verified against. */
   private val q25: Q = (s, d) => {
     val sh = shingleRows(s, d)
-    verifyJaccard(invertedIndexCandidates(sh), sh)
+    materializeAndRelease(verifyJaccard(invertedIndexCandidates(sh), sh), sh)
   }
 
   // ------------------------------------------------- q26 MinHash + LSH
@@ -342,9 +355,8 @@ object CorpusQueries {
     val sh = shingleRows(s, d)
     val banded = DedupIndex.bandRows(DedupIndex.signatures(sh))
       .persist() // self-joined: avoid rebuilding the 64-agg signature pass per side
-    try verifyJaccard(DedupIndex.selfCandidates(banded), sh)
-      .localCheckpoint(true)
-    finally banded.unpersist()
+    materializeAndRelease(
+      verifyJaccard(DedupIndex.selfCandidates(banded), sh), sh, banded)
   }
 
   // ----------------------------------------------------- q27 SimHash
@@ -424,7 +436,7 @@ object CorpusQueries {
     * jac-0.5 pair set (sub-1 by design, floored at 0.7). */
   private val q27: Q = (s, d) => {
     val sh = shingleRows(s, d)
-    verifyJaccard(simHashCandidates(sh), sh)
+    materializeAndRelease(verifyJaccard(simHashCandidates(sh), sh), sh)
   }
 
   /** The q27 oracle: the LITERAL simhash pipeline in DuckDB SQL —

@@ -49,6 +49,14 @@ object CurationQueries {
     * suite (deterministic, so the oracle derives the same partition). */
   val EvalModulus = 13
 
+  /** Broadcast ceiling for the eval-side distinct-gram set: 10⁷ keys ≈
+    * 80 MB of xxhash64 longs (plus hashmap overhead) — comfortably under
+    * a default driver/executor budget. A benchmark suite is ~10⁵ docs ≈
+    * 10⁶-10⁷ grams, so the broadcast path is the norm; anything bigger
+    * (someone "decontaminating" against half the corpus) downgrades to a
+    * shuffle join instead of OOMing the driver. */
+  val MaxBroadcastEvalGrams: Long = 10L * 1000 * 1000
+
   /** Benchmark decontamination over an arbitrary documents frame
     * (doc_id, text): per TRAINING document, how many of its distinct
     * 13-grams appear anywhere in the eval suite, and the contamination
@@ -65,9 +73,18 @@ object CurationQueries {
     * exploded train frame). `hashedGramKey = false` keeps the join on
     * the gram string — the oracle-literal twin the agreement test pins
     * against the hashed plan (a 64-bit xxhash64 collision between
-    * distinct grams is the only possible divergence). */
+    * distinct grams is the only possible divergence).
+    *
+    * The broadcast is GUARDED: the eval-side distinct-gram count is
+    * probed first (one action over eval docs only — the train side is
+    * untouched by the probe) and a set larger than `maxBroadcastGrams`
+    * downgrades the plan to a shuffle join with identical semantics,
+    * instead of handing the driver an unbounded broadcast build. The
+    * probe recomputes the eval explode once (not worth a persist whose
+    * release point the caller's lazy consumption would dictate). */
   def decontaminate(docsDf: DataFrame,
-      hashedGramKey: Boolean = true): DataFrame = {
+      hashedGramKey: Boolean = true,
+      maxBroadcastGrams: Long = MaxBroadcastEvalGrams): DataFrame = {
     val isEval = col("doc_id") % EvalModulus === 0
     val grams = docsDf.select(col("doc_id"),
       explode(gramsCol(wordsCol, ContamGramWidth)).as("g"))
@@ -75,8 +92,12 @@ object CurationQueries {
       if (hashedGramKey) grams.select(col("doc_id"), xxhash64(col("g")).as("gk"))
       else grams.select(col("doc_id"), col("g").as("gk"))
     val evalGrams = keyed.filter(isEval).select(col("gk")).distinct()
+    val evalSide = evalGrams.withColumn("__hit", lit(1))
+    val joinSide =
+      if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalSide)
+      else evalSide
     keyed.filter(!isEval)
-      .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("gk"), "left")
+      .join(joinSide, Seq("gk"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),

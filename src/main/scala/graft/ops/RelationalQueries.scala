@@ -335,7 +335,13 @@ object RelationalQueries {
           .as("parsed"))
       .groupBy(col("fmt"))
       .agg(count(lit(1)).as("n"), count(col("parsed")).as("parsed_ok"),
-        min(col("parsed")).as("min_ts"), max(col("parsed")).as("max_ts"))
+        // cast to NTZ: the session writes LTZ as isAdjustedToUTC=true
+        // micros (outputTimestampType=TIMESTAMP_MICROS for lake footer
+        // stats), which DuckDB types TIMESTAMPTZ — the oracle's
+        // try_strptime is naive. NTZ in a UTC session keeps the instant
+        // values and the naive parquet annotation the oracle expects.
+        min(col("parsed")).cast("timestamp_ntz").as("min_ts"),
+        max(col("parsed")).cast("timestamp_ntz").as("max_ts"))
   }
   private val q19Sql =
     """WITH raw AS (

@@ -284,7 +284,12 @@ object VectorQueries {
     * recall ≥ 0.85 vs the q29 brute-force baseline). */
   private val q30: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // v feeds the k-means iterations (each a collect) and the assigned
+    // frame; both are released before return — the result rides an eager
+    // localCheckpoint, so no RDD blocks outlive the query (Verify runs
+    // all 48 queries in one session).
     val v = quantized(s, d).persist()
+    try {
     val dim = emb(s, d).select(size(col("embedding"))).first().getInt(0)
     // q scaled to match centroid fixed-point (×1000)
     val scaled = v.withColumn("qs", transform(col("q"), _ * 1000))
@@ -326,6 +331,7 @@ object VectorQueries {
         .as[(Int, Seq[Long])].collect().toSeq
     }
     val assigned = assign(scaled).persist()
+    try {
 
     // --- search: probe the nprobe nearest cells per query (same per-row
     // fold; the nprobe cells are the sorted prefix)
@@ -346,6 +352,9 @@ object VectorQueries {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .localCheckpoint(true)
+    } finally assigned.unpersist()
+    } finally v.unpersist()
   }
 
   /** The q30 oracle: the LITERAL IVF pipeline — quantize, seeded integer

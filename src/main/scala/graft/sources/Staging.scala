@@ -53,12 +53,17 @@ final class ZipMemberStaging(zipPath: String, member: String) extends Staging {
   * Streams in 64 KiB chunks — the body is never materialized in memory
   * (the reference's stream-to-temp-file spill, connectors.py:199-209).
   * Idempotent per (uri, stagingDir): a refetch overwrites the same
-  * staged path. The JDK also ships an `ftp:` protocol handler
-  * (`FtpURLConnection` — verified present on this JDK 17), so the
-  * reference's `FTPConnector` (connectors.py:228-272) is covered by
-  * this object with zero extra code: an `ftp://…` uri resolves and
-  * streams through the identical copy loop. SFTP/GCS need client jars
-  * and wrap their InputStream in the same loop behind [[Staging]]. */
+  * staged path. `ftp://` uris cover the reference's `FTPConnector`
+  * (connectors.py:228-272) with zero extra code — in a Spark JVM,
+  * SharedState installs Hadoop's `FsUrlStreamHandlerFactory`
+  * process-wide, so `URL#openStream` on ftp resolves through Hadoop's
+  * `FTPFileSystem` (a full commons-net client: login, SYST, passive or
+  * PORT data connections) and streams through the identical copy loop;
+  * outside Spark the JDK's own `FtpURLConnection` handler takes over.
+  * Tested END-TO-END against a loopback FTP server
+  * (RemoteSourcesSpec / TestFtp — real sockets, zero egress). SFTP/GCS
+  * need client jars and wrap their InputStream in the same loop behind
+  * [[Staging]]. */
 object HttpStaging extends Staging {
   def fetch(spark: SparkSession, uri: String, stagingDir: String): String = {
     val url = new java.net.URI(uri).toURL

@@ -415,6 +415,53 @@ class BatchRelationSpec extends SparkSpec {
     assert(t.read().count() == before + 1)
   }
 
+  test("a live view falls back to the pinned snapshot after schema evolution — and warns") {
+    val (dir, _) = seeded("br-stale")
+    val sqlCtx = spark.sqlContext
+    val rel = new GraftBatchRelation(sqlCtx, dir, at = None)
+    assert(rel.sizeInBytes > 0) // a scanSnap() call on the live path
+    assert(rel.staleFallbacks.get() == 0,
+      "warning fired without schema evolution")
+    // evolve the schema under the live relation
+    val t = LakeTable.load(spark, dir)
+    t.evolveSchema(org.apache.spark.sql.types.StructType(
+      Schemas.transcript.fields :+ org.apache.spark.sql.types.StructField(
+        "stale_extra", org.apache.spark.sql.types.StringType)))
+    assert(rel.sizeInBytes > 0) // now served from the stale pinned snap
+    assert(rel.staleFallbacks.get() == 1,
+      "stale-pinned fallback did not warn exactly once for one scan")
+    // at-pinned relations are frozen by contract: no warning
+    val pinned = new GraftBatchRelation(sqlCtx, dir, at = Some("1"))
+    assert(pinned.sizeInBytes > 0)
+    assert(pinned.staleFallbacks.get() == 0)
+  }
+
+  test("unknown write option keys are rejected before any state change") {
+    val dir = tmpDir("br-badkey")
+    val rows = Seq(("k1", 0, "user", "v1", null: String,
+      Timestamp.valueOf("2026-03-11 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // a misspelled KEY must error, not silently apply the default
+    val e = intercept[IllegalArgumentException] {
+      rows.write.format("graft-table").option("writeMod", "cow")
+        .mode(SaveMode.Append).save(dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("writemod"))
+    val e2 = intercept[IllegalArgumentException] {
+      rows.write.format("graft-table").option("mergeShema", "true")
+        .mode(SaveMode.Append).save(dir)
+    }
+    // DSv1 delivers option keys case-folded; the message names the key
+    // in the spelling we received
+    assert(e2.getMessage.toLowerCase.contains("mergeshema"))
+    // nothing was created by the failed writes
+    assert(!LakeTable.load(spark, dir).exists)
+    // correctly-spelled options still work (case-insensitive match)
+    rows.write.format("graft-table").option("writeMode", "cow")
+      .mode(SaveMode.Append).save(dir)
+    assert(LakeTable.load(spark, dir).read().count() == 1)
+  }
+
   test("mergeSchema evolves on write; unknown columns without it fail loud") {
     val dir = tmpDir("br-evolve")
     val rows = Seq(("e1", 0, "user", "v1", null: String,

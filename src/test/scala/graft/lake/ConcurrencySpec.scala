@@ -45,6 +45,33 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.snapshot.files.map(_.path).toSet == Set("d1", "d2"))
   }
 
+  test("whole-table replace retires the FULL bucket space, so appends into empty buckets conflict") {
+    val t = fresh("occ-replace-empty")
+    // live files in bucket 0 only; buckets 1-3 are EMPTY at the snapshot
+    t.commit(t.snapshot, Seq(DataFileEntry("seed", 0, 1L, 0)), Set.empty, Some(0L), None)
+    val base = t.snapshot
+    // a concurrent writer lands a delta in empty bucket 2 and wins the race
+    t.commit(base, Seq(DataFileEntry("late", 2, 1L, 0, "delta")), Set.empty, Some(1L), None)
+    // the replace built on the stale view retires every bucket (the
+    // appendOrReplace contract) — its conflict signature must cover
+    // bucket 2, so the stale replace cannot silently keep 'late' alive
+    intercept[CommitConflictException] {
+      t.commit(base, Seq(DataFileEntry("repl", 0, 1L, 0)),
+        (0 until base.nBuckets).toSet, Some(2L), None)
+    }
+    assert(t.snapshot.files.map(_.path).toSet == Set("seed", "late"))
+    // and the real replace path registers the full space: a retried
+    // replace from the fresh snapshot retires 'late' too
+    import spark.implicits._
+    val repl = Seq((100L, "I", "rc", 0, "user", "replaced", null: String,
+      java.sql.Timestamp.valueOf("2026-03-12 00:00:00")))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.replace(t, repl, 2L)
+    assert(t.snapshot.manifests.last.replacedBuckets ==
+      (0 until t.snapshot.nBuckets))
+    assert(t.read().select("conv_id").as[String].collect().toSeq == Seq("rc"))
+  }
+
   test("same epoch from two writers: the in-flight duplicate is superseded") {
     val t = fresh("occ-epoch")
     val base = t.snapshot

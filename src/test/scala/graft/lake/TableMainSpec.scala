@@ -149,6 +149,41 @@ class TableMainSpec extends SparkSpec {
     assert(cli("", "status")._1 == 1, "empty table path")
   }
 
+  test("history filters: epoch range and --rejects-only make the quarantine path operable") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("tm-hist-filter")
+    val t = LakeTable.createTable(spark, dir, Schemas.transcript, nBuckets = 4)
+    val log = ChangeLogGen.changeLogDF(spark, cfg)
+    MergeApply.merge(t, log.limit(1500), 0L)
+    // epoch 1 carries a poison row and quarantines it
+    val bad = Seq((9000001L, "X", "conv_bad", 0, "user", "t", null: String,
+      null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, log.limit(2500).unionByName(bad), 1L,
+      MergeConfig(invalidRows = "quarantine"))
+    MergeApply.merge(t, log, 2L)
+
+    // unfiltered history shows all three epochs, flagging the rejecting one
+    val (c0, all) = cli(dir, "history")
+    assert(c0 == 0 && all.size >= 3)
+    assert(all.count(_.contains("REJECTED=1")) == 1)
+
+    // --rejects-only reduces to exactly the quarantining epoch
+    val (c1, rej) = cli(dir, "history", "--rejects-only")
+    assert(c1 == 0 && rej.size == 1)
+    assert(rej.head.contains("epoch=1") && rej.head.contains("REJECTED=1"))
+
+    // an epoch range bounds the audit window
+    val (c2, win) = cli(dir, "history", "--epoch-from", "1", "--epoch-to", "2")
+    assert(c2 == 0 && win.size == 2)
+    assert(win.exists(_.contains("epoch=1")) && win.exists(_.contains("epoch=2"))
+      && !win.exists(_.contains("epoch=0")))
+
+    // a dangling flag is a usage error, not a stack
+    val (c3, _) = cli(dir, "history", "--epoch-from")
+    assert(c3 == 1)
+  }
+
   test("compact warns on bucket ids holding no files instead of claiming success") {
     val dir = tmpDir("tm-unknown")
     val t = morTable(dir)

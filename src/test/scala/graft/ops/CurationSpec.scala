@@ -45,6 +45,27 @@ class CurationSpec extends SparkSpec {
       s"train grams shuffled through a join:\n$plan")
   }
 
+  test("decontamination: oversized eval-gram set downgrades to a shuffle join, identical output") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(cap: Long) =
+      CurationQueries.decontaminate(docs, maxBroadcastGrams = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    // cap 0 forces the fallback; with the session's auto-broadcast also
+    // off, a BroadcastHashJoin in the plan could only come from the
+    // (guarded) explicit hint — so its absence proves the downgrade
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = CurationQueries.decontaminate(docs, maxBroadcastGrams = 0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard did not downgrade the broadcast:\n$plan")
+      assert(rows(0) == rows(Long.MaxValue),
+        "shuffle fallback changed the decontamination output")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sequence packing: spans are block-width invariant") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def spans(w: Int) = CurationQueries.sequencePack(docs, Some(w))

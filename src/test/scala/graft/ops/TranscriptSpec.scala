@@ -237,4 +237,38 @@ class TranscriptSpec extends SparkSpec {
     assert(one.count() == users)
     assert(one.select(max(col("session_no"))).head().getLong(0) == 1L)
   }
+
+  test("transcript pack over a tagged lake table: assemble a pinned release in one call") {
+    import graft.cdc.MergeApply
+    import graft.gen.{ChangeLogGen, GenConfig}
+    import graft.lake.LakeTable
+    import graft.model.Schemas
+    val t = LakeTable.createTable(spark, tmpDir("pack-tag"),
+      Schemas.transcript, 4)
+    val cfg = GenConfig(nEvents = 3000L, nConvs = 40L, maxTurns = 8)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    t.tag("release-1")
+    val atTag = TranscriptPack.assemble(t, Some("release-1"))
+      .collect().map(_.toSeq).toSet
+    // the release equals an assembly over the tag-pinned raw read
+    val expect = TranscriptQueries.assemble(
+      t.read(Some(t.resolveRef("release-1"))), "conv_id", "turn_idx", "text")
+      .collect().map(_.toSeq).toSet
+    assert(atTag == expect)
+    // more changes land after the tag: the pinned release must not move,
+    // the current assembly must
+    val more = ChangeLogGen.changeLogDF(spark,
+      cfg.copy(nEvents = 1500L, seed = cfg.seed + 1))
+    MergeApply.merge(t, more, 1L)
+    assert(TranscriptPack.assemble(t, Some("release-1"))
+      .collect().map(_.toSeq).toSet == atTag)
+    assert(TranscriptPack.assemble(t).collect().map(_.toSeq).toSet != atTag)
+    // the sibling pack calls run over the same pinned snapshot
+    val sess = TranscriptPack.sessionize(t, Some("release-1"))
+    assert(sess.columns.head == "conv_id" && sess.count() > 0)
+    val packed = TranscriptPack.contextPack(t, Some("release-1"))
+    assert(packed.columns.head == "conv_id" && packed.count() > 0)
+    val js = TranscriptPack.conversationsJson(t, Some("release-1"))
+    assert(js.count() == atTag.size) // one JSON document per conversation
+  }
 }

@@ -40,6 +40,32 @@ class RemoteSourcesSpec extends SparkSpec {
     }
   }
 
+  test("ftp:// streams through HttpStaging's copy loop (loopback FTP, real JDK handler)") {
+    // the reference's FTPConnector (connectors.py:228-272) maps to
+    // HttpStaging AS-IS because the JDK ships an ftp: protocol handler;
+    // until this test that was a documented assertion — here the real
+    // FtpURLConnection logs in, negotiates passive mode, and RETRs over
+    // loopback sockets into the identical staged-copy loop
+    graft.TestFtp.withServer(Map(
+        "/pub/feed.csv" -> csvBody.getBytes("UTF-8"))) { base =>
+      val staging = tmpDir("ftp-real")
+      val staged = HttpStaging.fetch(spark, s"$base/pub/feed.csv", staging)
+      assert(staged.endsWith("feed.csv"))
+      assert(Files.readString(Paths.get(staged)) == csvBody)
+    }
+  }
+
+  test("ftp:// missing file fails and stages nothing") {
+    graft.TestFtp.withServer(Map.empty) { base =>
+      val staging = tmpDir("ftp-550")
+      intercept[java.io.IOException] {
+        HttpStaging.fetch(spark, s"$base/pub/gone.csv", staging)
+      }
+      assert(!Files.exists(Paths.get(staging, "gone.csv")),
+        "a failed FTP fetch must not leave a staged file")
+    }
+  }
+
   test("HttpStaging on a 404 fails and stages nothing") {
     withServer(Map("/gone.csv" -> (() => (404, "")))) { base =>
       val staging = tmpDir("http-404")
