@@ -34,6 +34,31 @@ class PlanGuardrailSpec extends SparkSpec {
     "q14_incremental_time_gap" -> "1-row max(ts) aggregate broadcast",
     "q29_knn_brute_cosine" -> "fixed 16-row query-set broadcast")
 
+  test("cached-frame discipline: the persisting queries release every cache on return") {
+    // the r3 verdict's leak class: shingleRows/banded/v/assigned were
+    // df.persist()ed and never unpersisted — Verify runs 48 queries in
+    // one session, so each leak held blocks for the session's life.
+    // The queries now materialize their result via an eager
+    // localCheckpoint and unpersist in try/finally, so the ONLY
+    // persistent RDDs a query may add are its checkpoint blocks (one
+    // per materializeAndRelease/localCheckpoint call — bounded and
+    // small), never the data-sized cached intermediates.
+    assume(new java.io.File(sfDir).isDirectory)
+    val sc = spark.sparkContext
+    for ((name, maxCheckpointRdds) <- Seq(
+        "q25_dedup_ngram_jaccard" -> 1, // result checkpoint
+        "q26_dedup_minhash_lsh" -> 1, // result checkpoint
+        "q27_dedup_simhash" -> 2, // candidate + result checkpoints
+        "q30_knn_ann_ivf" -> 1)) { // result checkpoint
+      val before = sc.getPersistentRDDs.keySet
+      graft.SparkEntry.queries(name)(spark, sfDir)
+      val added = sc.getPersistentRDDs.keySet -- before
+      assert(added.size <= maxCheckpointRdds,
+        s"$name left ${added.size} persistent RDDs (max $maxCheckpointRdds " +
+          "checkpoint blocks expected) — a persist() lost its unpersist")
+    }
+  }
+
   test("no gated query plans a cartesian or an unbounded nested-loop join") {
     assume(new java.io.File(sfDir).isDirectory)
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
