@@ -22,6 +22,10 @@ object ExplainMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // show the REAL operators: the dedup/ANN queries normally return an
+    // eagerly checkpointed result (cache-release discipline), which
+    // explains as an opaque `Scan ExistingRDD` and would blind the audit
+    graft.ops.EagerRelease.enabled = false
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

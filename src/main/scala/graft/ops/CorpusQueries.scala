@@ -62,11 +62,11 @@ object CorpusQueries {
     * — same blocks-survive-nothing pattern as signLshCandidates), then
     * unpersist every frame the plan referenced, even on failure. The
     * returned frame's lineage is the checkpoint, so no consumer can
-    * recompute through the released caches. */
+    * recompute through the released caches. Plan-inspection sessions
+    * flip [[EagerRelease.enabled]] off to see the real operators. */
   private def materializeAndRelease(result: => DataFrame,
       cached: DataFrame*): DataFrame =
-    try result.localCheckpoint(true)
-    finally cached.foreach(_.unpersist())
+    EagerRelease(result, cached: _*)
 
   /** Word -> deterministic 32-bit int, computable identically in DuckDB
     * as ('0x' || substr(md5(w),1,8))::BIGINT. */
@@ -318,11 +318,9 @@ object CorpusQueries {
     val sh = docsDf
       .select(col("doc_id"), explode(shinglesCol).as("sh"))
       .persist()
-    try verifyJaccard(invertedIndexCandidates(sh, maxDf), sh)
-      // candidates + verification both consume sh; materialize the result
-      // before unpersisting so the plan doesn't recompute the scan
-      .localCheckpoint(true)
-    finally sh.unpersist()
+    // candidates + verification both consume sh; materialize the result
+    // before unpersisting so the plan doesn't recompute the scan
+    EagerRelease(verifyJaccard(invertedIndexCandidates(sh, maxDf), sh), sh)
   }
 
   /** Exact near-dup pairs: 5-gram shingle Jaccard >= 0.5, computed via a
@@ -404,14 +402,14 @@ object CorpusQueries {
           struct(lit(c).as("ci"), col(s"c$c").as("cv"))): _*)).as("e"))
       .select(col("doc_id"), col("e.ci"), col("e.cv"))
       .persist() // self-joined below: avoid rebuilding the 64-bit-vote pass per side
-    try chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-      .distinct()
-      .localCheckpoint(true)
-    finally chunked.unpersist()
+    EagerRelease(
+      chunked.as("x")
+        .join(chunked.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .distinct(),
+      chunked)
   }
 
   /** SimHash near-IDENTICAL dedup: [[simHashCandidates]] (4×15-bit chunk

@@ -201,14 +201,14 @@ object VectorQueries {
     // materialize the self-join BEFORE releasing the cache (the exactNearDups
     // pattern): a public operator must not leak cached blocks for the life
     // of the session — direct callers have no bench harness clearing caches
-    try banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
-      .distinct()
-      .localCheckpoint(true)
-    finally banded.unpersist()
+    EagerRelease(
+      banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+        .distinct(),
+      banded)
   }
 
   // ------------------------------------------- q29 brute-force kNN top-k
@@ -331,7 +331,6 @@ object VectorQueries {
         .as[(Int, Seq[Long])].collect().toSeq
     }
     val assigned = assign(scaled).persist()
-    try {
 
     // --- search: probe the nprobe nearest cells per query (same per-row
     // fold; the nprobe cells are the sorted prefix)
@@ -349,11 +348,11 @@ object VectorQueries {
       .withColumn("sim", cosine)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .localCheckpoint(true)
-    } finally assigned.unpersist()
+    EagerRelease(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim")),
+      assigned)
     } finally v.unpersist()
   }
 

@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
   * then the tabular extractors take over". Spark has no HTTP/SFTP
   * source, so the distributed pipeline starts AT the staged file — this
   * trait is the explicit boundary where a deployment plugs in its
-  * fetchers (an HTTP impl is a ~10-line `URL#openStream` copy; an SFTP
-  * impl wraps its client the same way; both are untestable in this
-  * zero-egress sandbox, which is why only the contract + the local impl
-  * live here).
+  * fetchers. [[HttpStaging]] covers http/https/ftp/file (tested against
+  * REAL loopback HTTP and FTP servers — zero egress); an SFTP impl
+  * wraps its client's InputStream in the same copy loop (no client jar
+  * exists offline, so SFTP deploys through [[CommandStaging]]'s argv
+  * seam instead).
   *
   * Implementations MUST be idempotent per (uri, stagingDir): re-fetching
   * the same uri overwrites the same staged path, mirroring the

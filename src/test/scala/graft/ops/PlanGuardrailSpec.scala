@@ -61,10 +61,17 @@ class PlanGuardrailSpec extends SparkSpec {
 
   test("no gated query plans a cartesian or an unbounded nested-loop join") {
     assume(new java.io.File(sfDir).isDirectory)
-    val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        name -> fn(spark, sfDir).queryExecution.executedPlan.toString
-    }
+    // inspect the REAL plans: eagerly checkpointed results would show an
+    // opaque `Scan ExistingRDD` and exempt everything upstream of the
+    // checkpoint from this guardrail
+    val plans =
+      try {
+        EagerRelease.enabled = false
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+        }
+      } finally EagerRelease.enabled = true
     val cartesians = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n
     }
