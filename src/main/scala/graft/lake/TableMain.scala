@@ -152,6 +152,7 @@ object TableMain {
             case ("--epoch-from" | "--epoch-to") :: Nil =>
               throw new IllegalArgumentException(s"${args.head} needs a value")
             case v :: t => n = v.toInt; args = t
+            case Nil => () // unreachable under the nonEmpty guard
           }
           val filtered = from != Long.MinValue || to != Long.MaxValue || rejOnly
           val entries: Seq[LineageEntry] =

@@ -66,6 +66,28 @@ class RemoteSourcesSpec extends SparkSpec {
     }
   }
 
+  test("JobRunner end-to-end over real FTP: CSV RETR into a lake table") {
+    // the reference's FTPConnector feeding a tabular pipeline
+    // (connectors.py:228-272 + the launchpad lifecycle) — ftp source,
+    // CSV extractor, MERGE into the lake, all through the same JobSpec
+    // the HTTP jobs use
+    graft.TestFtp.withServer(Map(
+        "/data/rows.csv" -> csvBody.getBytes("UTF-8"))) { base =>
+      val work = tmpDir("ftp-job")
+      val spec = JobSpec(
+        jobCode = "ftp_csv",
+        source = JobSource.Url(s"$base/data/rows.csv"),
+        stagingDir = s"$work/staging",
+        extractor = JobExtractor.Csv(),
+        destination = JobDestination.Lake(s"$work/lake", nBuckets = 4),
+        keyFields = Seq("id"))
+      val r = JobRunner.run(spark, spec)
+      assert(r.applied && r.rows == 2)
+      val got = LakeTable.load(spark, s"$work/lake").read().collect()
+      assert(got.map(_.getAs[String]("name")).toSet == Set("alpha", "beta"))
+    }
+  }
+
   test("HttpStaging on a 404 fails and stages nothing") {
     withServer(Map("/gone.csv" -> (() => (404, "")))) { base =>
       val staging = tmpDir("http-404")
