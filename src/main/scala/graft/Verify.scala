@@ -4,6 +4,36 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run `body` on its own daemon thread, tagged with Spark job group
+    * `name`, under a wall-clock budget. Per-query isolation for the
+    * dump loop: one pathological query must cost its own row, never
+    * zero a whole round's correctness file — a hang is the one failure
+    * mode a per-query try/catch cannot contain, so the watchdog cancels
+    * the job group (which interrupts running tasks) and reports the
+    * query failed. Returns None on success, Some(message) on failure or
+    * timeout. */
+  private[graft] def runIsolated(spark: SparkSession, name: String,
+      timeoutMs: Long)(body: => Unit): Option[String] = {
+    @volatile var err: Option[String] = None
+    val worker = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        body
+      } catch { case e: Throwable => err = Some(String.valueOf(e.getMessage)) }
+      finally spark.sparkContext.clearJobGroup()
+    }, s"verify-$name")
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(timeoutMs)
+    if (worker.isAlive) {
+      spark.sparkContext.cancelJobGroup(name)
+      worker.interrupt()
+      worker.join(30000L) // give the cancel a moment to unwind
+      Some(s"timed out after ${timeoutMs} ms (job group cancelled)")
+    } else err
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,39 +46,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // per-query isolation: each dump runs on its own thread under a
-    // wall-clock budget, tagged with a job group so a hung query's Spark
-    // jobs are actually cancelled — one pathological query must cost its
-    // own row, never zero the round's correctness file (every OTHER
-    // failure mode was already caught per-query below)
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      def failed(msg: String): Unit = {
+      runIsolated(spark, name, timeoutSec * 1000L) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }.foreach { msg =>
         System.err.println(s"[verify] $name failed: $msg")
         // a failed dump must not leave stale/partial parquet under the
         // query's name — the driver's compare would silently grade it as
         // this run's result; a missing dir reads as an explicit failure
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$outDir/$name")): Unit
-      }
-      val worker = new Thread(() => {
-        try {
-          spark.sparkContext.setJobGroup(name, name,
-            interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-        } catch { case e: Throwable => failed(e.getMessage) }
-        finally spark.sparkContext.clearJobGroup()
-      }, s"verify-$name")
-      worker.setDaemon(true)
-      worker.start()
-      worker.join(timeoutSec * 1000L)
-      if (worker.isAlive) {
-        spark.sparkContext.cancelJobGroup(name)
-        worker.interrupt()
-        worker.join(30000L) // give the cancel a moment to unwind
-        failed(s"timed out after ${timeoutSec}s (job group cancelled)")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
