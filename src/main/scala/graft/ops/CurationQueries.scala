@@ -78,9 +78,11 @@ object CurationQueries {
     * The broadcast is GUARDED: the eval-side distinct-gram count is
     * probed first (one action over eval docs only — the train side is
     * untouched by the probe) and a set larger than `maxBroadcastGrams`
-    * downgrades the plan to a shuffle join with identical semantics,
-    * instead of handing the driver an unbounded broadcast build. The
-    * probe recomputes the eval explode once (not worth a persist whose
+    * downgrades to a Bloom-prefiltered shuffle join with identical
+    * OUTPUT (the prefilter is probabilistic, the join verifies every
+    * survivor), instead of handing the driver an unbounded broadcast
+    * build or exchanging the full exploded train side. The probe
+    * recomputes the eval explode once (not worth a persist whose
     * release point the caller's lazy consumption would dictate). */
   def decontaminate(docsDf: DataFrame,
       hashedGramKey: Boolean = true,
@@ -93,15 +95,45 @@ object CurationQueries {
       else grams.select(col("doc_id"), col("g").as("gk"))
     val evalGrams = keyed.filter(isEval).select(col("gk")).distinct()
     val evalSide = evalGrams.withColumn("__hit", lit(1))
-    val joinSide =
-      if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalSide)
-      else evalSide
-    keyed.filter(!isEval)
-      .join(joinSide, Seq("gk"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
-      .select(col("doc_id"), col("n_grams"), col("n_shared"),
-        (col("n_shared") > 0).as("contaminated"))
+    val nEval = evalGrams.count()
+    if (nEval <= maxBroadcastGrams)
+      // the normal shape: benchmark-sized eval set, ONE broadcast join +
+      // hash aggregate over the streaming train side
+      keyed.filter(!isEval)
+        .join(broadcast(evalSide), Seq("gk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared") > 0).as("contaminated"))
+    else {
+      // oversized eval set: a plain shuffle join would exchange the FULL
+      // exploded train side (~10^13 gram rows at a 10^10-doc corpus). A
+      // Bloom prefilter over the eval grams cuts the exchange to true
+      // hits + the false-positive fraction: the filter is probabilistic,
+      // the OUTPUT is exact — the join behind it verifies every survivor.
+      // Sized at min(|eval|, 100M) expected items / 1% fpp (≈120 MB cap,
+      // broadcast-safe); past the cap fpp degrades gracefully and the
+      // join still corrects it. n_grams is counted join-free so the
+      // prefilter can drop non-matching rows without losing the
+      // denominator.
+      val spark = docsDf.sparkSession
+      val trainAll = keyed.filter(!isEval)
+      val bloom = spark.sparkContext.broadcast(
+        evalGrams.stat.bloomFilter("gk", math.min(nEval, 100L * 1000 * 1000),
+          0.01))
+      val probe =
+        if (hashedGramKey) udf((k: Long) => bloom.value.mightContainLong(k))
+        else udf((k: String) => bloom.value.mightContainString(k))
+      val nGrams = trainAll.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val shared = trainAll.filter(probe(col("gk")))
+        .join(evalSide, Seq("gk"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      nGrams.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    }
   }
 
   private val q37: Q = (s, d) => decontaminate(docs(s, d))
