@@ -155,8 +155,17 @@ object TableMain {
             case Nil => () // unreachable under the nonEmpty guard
           }
           val filtered = from != Long.MinValue || to != Long.MaxValue || rejOnly
+          val mirrorPath = new Path(dir, "_lineage")
+          val mirrorExists = mirrorPath
+            .getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(mirrorPath)
           val entries: Seq[LineageEntry] =
             if (!filtered) table.lineage
+            else if (!mirrorExists)
+              // a fresh table has no mirror yet — filter the (equally
+              // fresh) inline log instead of failing on a missing path
+              table.lineage.filter(e => e.epochId >= from &&
+                e.epochId <= to && (!rejOnly || e.rejectedEvents > 0))
             else {
               import org.apache.spark.sql.functions.col
               val mirror = table.lineageTable

@@ -182,6 +182,13 @@ class TableMainSpec extends SparkSpec {
     // a dangling flag is a usage error, not a stack
     val (c3, _) = cli(dir, "history", "--epoch-from")
     assert(c3 == 1)
+
+    // a fresh table (no _lineage mirror yet) filters its empty inline
+    // log instead of failing on the missing path
+    val freshDir = tmpDir("tm-hist-fresh")
+    LakeTable.createTable(spark, freshDir, Schemas.transcript, nBuckets = 4)
+    val (c4, fresh) = cli(freshDir, "history", "--rejects-only")
+    assert(c4 == 0 && fresh.isEmpty)
   }
 
   test("compact warns on bucket ids holding no files instead of claiming success") {
