@@ -921,7 +921,17 @@ object MergeApply {
         * from the same version (a concurrent layout change between the
         * two reads would otherwise apply old-space bucket ids to the new
         * layout; the commit conflict still catches real races). */
-      at: Option[Snapshot] = None): Snapshot = {
+      at: Option[Snapshot] = None,
+      /** Purge-only knob ([[graft.cdc.Purge]]): a transform applied to
+        * the raw envelope rows BEFORE the fold — drop or redact a
+        * conversation's history while the bucket rewrites. The caller
+        * owns the consumer-visibility contract: fold files are the
+        * superset incremental consumers absorb (arrivalFiles includes
+        * them), so a state-CHANGING transform must leave behind whatever
+        * rows downstream needs to converge (the purge keeps null-payload
+        * tombstones). A bucket whose rows all drop retires with no
+        * replacement files. */
+      purgeRewrite: Option[DataFrame => DataFrame] = None): Snapshot = {
     val snap = at.getOrElse(table.snapshot)
     val spark = table.spark
     val outDir = s"${table.dir}/data/compact-${snap.version + 1}-" +
@@ -935,7 +945,8 @@ object MergeApply {
       perBucket.toSeq.map { case (b, fs) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = {
-            val raw = table.readFiles(snap, fs)
+            val raw0 = table.readFiles(snap, fs)
+            val raw = purgeRewrite.fold(raw0)(f => f(raw0))
             val payload = raw.columns.toSeq
             val folded = raw.groupBy(KEY.map(col): _*)
               .agg(max_by(struct(payload.map(col): _*), col("__lsn"))
@@ -954,7 +965,10 @@ object MergeApply {
       "base", tsCol = eventTimeCol(snap))
       // folds carry ONLY old rows into new files (state-neutral rewrite);
       // fold=true lets arrival windows starting at this commit's parent
-      // skip them outright instead of re-upserting the whole bucket
+      // skip them outright instead of re-upserting the whole bucket.
+      // rows == 0 happens only under purgeRows (a bucket fully erased):
+      // retire the bucket with no replacement instead of an empty file
+      .filter(_.rows > 0)
       .map(_.copy(rewrite = true, fold = true))
     val entry = LineageEntry(-1L, snap.version + 1, 0L, 0L,
       buckets.toSeq.sorted, files.size,

@@ -1,0 +1,188 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** Outcome of one [[Purge.purgeConversations]] call. */
+final case class PurgeResult(
+    /** Version of the tombstone merge, when live rows existed. */
+    tombstoneVersion: Option[Long],
+    /** Version of the history-rewrite commit (== the pre-call version
+      * when nothing needed rewriting). */
+    rewriteVersion: Long,
+    /** Live turns tombstoned (phase 1). */
+    liveRowsTombstoned: Long,
+    /** Buckets whose history was rewritten (phase 2). */
+    bucketsRewritten: Seq[Int],
+    /** Quarantined `_rejects` rows scrubbed (phase 3). */
+    rejectsScrubbed: Long,
+    /** Tags pinning PRE-purge versions: `vacuum` spares tagged
+      * snapshots, so these keep pre-purge files (and the purged rows in
+      * them) alive until the tags are dropped — erasure is not complete
+      * while this map is non-empty. */
+    blockingTags: Map[String, Long])
+
+/** Conversation purge — right-to-be-forgotten for a transcript table.
+  *
+  * A CDC table retains every version of every turn (deltas, compacted
+  * bases, time travel, dead-lettered rejects); deleting a conversation
+  * with an ordinary `D` event removes it from CURRENT state only. A
+  * deletion-request pipeline needs genuine erasure, in three phases:
+  *
+  *  1. '''Tombstone merge''' — one ordinary batch of `D` events (key
+  *     columns only, payload null) for the conversations' live turns at
+  *     `lsn = highWater + 1` (the [[Revert]] compensation pattern,
+  *     `graft-purge` txn slot). Downstream — followers, the streaming
+  *     source, change-feed windows — converges through these ordinary
+  *     deletes.
+  *  2. '''History rewrite''' — a [[MergeApply.compactBuckets]] fold of
+  *     exactly the conversations' hash buckets with a purge transform:
+  *     every insert/update version of those conversations is dropped
+  *     and every `D` row keeps only its key (payload columns nulled).
+  *     The surviving null-payload tombstones are WHY incremental
+  *     consumers still converge — fold files are the superset
+  *     `arrivalsSince` windows absorb, and the tombstone winner rides
+  *     along (the Kafka compaction-tombstone analogy: propagating a
+  *     delete requires retaining the key). Bucket-pruned: cost is
+  *     O(affected buckets), never O(table); commits through the
+  *     ordinary conflict-safe protocol.
+  *  3. '''Reject scrub''' — quarantined `_rejects` rows for those
+  *     conversations are rewritten out (poison events carry payload
+  *     text too). Null-keyed rejects are kept — they cannot be
+  *     attributed to any conversation.
+  *
+  * `scrubTombstones = true` is the SECOND pass for full key erasure:
+  * it drops even the tombstones from the rewritten buckets. Run it only
+  * after every incremental consumer has passed the tombstone version —
+  * a consumer syncing across a tombstone-free rewrite never learns of
+  * the delete. (Most deployments never need it: a bare
+  * `(conv_id, turn_idx)` key is the price every log-compacted CDC
+  * system pays to propagate deletes.)
+  *
+  * What erasure means afterward:
+  *  - CURRENT state and all FUTURE snapshots: no payload anywhere; no
+  *    key either once tombstones are scrubbed.
+  *  - PRE-purge snapshots remain readable (their files are untouched on
+  *    disk) until `vacuum` expires them — '''erasure completes at the
+  *    next vacuum past retention'''. Run it once downstream consumers
+  *    have passed the tombstone version.
+  *  - Tags pinning pre-purge versions BLOCK erasure (vacuum spares
+  *    tagged snapshots); they are reported in
+  *    [[PurgeResult.blockingTags]] rather than silently broken — drop
+  *    the tags and vacuum to finish.
+  *  - A LATE upstream event for a purged conversation re-inserts it
+  *    (the purge is point-in-time; gate the upstream feed too).
+  *
+  * Refuses while write-audit-publish intents are staged: a parked
+  * intent's files are outside the live manifest and could republish
+  * purged rows — publish or abort intents first. */
+object Purge {
+
+  /** Writer identity for the tombstone merge's app-scoped txn slot. */
+  val TxnApp = "graft-purge"
+
+  def purgeConversations(table: LakeTable, convIds: Set[String],
+      cfg: MergeConfig = MergeConfig(),
+      scrubTombstones: Boolean = false): PurgeResult = {
+    require(convIds.nonEmpty, "purge needs at least one conv_id")
+    require(convIds.forall(_ != null), "purge ids must be non-null")
+    val staged = table.stagedIds
+    require(staged.isEmpty,
+      s"table has staged write-audit-publish intents (${staged.mkString(", ")})" +
+        " — publish or abort them first: a parked intent could republish" +
+        " purged rows")
+    val cur = table.snapshot
+    val matches = col("conv_id").isInCollection(convIds)
+    val keyCols = Set("conv_id", "turn_idx", "__lsn", "__op")
+
+    // phase 1: tombstone the live turns (what downstream converges on).
+    // Key columns only — the tombstone must not re-carry the payload it
+    // is erasing.
+    val buckets0 = convIds.map(LakeTable.bucketOf(_, cur.nBuckets))
+    val live = table.readBuckets(buckets0, Some(cur.version)).filter(matches)
+    val lsn = table.highLsn(cur) + 1
+    val ds = live.select(
+      lit(lsn).as("lsn") +: lit("D").as("op") +:
+        cur.userSchema.fields.toSeq.map { f =>
+          if (f.name == "conv_id" || f.name == "turn_idx") col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*).cache()
+    val (tombV, nTomb) =
+      try {
+        val n = ds.count()
+        if (n == 0) (None, 0L)
+        else {
+          val r = MergeApply.merge(table, ds, epochId = cur.version,
+            cfg.copy(txnApp = Some(TxnApp)))
+          (Some(r.version), n)
+        }
+      } finally { ds.unpersist(): Unit }
+
+    // phase 2: rewrite the conversations' buckets. Default: drop every
+    // insert/update version, redact D rows to key-only (consumers still
+    // converge through the tombstone winner). scrubTombstones: drop
+    // every trace (the post-convergence second pass).
+    val purgeTransform: DataFrame => DataFrame =
+      if (scrubTombstones) df => df.filter(!coalesce(matches, lit(false)))
+      else df => {
+        val kept =
+          df.filter(!coalesce(matches, lit(false)) || col("__op") === "D")
+        kept.select(kept.schema.fields.toSeq.map { f =>
+          if (keyCols(f.name)) col(f.name)
+          else when(coalesce(matches, lit(false)),
+            lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        }: _*)
+      }
+    val snap = table.snapshot
+    val buckets = convIds.map(LakeTable.bucketOf(_, snap.nBuckets))
+    val touched = snap.files.map(_.bucket).toSet.intersect(buckets)
+    val after =
+      if (touched.isEmpty) snap
+      else MergeApply.compactBuckets(table, touched, cfg, at = Some(snap),
+        purgeRewrite = Some(purgeTransform))
+
+    // phase 3: scrub the dead-letter directory
+    val scrubbed = scrubRejects(table, convIds)
+
+    PurgeResult(tombV, after.version, nTomb,
+      touched.toSeq.sorted, scrubbed,
+      table.tags.filter { case (_, v) => v < after.version })
+  }
+
+  /** Rewrite `_rejects/<app>/epoch=<id>/` dirs dropping rows whose
+    * `conv_id` is in the purge set. Null-keyed rows are kept (not
+    * attributable). Each dir is rewritten to a temp sibling then swapped
+    * — a crash between delete and rename re-runs cleanly (rejects are
+    * an advisory dead-letter, and the scrub is idempotent). */
+  private def scrubRejects(table: LakeTable, convIds: Set[String]): Long = {
+    val spark = table.spark
+    val root = new Path(table.dir, "_rejects")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0L
+    var scrubbed = 0L
+    for {
+      app <- fs.listStatus(root).toSeq if app.isDirectory
+      ep <- fs.listStatus(app.getPath).toSeq
+      if ep.isDirectory && ep.getPath.getName.startsWith("epoch=")
+    } {
+      val df = spark.read.parquet(ep.getPath.toString)
+      if (df.columns.contains("conv_id")) {
+        val bad = col("conv_id").isInCollection(convIds)
+        val n = df.filter(bad).count()
+        if (n > 0) {
+          val tmp = new Path(app.getPath, ep.getPath.getName + ".purge-tmp")
+          df.filter(!bad || col("conv_id").isNull)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(ep.getPath, true)
+          require(fs.rename(tmp, ep.getPath),
+            s"reject scrub: rename $tmp -> ${ep.getPath} failed")
+          scrubbed += n
+        }
+      }
+    }
+    scrubbed
+  }
+}

@@ -91,7 +91,7 @@ object TableMain {
           "history schema show tail tail-after compact rebucket vacuum " +
           "vacuum-orphans recover set-property tag tags drop-tag diff " +
           "revert export export-conversations staged publish abort-staged " +
-          "rejects fsck")
+          "rejects purge fsck")
       return 1
     }
     val dir = args.head
@@ -349,6 +349,35 @@ object TableMain {
             s"[table] reverted to ${rest.head}: ${r.rowsApplied} " +
               s"compensating row(s) -> v${r.version}"
           else s"[table] already at ${rest.head} state (no-op)")
+          0
+        case "purge" =>
+          // right-to-be-forgotten: tombstone + bucket-pruned history
+          // rewrite + reject scrub (graft.cdc.Purge). Erasure completes
+          // at the next vacuum past retention; blocking tags reported.
+          // --scrub-tombstones = the post-convergence full-key-erasure
+          // pass (drops even the null-payload tombstones).
+          val scrub = rest.contains("--scrub-tombstones")
+          val posArgs = rest.filterNot(_ == "--scrub-tombstones")
+          require(posArgs.length == 1,
+            "purge needs a comma-separated conv_id list " +
+              "[--scrub-tombstones]")
+          val ids = posArgs.head.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val r = graft.cdc.Purge.purgeConversations(table, ids,
+            scrubTombstones = scrub)
+          out(s"[table] purged ${ids.size} conversation(s): " +
+            s"${r.liveRowsTombstoned} live turn(s) tombstoned" +
+            r.tombstoneVersion.map(v => s" (v$v)").getOrElse("") +
+            s", ${r.bucketsRewritten.size} bucket(s) rewritten " +
+            s"-> v${r.rewriteVersion}, ${r.rejectsScrubbed} reject row(s) " +
+            "scrubbed")
+          if (r.blockingTags.nonEmpty)
+            out("[table] WARNING: erasure blocked by tag(s) pinning " +
+              "pre-purge versions: " +
+              r.blockingTags.toSeq.sorted.map { case (t, v) => s"$t(v$v)" }
+                .mkString(", ") + " — drop them, then vacuum")
+          else
+            out("[table] pre-purge snapshots remain readable until vacuum " +
+              "— run vacuum past retention to complete erasure")
           0
         case "export" =>
           val i = rest.indexOf("--at")

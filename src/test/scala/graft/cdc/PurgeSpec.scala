@@ -1,0 +1,193 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.lake.LakeTable
+import graft.model.Schemas
+
+/** [[Purge]] — right-to-be-forgotten for transcript conversations:
+  * tombstone merge (downstream convergence) + bucket-pruned history
+  * rewrite to null-payload tombstones + reject scrub; `scrubTombstones`
+  * as the post-convergence full-key-erasure pass; vacuum completing the
+  * erasure; tags reported as blockers, never silently broken. */
+class PurgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(nEvents = 4000L, nConvs = 50L, maxTurns = 8)
+
+  private def seeded(name: String): LakeTable = {
+    val t = LakeTable.createTable(spark, tmpDir(name), Schemas.transcript, 4)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg), 0L)
+    t
+  }
+
+  private def someConvs(t: LakeTable, n: Int): Set[String] =
+    t.read().select("conv_id").distinct().as[String].take(n).toSet
+
+  /** Raw envelope rows for the given convs across the LIVE files of the
+    * current snapshot (history included, not LWW-resolved). */
+  private def liveTraces(t: LakeTable, convs: Set[String]) = {
+    val snap = t.snapshot
+    t.readFiles(snap, snap.files)
+      .filter(col("conv_id").isInCollection(convs))
+  }
+
+  /** Every conv_id in any parquet file anywhere under data/ — including
+    * files only reachable through pre-purge snapshots. */
+  private def convsAnywhere(t: LakeTable): Set[String] = {
+    val files = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"${t.dir}/data"),
+        Array("parquet"), true)
+    import scala.jdk.CollectionConverters._
+    files.asScala.toSeq.flatMap { f =>
+      spark.read.parquet(f.getAbsolutePath).select("conv_id")
+        .distinct().as[String].collect()
+    }.toSet
+  }
+
+  test("purge: payload erased from live files; keys survive as tombstones; scrub + vacuum erase fully") {
+    val t = seeded("purge-basic")
+    val victims = someConvs(t, 2)
+    val preV = t.snapshot.version
+    val othersBefore = t.read().filter(!col("conv_id").isInCollection(victims))
+      .collect().map(_.toSeq).toSet
+
+    val r = Purge.purgeConversations(t, victims)
+    assert(r.liveRowsTombstoned > 0 && r.tombstoneVersion.nonEmpty)
+    assert(r.bucketsRewritten.nonEmpty && r.blockingTags.isEmpty)
+
+    // current state: no trace; other conversations bit-identical
+    assert(t.read().filter(col("conv_id").isInCollection(victims)).isEmpty)
+    assert(t.read().collect().map(_.toSeq).toSet == othersBefore)
+    // live files: the ONLY surviving victim rows are null-payload
+    // tombstones (the Kafka-compaction analogy — keys propagate deletes)
+    val traces = liveTraces(t, victims)
+    assert(traces.filter(col("__op") =!= "D").isEmpty,
+      "non-tombstone victim versions survive in live files")
+    assert(traces.filter(col("text").isNotNull || col("role").isNotNull ||
+      col("tool").isNotNull || col("ts").isNotNull).isEmpty,
+      "tombstones still carry payload")
+    // pre-purge snapshots still time-travel (their files are untouched)
+    assert(t.read(asOf = Some(preV))
+      .filter(col("conv_id").isInCollection(victims)).count() > 0)
+
+    // the post-convergence pass drops even the keys from live files …
+    val r2 = Purge.purgeConversations(t, victims, scrubTombstones = true)
+    assert(r2.liveRowsTombstoned == 0)
+    assert(liveTraces(t, victims).isEmpty, "scrub pass left key traces")
+    // … and vacuum completes the on-disk erasure
+    t.vacuum(keepSnapshots = 1)
+    assert(convsAnywhere(t).intersect(victims).isEmpty,
+      "purged conversations survive on disk after vacuum")
+    assert(t.fsck().isEmpty)
+  }
+
+  test("purge converges followers through ordinary tombstones") {
+    val t = seeded("purge-follow-src")
+    val dst = LakeTable.createTable(spark, tmpDir("purge-follow-dst"),
+      Schemas.transcript, 4)
+    CdcPipeline.followOnce(t, dst)
+    val victims = someConvs(t, 2)
+    Purge.purgeConversations(t, victims)
+    CdcPipeline.followOnce(t, dst)
+    assert(dst.read().filter(col("conv_id").isInCollection(victims)).isEmpty,
+      "follower did not converge through the purge tombstones")
+    assert(dst.read().collect().map(_.toSeq).toSet ==
+      t.read().collect().map(_.toSeq).toSet)
+  }
+
+  test("purge scrubs quarantined rejects, keeping null-keyed rows") {
+    val t = seeded("purge-rejects")
+    // quarantine two poison events: one attributable to the victim, one
+    // null-keyed (must survive — not attributable to any conversation)
+    val victims = someConvs(t, 1)
+    val bad = Seq(
+      (9000001L, "X", victims.head, 0, "user", "secret text", null: String,
+        null.asInstanceOf[java.sql.Timestamp]),
+      (9000002L, "X", null.asInstanceOf[String], 0, "user", "orphan", null: String,
+        null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(100)
+      .unionByName(bad), 1L, MergeConfig(invalidRows = "quarantine"))
+    val r = Purge.purgeConversations(t, victims)
+    assert(r.rejectsScrubbed == 1)
+    val rejects = spark.read.parquet(s"${t.dir}/_rejects/*/epoch=*")
+    assert(rejects.filter(col("conv_id").isInCollection(victims)).isEmpty)
+    assert(rejects.filter(col("conv_id").isNull).count() == 1)
+  }
+
+  test("tags pinning pre-purge versions are reported as erasure blockers") {
+    val t = seeded("purge-tags")
+    t.tag("release-1")
+    val victims = someConvs(t, 1)
+    val r = Purge.purgeConversations(t, victims, scrubTombstones = true)
+    assert(r.blockingTags.contains("release-1"))
+    // the tag genuinely blocks: vacuum spares the tagged snapshot
+    t.vacuum(keepSnapshots = 1)
+    assert(convsAnywhere(t).intersect(victims).nonEmpty,
+      "vacuum expired a tagged snapshot")
+    // dropping the tag unblocks
+    t.dropTag("release-1")
+    t.vacuum(keepSnapshots = 1)
+    assert(convsAnywhere(t).intersect(victims).isEmpty)
+  }
+
+  test("purge refuses while WAP intents are staged; re-purge is a cheap no-op") {
+    val t = seeded("purge-staged")
+    val victims = someConvs(t, 1)
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(200), 1L,
+      MergeConfig(wapId = Some("audit-1")))
+    val e = intercept[IllegalArgumentException] {
+      Purge.purgeConversations(t, victims)
+    }
+    assert(e.getMessage.contains("audit-1"))
+    t.abortStaged("audit-1")
+    val r1 = Purge.purgeConversations(t, victims)
+    assert(r1.liveRowsTombstoned > 0)
+    // second purge: nothing live, tombstones rewritten idempotently,
+    // nothing to scrub
+    val r2 = Purge.purgeConversations(t, victims)
+    assert(r2.liveRowsTombstoned == 0 && r2.rejectsScrubbed == 0)
+    assert(t.read().filter(col("conv_id").isInCollection(victims)).isEmpty)
+  }
+
+  test("a streaming mirror converges through a purge (tombstones survive the fold)") {
+    val t = seeded("purge-stream-src")
+    val dst = LakeTable.createTable(spark, tmpDir("purge-stream-dst"),
+      Schemas.transcript, 4)
+    val ckpt = tmpDir("purge-stream-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", t.dir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+          MergeApply.merge(dst, b, e, MergeConfig()): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // mirror the pre-purge state
+    val victims = someConvs(t, 2)
+    Purge.purgeConversations(t, victims)
+    drain() // consume the tombstone window + the (skipped) fold
+    assert(dst.read().filter(col("conv_id").isInCollection(victims)).isEmpty,
+      "streaming mirror did not converge through the purge")
+    assert(dst.read().collect().map(_.toSeq).toSet ==
+      t.read().collect().map(_.toSeq).toSet)
+  }
+
+  test("the purge delivers exactly its deletes through the change feed") {
+    val t = seeded("purge-feed")
+    val victims = someConvs(t, 1)
+    val preV = t.snapshot.version
+    val r = Purge.purgeConversations(t, victims)
+    val feed = t.changeFeed(preV, Some(r.rewriteVersion))
+    // the only feed content is the victims' deletes — the rewrite's fold
+    // re-upserts value-identical winners, which the feed suppresses
+    assert(feed.filter(col("_change_type") =!= "delete").isEmpty)
+    assert(feed.filter(!col("conv_id").isInCollection(victims)).isEmpty)
+    assert(feed.count() == r.liveRowsTombstoned)
+  }
+}
