@@ -136,19 +136,38 @@ object Purge {
             lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         }: _*)
       }
-    val snap = table.snapshot
-    val buckets = convIds.map(LakeTable.bucketOf(_, snap.nBuckets))
-    val touched = snap.files.map(_.bucket).toSet.intersect(buckets)
-    val after =
-      if (touched.isEmpty) snap
-      else MergeApply.compactBuckets(table, touched, cfg, at = Some(snap),
-        purgeRewrite = Some(purgeTransform))
+    // a concurrent ingest into an affected bucket conflicts the fold
+    // (correctly — the rewrite would lose its rows); a purge racing a
+    // live feed retries from a fresh snapshot rather than failing the
+    // deletion request. Each attempt recomputes everything it folds, so
+    // convergence only needs the feed to pause for one attempt window.
+    var after = table.snapshot
+    var rewritten = Set.empty[Int]
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val snap = table.snapshot
+      val buckets = convIds.map(LakeTable.bucketOf(_, snap.nBuckets))
+      val touched = snap.files.map(_.bucket).toSet.intersect(buckets)
+      if (touched.isEmpty) { after = snap; done = true }
+      else
+        try {
+          after = MergeApply.compactBuckets(table, touched, cfg,
+            at = Some(snap), purgeRewrite = Some(purgeTransform))
+          rewritten = touched
+          done = true
+        } catch {
+          case e: graft.lake.CommitConflictException =>
+            attempt += 1
+            if (attempt >= 6) throw e
+        }
+    }
 
     // phase 3: scrub the dead-letter directory
     val scrubbed = scrubRejects(table, convIds)
 
     PurgeResult(tombV, after.version, nTomb,
-      touched.toSeq.sorted, scrubbed,
+      rewritten.toSeq.sorted, scrubbed,
       table.tags.filter { case (_, v) => v < after.version })
   }
 

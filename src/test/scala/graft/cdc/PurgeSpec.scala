@@ -178,6 +178,34 @@ class PurgeSpec extends SparkSpec {
       t.read().collect().map(_.toSeq).toSet)
   }
 
+  test("purge retries through concurrent ingest; both outcomes land") {
+    val t = seeded("purge-race")
+    val victims = someConvs(t, 2)
+    // a concurrent writer keeps landing NEW conversations (disjoint from
+    // the victims, so the final state is deterministic) while the purge
+    // rewrite runs — bucket conflicts must retry, not fail the deletion
+    val writer = new Thread(() => {
+      (1 to 5).foreach { i =>
+        val rows = Seq((100000L + i, "I", s"race-conv-$i", 0, "user",
+          s"t$i", null: String,
+          java.sql.Timestamp.valueOf("2026-03-13 00:00:00")))
+          .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text",
+            "tool", "ts")
+        MergeApply.merge(t, rows, 1000L + i)
+      }
+    })
+    writer.start()
+    val r = Purge.purgeConversations(t, victims)
+    writer.join(120000L)
+    assert(!writer.isAlive)
+    assert(r.liveRowsTombstoned > 0)
+    val state = t.read()
+    assert(state.filter(col("conv_id").isInCollection(victims)).isEmpty,
+      "purge lost to the concurrent writer")
+    assert(state.filter(col("conv_id").startsWith("race-conv-")).count() == 5,
+      "concurrent ingest lost rows to the purge rewrite")
+  }
+
   test("the purge delivers exactly its deletes through the change feed") {
     val t = seeded("purge-feed")
     val victims = someConvs(t, 1)
