@@ -206,6 +206,39 @@ class PurgeSpec extends SparkSpec {
       "concurrent ingest lost rows to the purge rewrite")
   }
 
+  test("property: purged state equals the sequential oracle minus the victims, across random histories") {
+    import graft.model.ChangeEvent
+    val rnd = new scala.util.Random(20260821L)
+    (1 to 4).foreach { i =>
+      val c = GenConfig(
+        seed = rnd.nextLong().abs % 1000000L,
+        nEvents = 1000L + rnd.nextLong().abs % 3000L,
+        nConvs = 5L + rnd.nextLong().abs % 40L,
+        maxTurns = 8)
+      val t = LakeTable.createTable(spark, tmpDir(s"purge-prop-$i"),
+        Schemas.transcript, 4)
+      MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, c), 0L)
+      // sequential in-memory oracle: LWW winners of the delivered log
+      val winners = (0L until c.nEvents)
+        .map(s => ChangeLogGen.eventAt(c, ChangeLogGen.deliveredLsn(c, s)))
+        .foldLeft(Map.empty[(String, Int), ChangeEvent]) { (m, e) =>
+          val k = (e.conv_id, e.turn_idx)
+          if (m.get(k).exists(_.lsn > e.lsn)) m else m + (k -> e)
+        }
+      val liveConvs = winners.collect {
+        case ((cv, _), e) if e.op != "D" => cv
+      }.toSeq.distinct.sorted
+      val victims = liveConvs.take(1 + rnd.nextInt(3)).toSet
+      Purge.purgeConversations(t, victims)
+      val got = t.read().select("conv_id", "turn_idx", "text")
+        .as[(String, Int, String)].collect().toSet
+      val want = winners.collect {
+        case ((cv, tu), e) if e.op != "D" && !victims(cv) => (cv, tu, e.text)
+      }.toSet
+      assert(got == want, s"case $i (seed ${c.seed}) diverged from oracle")
+    }
+  }
+
   test("the purge delivers exactly its deletes through the change feed") {
     val t = seeded("purge-feed")
     val victims = someConvs(t, 1)
