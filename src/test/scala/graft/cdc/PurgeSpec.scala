@@ -206,6 +206,27 @@ class PurgeSpec extends SparkSpec {
       "concurrent ingest lost rows to the purge rewrite")
   }
 
+  test("an incremental aggregate view converges through a purge") {
+    val t = seeded("purge-aggview-src")
+    val view = LakeTable.load(spark, tmpDir("purge-aggview-dst"))
+    val tokens = size(split(col("text"), "\\s+"))
+    AggView.refresh(t, view, Seq("n_tokens" -> tokens)) // bootstrap
+    val victims = someConvs(t, 2)
+    Purge.purgeConversations(t, victims)
+    val r = AggView.refresh(t, view, Seq("n_tokens" -> tokens))
+    assert(r.applied && r.mode == "incremental",
+      s"expected an incremental refresh through the purge, got ${r.mode}")
+    assert(view.read().filter(col("conv_id").isInCollection(victims)).isEmpty,
+      "view still aggregates purged conversations")
+    // the maintained view equals the from-scratch recompute
+    val recompute = t.read().groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), sum(coalesce(tokens, lit(0L))).as("tok"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val got = view.read().select("conv_id", "n_turns", "n_tokens")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == recompute)
+  }
+
   test("property: purged state equals the sequential oracle minus the victims, across random histories") {
     import graft.model.ChangeEvent
     val rnd = new scala.util.Random(20260821L)
