@@ -49,16 +49,29 @@ object Verify {
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Each attempt writes to its own temp dir and renames into the
+      // graded path only on confirmed success: a wedged task that
+      // outlives the watchdog's cancel+join can finish its write AFTER
+      // this loop moves on, and with an in-place write it would
+      // resurrect stale/partial parquet under the query's name — the
+      // exact failure the post-timeout deletion guards against.
+      val tmpDir = new java.io.File(s"$outDir/.attempt-$name")
+      val dstDir = new java.io.File(s"$outDir/$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpDir): Unit
       runIsolated(spark, name, timeoutSec * 1000L) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-      }.foreach { msg =>
-        System.err.println(s"[verify] $name failed: $msg")
-        // a failed dump must not leave stale/partial parquet under the
-        // query's name — the driver's compare would silently grade it as
-        // this run's result; a missing dir reads as an explicit failure
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"$outDir/$name")): Unit
+          .parquet(tmpDir.getPath)
+      } match {
+        case None =>
+          org.apache.commons.io.FileUtils.deleteQuietly(dstDir): Unit
+          if (!tmpDir.renameTo(dstDir))
+            sys.error(s"verify: rename $tmpDir -> $dstDir failed")
+        case Some(msg) =>
+          System.err.println(s"[verify] $name failed: $msg")
+          // stale results must not survive under the graded name — a
+          // missing dir reads as an explicit failure; the zombie (if
+          // any) keeps writing into the orphaned temp dir, never here
+          org.apache.commons.io.FileUtils.deleteQuietly(dstDir): Unit
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

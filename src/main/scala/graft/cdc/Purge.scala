@@ -94,32 +94,61 @@ object Purge {
       s"table has staged write-audit-publish intents (${staged.mkString(", ")})" +
         " — publish or abort them first: a parked intent could republish" +
         " purged rows")
-    val cur = table.snapshot
     val matches = col("conv_id").isInCollection(convIds)
     val keyCols = Set("conv_id", "turn_idx", "__lsn", "__op")
 
     // phase 1: tombstone the live turns (what downstream converges on).
     // Key columns only — the tombstone must not re-carry the payload it
-    // is erasing.
-    val buckets0 = convIds.map(LakeTable.bucketOf(_, cur.nBuckets))
-    val live = table.readBuckets(buckets0, Some(cur.version)).filter(matches)
-    val lsn = table.highLsn(cur) + 1
-    val ds = live.select(
-      lit(lsn).as("lsn") +: lit("D").as("op") +:
-        cur.userSchema.fields.toSeq.map { f =>
-          if (f.name == "conv_id" || f.name == "turn_idx") col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*).cache()
-    val (tombV, nTomb) =
+    // is erasing. Retried from a FRESH snapshot until the merge
+    // genuinely applies: under the app-scoped `graft-purge` txn slot a
+    // stale epochId makes the merge a silent no-op (alreadyCommitted /
+    // EpochSuperseded return applied = false), and a purge that
+    // "succeeds" without landing its D events would let incremental
+    // followers retain the payload forever. A retry recomputes the live
+    // set, LSN, and epoch against the new snapshot — if a racing purge
+    // already tombstoned the rows, the recomputed live set is empty and
+    // this phase correctly reports nothing to do.
+    var tombV: Option[Long] = None
+    var nTomb = 0L
+    var p1Attempt = 0
+    var p1Done = false
+    while (!p1Done) {
+      val snap = table.snapshot
+      val buckets = convIds.map(LakeTable.bucketOf(_, snap.nBuckets))
+      val live =
+        table.readBuckets(buckets, Some(snap.version)).filter(matches)
+      val lsn = table.highLsn(snap) + 1
+      val ds = live.select(
+        lit(lsn).as("lsn") +: lit("D").as("op") +:
+          snap.userSchema.fields.toSeq.map { f =>
+            if (f.name == "conv_id" || f.name == "turn_idx") col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*).cache()
       try {
         val n = ds.count()
-        if (n == 0) (None, 0L)
-        else {
-          val r = MergeApply.merge(table, ds, epochId = cur.version,
-            cfg.copy(txnApp = Some(TxnApp)))
-          (Some(r.version), n)
-        }
+        if (n == 0) { tombV = None; nTomb = 0L; p1Done = true }
+        else
+          try {
+            val r = MergeApply.merge(table, ds, epochId = snap.version,
+              cfg.copy(txnApp = Some(TxnApp)))
+            if (r.applied) { tombV = Some(r.version); nTomb = n; p1Done = true }
+            else {
+              p1Attempt += 1
+              if (p1Attempt >= 6)
+                throw new IllegalStateException(
+                  "purge tombstone merge did not apply after " +
+                    s"$p1Attempt attempts (epoch superseded each time) — " +
+                    "deletes have NOT landed; retry the purge")
+            }
+          } catch {
+            case e: graft.lake.CommitConflictException =>
+              // e.g. a rebucket racing the tombstone merge: recompute
+              // buckets + live set from the post-conflict snapshot.
+              p1Attempt += 1
+              if (p1Attempt >= 6) throw e
+          }
       } finally { ds.unpersist(): Unit }
+    }
 
     // phase 2: rewrite the conversations' buckets. Default: drop every
     // insert/update version, redact D rows to key-only (consumers still
@@ -171,16 +200,35 @@ object Purge {
       table.tags.filter { case (_, v) => v < after.version })
   }
 
+  /** Temp-sibling prefix for reject-scrub swaps. Dot-prefixed so
+    * neither this scanner's `startsWith("epoch=")` nor the rejects CLI
+    * ever mistakes an in-flight rewrite for a live epoch dir. */
+  private val RejectTmpPrefix = ".purge-tmp-"
+
   /** Rewrite `_rejects/<app>/epoch=<id>/` dirs dropping rows whose
     * `conv_id` is in the purge set. Null-keyed rows are kept (not
-    * attributable). Each dir is rewritten to a temp sibling then swapped
-    * — a crash between delete and rename re-runs cleanly (rejects are
-    * an advisory dead-letter, and the scrub is idempotent). */
+    * attributable). Each dir is rewritten to a dot-prefixed temp
+    * sibling then swapped; on entry, interrupted swaps from a prior
+    * crash are completed first — a temp dir with no live sibling is a
+    * finished rewrite that missed its rename (finish it), one WITH a
+    * live sibling is a pre-delete leftover (drop it; the re-run scrubs
+    * from the live dir again). */
   private def scrubRejects(table: LakeTable, convIds: Set[String]): Long = {
     val spark = table.spark
     val root = new Path(table.dir, "_rejects")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0L
+    for {
+      app <- fs.listStatus(root).toSeq if app.isDirectory
+      tmp <- fs.listStatus(app.getPath).toSeq
+      if tmp.isDirectory && tmp.getPath.getName.startsWith(RejectTmpPrefix)
+    } {
+      val target = new Path(app.getPath,
+        tmp.getPath.getName.stripPrefix(RejectTmpPrefix))
+      if (fs.exists(target)) fs.delete(tmp.getPath, true)
+      else require(fs.rename(tmp.getPath, target),
+        s"reject scrub: recovery rename ${tmp.getPath} -> $target failed")
+    }
     var scrubbed = 0L
     for {
       app <- fs.listStatus(root).toSeq if app.isDirectory
@@ -192,7 +240,8 @@ object Purge {
         val bad = col("conv_id").isInCollection(convIds)
         val n = df.filter(bad).count()
         if (n > 0) {
-          val tmp = new Path(app.getPath, ep.getPath.getName + ".purge-tmp")
+          val tmp =
+            new Path(app.getPath, RejectTmpPrefix + ep.getPath.getName)
           df.filter(!bad || col("conv_id").isNull)
             .write.mode("overwrite").parquet(tmp.toString)
           fs.delete(ep.getPath, true)

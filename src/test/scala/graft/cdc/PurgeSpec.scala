@@ -260,6 +260,84 @@ class PurgeSpec extends SparkSpec {
     }
   }
 
+  test("a superseded tombstone merge fails the purge loudly (deletes must land)") {
+    val t = seeded("purge-superseded")
+    val victims = someConvs(t, 1)
+    // poison the purge txn slot with a far-future epoch — app-scoped
+    // dedup then makes every phase-1 merge a silent no-op, which must
+    // surface as a loud failure, never a PurgeResult claiming success
+    // while incremental followers would retain the payload forever
+    val row = Seq((500000L, "I", "poison-conv", 0, "user", "x",
+      null: String, java.sql.Timestamp.valueOf("2026-03-13 00:00:00")))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, row, epochId = 1000000L,
+      MergeConfig(txnApp = Some(Purge.TxnApp)))
+    val e = intercept[IllegalStateException] {
+      Purge.purgeConversations(t, victims)
+    }
+    assert(e.getMessage.contains("did not apply"))
+    // nothing was silently erased without its delete events
+    assert(t.read().filter(col("conv_id").isInCollection(victims)).count() > 0)
+  }
+
+  test("successive purges of different conversations each land (txn slot advances)") {
+    val t = seeded("purge-seq")
+    val convs = someConvs(t, 2).toSeq
+    val r1 = Purge.purgeConversations(t, Set(convs(0)))
+    val r2 = Purge.purgeConversations(t, Set(convs(1)))
+    assert(r1.tombstoneVersion.nonEmpty && r1.liveRowsTombstoned > 0)
+    assert(r2.tombstoneVersion.nonEmpty && r2.liveRowsTombstoned > 0)
+    assert(t.read().filter(col("conv_id").isInCollection(convs.toSet)).isEmpty)
+  }
+
+  test("purge converges while a rebucket races it") {
+    val t = seeded("purge-rebucket-race")
+    val victims = someConvs(t, 2)
+    val rebucketer = new Thread(() => {
+      var done = false
+      while (!done)
+        try { MergeApply.rebucket(t, 8); done = true }
+        catch { case _: graft.lake.CommitConflictException => }
+    })
+    rebucketer.start()
+    val r = Purge.purgeConversations(t, victims)
+    rebucketer.join(120000L)
+    assert(!rebucketer.isAlive)
+    assert(t.snapshot.nBuckets == 8)
+    assert(r.liveRowsTombstoned > 0 && r.tombstoneVersion.nonEmpty)
+    assert(t.read().filter(col("conv_id").isInCollection(victims)).isEmpty,
+      "purge lost rows to the racing rebucket")
+    assert(liveTraces(t, victims).filter(col("__op") =!= "D").isEmpty)
+  }
+
+  test("an interrupted reject-scrub swap is recovered before scanning") {
+    val t = seeded("purge-tmp-recover")
+    val victims = someConvs(t, 1)
+    val rej = s"${t.dir}/_rejects/appx"
+    // crash after delete, before rename: only the finished tmp survives
+    Seq((victims.head, 1, "leaked"), (null.asInstanceOf[String], 0, "orphan"))
+      .toDF("conv_id", "turn_idx", "text")
+      .write.parquet(s"$rej/.purge-tmp-epoch=5")
+    // crash before delete: live dir and a stale half-scrub tmp coexist
+    Seq((victims.head, 2, "leaked2"), ("someone-else", 0, "keep"))
+      .toDF("conv_id", "turn_idx", "text")
+      .write.parquet(s"$rej/epoch=6")
+    Seq(("someone-else", 0, "keep"))
+      .toDF("conv_id", "turn_idx", "text")
+      .write.parquet(s"$rej/.purge-tmp-epoch=6")
+    val r = Purge.purgeConversations(t, victims)
+    // epoch=5 recovered then counted clean; epoch=6 re-scrubbed from the
+    // LIVE dir (the stale tmp is dropped, not swapped in)
+    assert(r.rejectsScrubbed == 2, s"scrubbed ${r.rejectsScrubbed}")
+    assert(!new java.io.File(s"$rej/.purge-tmp-epoch=5").exists())
+    assert(!new java.io.File(s"$rej/.purge-tmp-epoch=6").exists())
+    val e5 = spark.read.parquet(s"$rej/epoch=5")
+    assert(e5.count() == 1 && e5.filter(col("conv_id").isNull).count() == 1)
+    val e6 = spark.read.parquet(s"$rej/epoch=6")
+    assert(e6.count() == 1 &&
+      e6.filter(col("conv_id") === "someone-else").count() == 1)
+  }
+
   test("the purge delivers exactly its deletes through the change feed") {
     val t = seeded("purge-feed")
     val victims = someConvs(t, 1)
