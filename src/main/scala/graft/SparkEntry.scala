@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CorpusQueries, CurationQueries, MultimodalQueries, RelationalQueries, TranscriptQueries, VectorQueries}
+import graft.ops.{CorpusQueries, CurationQueries, LakeGateQueries, MultimodalQueries, RelationalQueries, TranscriptQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-family query packs; every query has a DuckDB oracle
@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CorpusQueries.queries ++
       VectorQueries.queries ++ MultimodalQueries.queries ++
-      CurationQueries.queries ++ TranscriptQueries.queries
+      CurationQueries.queries ++ TranscriptQueries.queries ++
+      LakeGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (q30: LSH
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CorpusQueries.oracles ++
       VectorQueries.oracles ++ MultimodalQueries.oracles ++
-      CurationQueries.oracles ++ TranscriptQueries.oracles
+      CurationQueries.oracles ++ TranscriptQueries.oracles ++
+      LakeGateQueries.oracles
 }
