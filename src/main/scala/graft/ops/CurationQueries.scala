@@ -121,12 +121,13 @@ object CurationQueries {
       val bloom = spark.sparkContext.broadcast(
         evalGrams.stat.bloomFilter("gk", math.min(nEval, 100L * 1000 * 1000),
           0.01))
-      val probe =
-        if (hashedGramKey) udf((k: Long) => bloom.value.mightContainLong(k))
-        else udf((k: String) => bloom.value.mightContainString(k))
+      // codegen'd probe (graft.functions.BloomMightContain) — the train
+      // scan stays inside whole-stage codegen; a Scala udf here would
+      // box every gram key on the exact path that exists for 10^13 rows
+      val probe = graft.functions.BloomMightContain.probe(spark, "gk", bloom)
       val nGrams = trainAll.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"))
-      val shared = trainAll.filter(probe(col("gk")))
+      val shared = trainAll.filter(probe)
         .join(evalSide, Seq("gk"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       nGrams.join(shared, Seq("doc_id"), "left")

@@ -66,6 +66,27 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("oversized-eval fallback probes with a codegen'd expression, not a udf") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = CurationQueries.decontaminate(docs, maxBroadcastGrams = 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"fallback probe dropped out of codegen:\n$plan")
+    assert(plan.contains("graft_bloom_probe"),
+      s"bloom prefilter missing from the fallback plan:\n$plan")
+    // the string-key variant runs the mightContainString generated path;
+    // output must equal its broadcast twin (the join corrects the bloom,
+    // so any divergence means a false NEGATIVE — a probe/build hash
+    // mismatch)
+    def rows(cap: Long) =
+      CurationQueries.decontaminate(docs, hashedGramKey = false,
+        maxBroadcastGrams = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    assert(rows(0) == rows(Long.MaxValue),
+      "string-key bloom fallback changed the decontamination output")
+  }
+
   test("sequence packing: spans are block-width invariant") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def spans(w: Int) = CurationQueries.sequencePack(docs, Some(w))
