@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.LakeTable
 
+/** One on-disk location still holding rows for purge-verified ids. */
+final case class ErasureResidual(
+    /** Parquet file (data/ or _rejects/) holding the rows. */
+    path: String,
+    /** Rows still carrying PAYLOAD (non-null non-key columns, or a
+      * non-delete op). */
+    payloadRows: Long,
+    /** Key-only null-payload tombstone rows — expected until the
+      * post-convergence `scrubTombstones` pass. */
+    keyOnlyRows: Long,
+    /** Snapshot versions whose manifests reference this file (empty =
+      * orphan or reject file; vacuum-orphans / the scrub own those). */
+    versions: Seq[Long],
+    /** Tags pinning any of those versions — these BLOCK vacuum from
+      * expiring the file. */
+    pinningTags: Seq[String],
+    /** Staged write-audit-publish intents referencing this file. */
+    stagedIds: Seq[String])
+
+/** Outcome of one [[Purge.verifyErasure]] scan. */
+final case class ErasureReport(
+    /** Every file holding any trace of the ids, worst first. */
+    residuals: Seq[ErasureResidual],
+    /** No payload bytes anywhere — erasure complete up to key-only
+      * tombstones (the state after purge + vacuum past retention). */
+    payloadClean: Boolean,
+    /** Not even keys — the state after `scrubTombstones` + vacuum. */
+    fullyClean: Boolean)
+
 /** Outcome of one [[Purge.purgeConversations]] call. */
 final case class PurgeResult(
     /** Version of the tombstone merge, when live rows existed. */
@@ -198,6 +227,106 @@ object Purge {
     PurgeResult(tombV, after.version, nTomb,
       rewritten.toSeq.sorted, scrubbed,
       table.tags.filter { case (_, v) => v < after.version })
+  }
+
+  /** Erasure verification — the evidence pass behind the purge's
+    * "erasure completes at the next vacuum past retention" claim. Scans
+    * EVERY parquet file under the table — data files referenced by any
+    * existing snapshot, crash orphans no snapshot sees, staged
+    * write-audit-publish files, and the `_rejects` dead-letter tree —
+    * for rows whose `conv_id` is in `convIds`, and attributes each hit
+    * file to the snapshot versions that reference it, the tags pinning
+    * those versions (vacuum blockers), and any staged intents.
+    *
+    * Scale shape: ONE distributed union scan over the hit-candidate
+    * files grouped by `input_file_name` — the driver collects one row
+    * per file that actually holds residuals, never data. Checkpoint
+    * directories and downstream follower tables are caller-owned and out
+    * of scope; gate those feeds separately.
+    *
+    * Interpretation: `payloadClean` after purge + vacuum (key-only
+    * tombstones remain — the price of propagating deletes);
+    * `fullyClean` after the `scrubTombstones` second pass + vacuum. A
+    * non-empty `pinningTags` on a payload residual names exactly which
+    * tag to drop to let vacuum finish the job. */
+  def verifyErasure(table: LakeTable, convIds: Set[String]): ErasureReport = {
+    require(convIds.nonEmpty, "verifyErasure needs at least one conv_id")
+    val spark = table.spark
+    val conf = spark.sessionState.newHadoopConf()
+    val tableRoot = new Path(table.dir)
+    val fs = tableRoot.getFileSystem(conf)
+
+    def parquetUnder(p: Path): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            out += f.getPath.toUri.getPath
+        }
+        out.result()
+      }
+
+    // file path -> snapshot versions referencing it, across ALL existing
+    // snapshot jsons (current, historical, expired-but-present)
+    val snapsDir = new Path(tableRoot, "_snapshots")
+    val versions =
+      if (!fs.exists(snapsDir)) Nil
+      else fs.listStatus(snapsDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
+    val fileVersions: Map[String, Seq[Long]] = versions
+      .flatMap(v => table.snapshotAt(v).files
+        .map(f => new Path(f.path).toUri.getPath -> v))
+      .groupMap(_._1)(_._2)
+    val tagsByVersion: Map[Long, Seq[String]] =
+      table.tags.toSeq.groupMap(_._2)(_._1)
+    val stagedByFile: Map[String, Seq[String]] = table.stagedIds
+      .flatMap(id => scala.util.Try(table.stagedIntent(id).files).toOption
+        .getOrElse(Nil).map(f => new Path(f.path).toUri.getPath -> id))
+      .groupMap(_._1)(_._2)
+
+    val dataFiles = parquetUnder(new Path(tableRoot, "data"))
+    val rejectFiles = parquetUnder(new Path(tableRoot, "_rejects"))
+
+    def residualsIn(files: Seq[String], keyed: Boolean): Seq[ErasureResidual] =
+      if (files.isEmpty) Nil
+      else {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(files: _*)
+        if (!df.columns.contains("conv_id")) Nil
+        else {
+          val payloadCols = df.columns.toSeq
+            .filterNot(Set("conv_id", "turn_idx", "__lsn", "__op"))
+          val keyOnly =
+            if (!keyed || !df.columns.contains("__op")) lit(false)
+            else payloadCols.map(col(_).isNull)
+              .foldLeft(col("__op") === "D")(_ && _)
+          df.filter(col("conv_id").isInCollection(convIds))
+            .groupBy(input_file_name().as("__file"))
+            .agg(
+              sum(when(!keyOnly, 1L).otherwise(0L)).as("payload_rows"),
+              sum(when(keyOnly, 1L).otherwise(0L)).as("key_rows"))
+            .collect().toSeq
+            .map { r =>
+              val p = new Path(r.getString(0)).toUri.getPath
+              val vs = fileVersions.getOrElse(p, Nil)
+              ErasureResidual(p, r.getLong(1), r.getLong(2), vs,
+                vs.flatMap(tagsByVersion.getOrElse(_, Nil)).distinct,
+                stagedByFile.getOrElse(p, Nil))
+            }
+        }
+      }
+
+    val residuals =
+      (residualsIn(dataFiles, keyed = true) ++
+        residualsIn(rejectFiles, keyed = false))
+        .sortBy(r => (-r.payloadRows, -r.keyOnlyRows, r.path))
+    ErasureReport(residuals,
+      payloadClean = residuals.forall(_.payloadRows == 0),
+      fullyClean = residuals.isEmpty)
   }
 
   /** Temp-sibling prefix for reject-scrub swaps. Dot-prefixed so

@@ -91,7 +91,7 @@ object TableMain {
           "history schema show tail tail-after compact rebucket vacuum " +
           "vacuum-orphans recover set-property tag tags drop-tag diff " +
           "revert export export-conversations staged publish abort-staged " +
-          "rejects purge fsck")
+          "rejects purge purge-verify fsck")
       return 1
     }
     val dir = args.head
@@ -379,6 +379,46 @@ object TableMain {
             out("[table] pre-purge snapshots remain readable until vacuum " +
               "— run vacuum past retention to complete erasure")
           0
+        case "purge-verify" =>
+          // erasure evidence: scan every parquet file under the table
+          // (all snapshots, orphans, staged intents, rejects) for the
+          // ids; report residuals + what pins them, or a clean bill
+          require(rest.length == 1,
+            "purge-verify needs a comma-separated conv_id list")
+          val ids = rest.head.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val rep = graft.cdc.Purge.verifyErasure(table, ids)
+          if (rep.fullyClean) {
+            out(s"[table] purge-verify: CLEAN — no trace of " +
+              s"${ids.size} conversation(s) in any data file, snapshot, " +
+              "staged intent, or reject dir")
+            0
+          } else {
+            rep.residuals.foreach { r =>
+              val where =
+                (if (r.versions.nonEmpty)
+                  Seq(s"versions ${r.versions.mkString(",")}") else Nil) ++
+                (if (r.pinningTags.nonEmpty)
+                  Seq(s"PINNED by ${r.pinningTags.mkString(",")}") else Nil) ++
+                (if (r.stagedIds.nonEmpty)
+                  Seq(s"staged ${r.stagedIds.mkString(",")}") else Nil)
+              out(s"[table] residual ${r.path}: " +
+                s"payload=${r.payloadRows} keyOnly=${r.keyOnlyRows}" +
+                (if (where.nonEmpty) where.mkString(" (", "; ", ")") else ""))
+            }
+            if (rep.payloadClean)
+              out("[table] purge-verify: payload clean — only key-only " +
+                "tombstones remain (run purge --scrub-tombstones after " +
+                "downstream convergence for full key erasure)")
+            else {
+              val tags = rep.residuals.flatMap(_.pinningTags).distinct.sorted
+              out("[table] purge-verify: PAYLOAD RESIDUALS remain — " +
+                (if (tags.nonEmpty)
+                  s"drop tag(s) ${tags.mkString(", ")} and vacuum"
+                else "run vacuum past retention (and purge again if new " +
+                  "payload arrived)"))
+            }
+            if (rep.payloadClean) 0 else 1
+          }
         case "export" =>
           val i = rest.indexOf("--at")
           val (asOf, posArgs) =

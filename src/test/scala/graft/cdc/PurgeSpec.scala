@@ -338,6 +338,34 @@ class PurgeSpec extends SparkSpec {
       e6.filter(col("conv_id") === "someone-else").count() == 1)
   }
 
+  test("verifyErasure attributes residuals to snapshots, staged intents, and reject files") {
+    val t = seeded("purge-verify-lib")
+    val victims = someConvs(t, 1)
+    // dead-letter a poison row carrying the victim's id
+    val bad = Seq((9100001L, "X", victims.head, 0, "user", "poison",
+      null: String, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, ChangeLogGen.changeLogDF(spark, cfg).limit(50)
+      .unionByName(bad), 1L, MergeConfig(invalidRows = "quarantine"))
+    // park a staged write also carrying the victim
+    val stagedRows = Seq((9200001L, "I", victims.head, 999, "user",
+      "staged text", null: String,
+      java.sql.Timestamp.valueOf("2026-03-13 00:00:00")))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeApply.merge(t, stagedRows, 2L, MergeConfig(wapId = Some("w1")))
+
+    val rep = Purge.verifyErasure(t, victims)
+    assert(!rep.payloadClean && !rep.fullyClean)
+    assert(rep.residuals.exists(r =>
+      r.stagedIds.contains("w1") && r.payloadRows > 0),
+      "staged intent files not attributed")
+    assert(rep.residuals.exists(r =>
+      r.path.contains("_rejects") && r.payloadRows > 0),
+      "reject files not scanned")
+    assert(rep.residuals.exists(r => r.versions.nonEmpty),
+      "live data files not attributed to snapshot versions")
+  }
+
   test("the purge delivers exactly its deletes through the change feed") {
     val t = seeded("purge-feed")
     val victims = someConvs(t, 1)

@@ -191,6 +191,37 @@ class TableMainSpec extends SparkSpec {
     assert(c4 == 0 && fresh.isEmpty)
   }
 
+  test("purge-verify: residuals named with pins pre-vacuum, clean bill after") {
+    val dir = tmpDir("tm-purge-verify")
+    val t = morTable(dir)
+    val victim = t.read().select("conv_id").distinct()
+      .as[String].take(1).head
+    // pre-purge: payload residuals, exit 1, vacuum advice
+    val (c0, l0) = cli(dir, "purge-verify", victim)
+    assert(c0 == 1 && l0.exists(_.contains("PAYLOAD RESIDUALS")))
+
+    cli(dir, "tag", "pin-me")
+    assert(cli(dir, "purge", victim)._1 == 0)
+    // purged but the tag pins pre-purge files: residuals must NAME it
+    val (c1, l1) = cli(dir, "purge-verify", victim)
+    assert(c1 == 1, l1.mkString("\n"))
+    assert(l1.exists(l => l.contains("PINNED by pin-me")),
+      l1.mkString("\n"))
+    assert(l1.exists(_.contains("drop tag(s) pin-me")), l1.mkString("\n"))
+
+    cli(dir, "drop-tag", "pin-me")
+    assert(cli(dir, "vacuum", "1")._1 == 0)
+    // payload gone; key-only tombstones remain and are reported as such
+    val (c2, l2) = cli(dir, "purge-verify", victim)
+    assert(c2 == 0, l2.mkString("\n"))
+    assert(l2.exists(_.contains("payload clean")), l2.mkString("\n"))
+
+    assert(cli(dir, "purge", victim, "--scrub-tombstones")._1 == 0)
+    assert(cli(dir, "vacuum", "1")._1 == 0)
+    val (c3, l3) = cli(dir, "purge-verify", victim)
+    assert(c3 == 0 && l3.exists(_.contains("CLEAN")), l3.mkString("\n"))
+  }
+
   test("compact warns on bucket ids holding no files instead of claiming success") {
     val dir = tmpDir("tm-unknown")
     val t = morTable(dir)
