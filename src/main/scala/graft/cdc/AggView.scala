@@ -36,8 +36,22 @@ final case class AggViewResult(
   * conversation whose turn count reaches zero is tombstoned from the
   * view. Null sum contributions count as 0 (exprs are null-coalesced in
   * BOTH the incremental and recompute paths, so the two stay bit-equal
-  * for integral exprs — AggViewSpec proves it; non-retractable aggregates
-  * like min/max need the recompute path by nature and are out of scope).
+  * for integral exprs — AggViewSpec proves it).
+  *
+  * `avgs` ride the same retractable algebra as (sum, count-of-non-null)
+  * pairs — stored as `<name>_sum`/`<name>_cnt` with the visible `<name>`
+  * column derived by exact long/long division at write, so incremental
+  * and recomputed views stay bit-equal (no float accumulation order).
+  *
+  * `mins`/`maxs` are NOT retractable: an insert can only extend an
+  * extremum (`least(old, added)`), but deleting (or updating away) the
+  * row that HELD the extremum invalidates it. Each round therefore
+  * splits the touched keys: keys where no removed value reaches the
+  * stored extremum keep the O(delta) path; keys where one does are
+  * exactly recomputed from a bucket-pruned, key-semi-joined read of ONLY
+  * those conversations at the target version — O(affected
+  * conversations), never O(source). Delete-heavy histories degrade
+  * gracefully toward recompute of the deleted keys only.
   *
   * Scale shape, per refresh at a 10^10-row source: the feed is
   * manifest-LSN-pruned (O(changed data)); the delta aggregate map-side
@@ -77,6 +91,9 @@ object AggView {
     *              incremental rounds over one committed history. */
   def refresh(src: LakeTable, dst: LakeTable,
       sums: Seq[(String, Column)] = Nil,
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      avgs: Seq[(String, Column)] = Nil,
       app: String = "aggview",
       nBuckets: Int = -1,
       cfg: MergeConfig = MergeConfig(),
@@ -84,12 +101,16 @@ object AggView {
     require(cfg.txnApp.isEmpty,
       "AggView tracks the consumed source version in its own txn slot; " +
         "pass the writer identity via `app`, not cfg.txnApp")
+    val defs = Defs(sums, mins, maxs, avgs)
+    val allNames = valueCols(defs)
+    require(allNames.distinct == allNames,
+      s"aggregate column names collide: ${allNames.mkString(", ")}")
     val mcfg = cfg.copy(txnApp = Some(app))
     val srcSnap = asOf.map(src.snapshotAt).getOrElse(src.snapshot)
     val toV = srcSnap.version
-    val fp = sumsFingerprint(sums)
+    val fp = sumsFingerprint(defs)
     if (!dst.exists) {
-      val proto = viewRows(src.readBuckets(Set.empty), sums, toV)
+      val proto = viewRows(src.readBuckets(Set.empty), defs, toV)
       dst.create(StructType(proto.schema.fields.filterNot(f =>
         f.name == "lsn" || f.name == "op")),
         if (nBuckets > 0) nBuckets else srcSnap.nBuckets,
@@ -114,18 +135,32 @@ object AggView {
       case Some(v) if v >= toV =>
         AggViewResult(applied = false, "noop", v, v, 0L, None)
       case Some(v) =>
-        try incremental(src, dst, sums, v, toV, mcfg)
+        try incremental(src, dst, defs, v, toV, mcfg)
         catch {
           // the from-snapshot (or its data files, mid-job) was vacuumed
           // out from under the window — self-heal with a recompute rather
           // than wedging the view. Executor-side misses surface wrapped
           // in SparkException, hence the cause-chain walk.
           case e: Exception if fnfInChain(e) =>
-            full(src, dst, sums, v, toV, mcfg)
+            full(src, dst, defs, v, toV, mcfg)
         }
-      case None => full(src, dst, sums, -1L, toV, mcfg)
+      case None => full(src, dst, defs, -1L, toV, mcfg)
     }
   }
+
+  /** The view's defining aggregates, bundled. */
+  private final case class Defs(sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
+      avgs: Seq[(String, Column)]) {
+    def hasExtrema: Boolean = mins.nonEmpty || maxs.nonEmpty
+  }
+
+  /** Stored value columns, in schema order. Each avg is the
+    * (`_sum`, `_cnt`, visible-quotient) triple. */
+  private def valueCols(defs: Defs): Seq[String] =
+    Seq("n_turns") ++ defs.sums.map(_._1) ++ defs.mins.map(_._1) ++
+      defs.maxs.map(_._1) ++
+      defs.avgs.flatMap { case (n, _) => Seq(s"${n}_sum", s"${n}_cnt", n) }
 
   /** Table property holding the view's defining (name, expression) list —
     * the guard against silently refreshing with changed definitions. */
@@ -138,11 +173,18 @@ object AggView {
     * always `col("x") * 2`, not sometimes `expr("x * 2")`) — two
     * renderings of one logical expression read as a changed definition,
     * which fails safe (a require, never corruption). */
-  private def sumsFingerprint(sums: Seq[(String, Column)]): String =
-    sums.map { case (n, c) =>
+  private def sumsFingerprint(defs: Defs): String = {
+    def enc(xs: Seq[(String, Column)]): String = xs.map { case (n, c) =>
       val r = c.toString
       s"${n.length}:$n=${r.length}:$r"
     }.mkString("; ")
+    // sums-only views keep the exact legacy rendering, so tables stamped
+    // before min/max/avg existed still pass the unchanged-definition check
+    enc(defs.sums) +
+      (if (defs.mins.nonEmpty) s" |min| ${enc(defs.mins)}" else "") +
+      (if (defs.maxs.nonEmpty) s" |max| ${enc(defs.maxs)}" else "") +
+      (if (defs.avgs.nonEmpty) s" |avg| ${enc(defs.avgs)}" else "")
+  }
 
   private def fnfInChain(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
@@ -151,32 +193,44 @@ object AggView {
   /** Null contributions count as 0 in both maintenance paths. */
   private def z(c: Column): Column = coalesce(c, lit(0L))
 
-  /** The view's defining aggregate over a source-state frame. */
-  private def aggState(state: DataFrame,
-      sums: Seq[(String, Column)]): DataFrame =
-    state.groupBy(col("conv_id")).agg(
-      count(lit(1)).as("n_turns"),
-      sums.map { case (n, c) => sum(z(c)).as(n) }: _*)
+  /** The view's defining aggregate over a source-state frame. Avg sums
+    * coalesce nulls to 0 while counts skip them, so the stored pair is
+    * (sum of non-null values, count of non-null values); the visible
+    * quotient is one exact long/long division — identical whether the
+    * pair arrived by recompute or by increments. */
+  private def aggState(state: DataFrame, defs: Defs): DataFrame = {
+    val cols =
+      Seq(count(lit(1)).as("n_turns")) ++
+        defs.sums.map { case (n, c) => sum(z(c)).as(n) } ++
+        defs.mins.map { case (n, c) => min(c).as(n) } ++
+        defs.maxs.map { case (n, c) => max(c).as(n) } ++
+        defs.avgs.flatMap { case (n, c) => Seq(
+          sum(z(c)).as(s"${n}_sum"),
+          count(c).as(s"${n}_cnt"),
+          when(count(c) === 0, lit(null).cast("double"))
+            .otherwise(sum(z(c)) / count(c)).as(n)) }
+    state.groupBy(col("conv_id")).agg(cols.head, cols.tail: _*)
+  }
 
   /** Recomputed state as merge-envelope upsert rows. */
-  private def viewRows(state: DataFrame, sums: Seq[(String, Column)],
+  private def viewRows(state: DataFrame, defs: Defs,
       toV: Long): DataFrame =
-    aggState(state, sums).select(
+    aggState(state, defs).select(
       lit(toV).as("lsn") +: lit("U").as("op") +:
         col("conv_id") +: lit(0).cast(IntegerType).as("turn_idx") +:
-        col("n_turns") +: sums.map { case (n, _) => col(n) }: _*)
+        valueCols(defs).map(col): _*)
 
   /** Full recompute: bootstrap, and the vacuumed-window fallback. Keys in
     * the view but absent from the fresh state are tombstoned (conversations
     * fully deleted while the view was offline). */
   private def full(src: LakeTable, dst: LakeTable,
-      sums: Seq[(String, Column)], fromV: Long, toV: Long,
+      defs: Defs, fromV: Long, toV: Long,
       mcfg: MergeConfig): AggViewResult = {
     // persist: the full-source aggregate feeds the batch TWICE (its own
     // upsert rows + the stale-key anti-join) and merge runs more than
     // one action over the batch — without it the source scan+aggregate
     // would re-execute up to 4x per full refresh
-    val fresh = viewRows(src.read(asOf = Some(toV)), sums, toV).persist()
+    val fresh = viewRows(src.read(asOf = Some(toV)), defs, toV).persist()
     try {
       val viewSchema = dst.snapshot.userSchema
       val stale = dst.read()
@@ -193,21 +247,43 @@ object AggView {
   }
 
   /** Change-feed maintenance: signed per-key deltas, old values from a
-    * bucket-pruned view read, one MERGE. */
+    * bucket-pruned view read, one MERGE. With extrema configured, keys
+    * whose removed values reach the stored extremum are exactly
+    * recomputed from a bucket-pruned key-semi-joined source read — the
+    * retraction path min/max need by nature; everything else stays
+    * O(delta). */
   private def incremental(src: LakeTable, dst: LakeTable,
-      sums: Seq[(String, Column)], fromV: Long, toV: Long,
+      defs: Defs, fromV: Long, toV: Long,
       mcfg: MergeConfig): AggViewResult = {
     val feed = src.changeFeed(fromV, Some(toV))
-    val sign = when(
-      col("_change_type").isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
-    val delta = feed.groupBy(col("conv_id")).agg(
-      sum(sign).as("__d_turns"),
-      sums.map { case (n, c) => sum(sign * z(c)).as(s"__d_$n") }: _*)
+    val isAdd = col("_change_type").isin("insert", "update_postimage")
+    val sign = when(isAdd, lit(1L)).otherwise(lit(-1L))
+    val deltaCols =
+      Seq(sum(sign).as("__d_turns")) ++
+        defs.sums.map { case (n, c) => sum(sign * z(c)).as(s"__d_$n") } ++
+        defs.avgs.flatMap { case (n, c) => Seq(
+          sum(sign * z(c)).as(s"__da_$n"),
+          sum(sign * when(c.isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as(s"__dc_$n")) } ++
+        defs.mins.flatMap { case (n, c) => Seq(
+          min(when(isAdd, c)).as(s"__addmin_$n"),
+          min(when(!isAdd, c)).as(s"__delmin_$n")) } ++
+        defs.maxs.flatMap { case (n, c) => Seq(
+          max(when(isAdd, c)).as(s"__addmax_$n"),
+          max(when(!isAdd, c)).as(s"__delmax_$n")) }
+    val delta = feed.groupBy(col("conv_id"))
+      .agg(deltaCols.head, deltaCols.tail: _*)
     // keys whose net contribution is zero across every aggregate (e.g. a
-    // text edit that left the token count unchanged) skip the rewrite
-    val moved = (col("__d_turns") =!= lit(0L)) +:
-      sums.map { case (n, _) => z(col(s"__d_$n")) =!= lit(0L) }
+    // text edit that left the token count unchanged) skip the rewrite;
+    // any non-null added/removed extremum candidate counts as movement
+    val moved = Seq(col("__d_turns") =!= lit(0L)) ++
+      defs.sums.map { case (n, _) => z(col(s"__d_$n")) =!= lit(0L) } ++
+      defs.avgs.flatMap { case (n, _) => Seq(
+        z(col(s"__da_$n")) =!= lit(0L), z(col(s"__dc_$n")) =!= lit(0L)) } ++
+      defs.mins.flatMap { case (n, _) => Seq(
+        col(s"__addmin_$n").isNotNull, col(s"__delmin_$n").isNotNull) } ++
+      defs.maxs.flatMap { case (n, _) => Seq(
+        col(s"__addmax_$n").isNotNull, col(s"__delmax_$n").isNotNull) }
     val changed = delta.filter(moved.reduce(_ || _)).persist()
     try {
       // ONE pinned view snapshot feeds both the bucket-id computation and
@@ -222,17 +298,76 @@ object AggView {
         .select(LakeTable.bucketExpr(nB).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
       val old = dst.readBuckets(buckets, asOf = Some(dstSnap.version))
+      // a removed value that reaches the stored extremum may have BEEN
+      // the extremum — only an exact recompute of that key can tell
+      val invalidated: Column = (
+        defs.mins.map { case (n, _) =>
+          col(s"__delmin_$n").isNotNull && col(n).isNotNull &&
+            col(s"__delmin_$n") <= col(n) } ++
+        defs.maxs.map { case (n, _) =>
+          col(s"__delmax_$n").isNotNull && col(n).isNotNull &&
+            col(s"__delmax_$n") >= col(n) })
+        .foldLeft(lit(false))(_ || _)
       val joined = changed.join(old, Seq("conv_id"), "left")
-      val newTurns = z(col("n_turns")) + col("__d_turns")
-      val batch = joined.select(
-        lit(toV).as("lsn") +:
-          when(newTurns === lit(0L), lit("D")).otherwise(lit("U")).as("op") +:
-          col("conv_id") +: lit(0).cast(IntegerType).as("turn_idx") +:
-          newTurns.as("n_turns") +:
-          sums.map { case (n, _) => (z(col(n)) + col(s"__d_$n")).as(n) }: _*)
-      val res = MergeApply.merge(dst, batch, toV, mcfg)
-      AggViewResult(res.applied, "incremental", fromV, toV,
-        res.rowsInBatch, Some(res))
+        .withColumn("__rec", invalidated).persist()
+      try {
+        val withRec =
+          if (!defs.hasExtrema) joined
+          else {
+            val recKeys = joined.filter(col("__rec")).select("conv_id")
+            val srcNB = src.snapshotAt(toV).nBuckets
+            // bounded by the SOURCE bucket count (config, not data)
+            val rBuckets = recKeys
+              .select(LakeTable.bucketExpr(srcNB).as("b")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            if (rBuckets.isEmpty) joined
+            else {
+              val srcRows = src.readBuckets(rBuckets, Some(toV))
+                .join(recKeys, Seq("conv_id"), "left_semi")
+              val rec = aggState(srcRows, defs).select(
+                col("conv_id") +:
+                  valueCols(defs).map(n => col(n).as(s"__r_$n")): _*)
+              joined.join(rec, Seq("conv_id"), "left")
+            }
+          }
+        // a recomputed key whose source rows all vanished has no rec row;
+        // its op is D below and the value columns are don't-cares
+        val hasRecCols = withRec.columns.contains("__r_n_turns")
+        val recHit: Column =
+          if (hasRecCols) col("__rec") && col("__r_n_turns").isNotNull
+          else lit(false)
+        def value(n: String, incrementalForm: Column): Column = {
+          val base =
+            if (hasRecCols) when(recHit, col(s"__r_$n"))
+              .otherwise(incrementalForm)
+            else incrementalForm
+          base.as(n)
+        }
+        val newTurns = z(col("n_turns")) + col("__d_turns")
+        val valueExprs =
+          Seq(value("n_turns", newTurns)) ++
+            defs.sums.map { case (n, _) =>
+              value(n, z(col(n)) + col(s"__d_$n")) } ++
+            defs.mins.map { case (n, _) =>
+              value(n, least(col(n), col(s"__addmin_$n"))) } ++
+            defs.maxs.map { case (n, _) =>
+              value(n, greatest(col(n), col(s"__addmax_$n"))) } ++
+            defs.avgs.flatMap { case (n, _) =>
+              val s = z(col(s"${n}_sum")) + col(s"__da_$n")
+              val c = z(col(s"${n}_cnt")) + col(s"__dc_$n")
+              Seq(value(s"${n}_sum", s), value(s"${n}_cnt", c),
+                value(n, when(c === lit(0L), lit(null).cast("double"))
+                  .otherwise(s / c))) }
+        val batch = withRec.select(
+          lit(toV).as("lsn") +:
+            when(newTurns === lit(0L), lit("D")).otherwise(lit("U"))
+              .as("op") +:
+            col("conv_id") +: lit(0).cast(IntegerType).as("turn_idx") +:
+            valueExprs: _*)
+        val res = MergeApply.merge(dst, batch, toV, mcfg)
+        AggViewResult(res.applied, "incremental", fromV, toV,
+          res.rowsInBatch, Some(res))
+      } finally joined.unpersist()
     } finally changed.unpersist()
   }
 }

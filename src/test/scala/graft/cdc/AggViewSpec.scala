@@ -158,6 +158,86 @@ class AggViewSpec extends SparkSpec {
     assert(r.merge.get.bucketsTouched == Seq(b))
   }
 
+  // ------------------------------------------------- min / max / avg
+
+  private def refreshMma(src: LakeTable, dst: LakeTable): AggViewResult =
+    AggView.refresh(src, dst,
+      sums = Seq("n_tokens" -> tokens),
+      mins = Seq("min_tok" -> tokens),
+      maxs = Seq("max_tok" -> tokens),
+      avgs = Seq("avg_tok" -> tokens))
+
+  /** view == from-scratch recompute over ALL maintained aggregates,
+    * including the avg's stored (sum, cnt) pair and exact quotient. */
+  private def checkMma(src: LakeTable, dst: LakeTable): Unit = {
+    val want = src.read().groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      sum(coalesce(tokens, lit(0L))).as("n_tokens"),
+      min(tokens).as("min_tok"), max(tokens).as("max_tok"),
+      sum(coalesce(tokens, lit(0L))).as("avg_tok_sum"),
+      count(tokens).as("avg_tok_cnt"),
+      when(count(tokens) === 0, lit(null).cast("double"))
+        .otherwise(sum(coalesce(tokens, lit(0L))) / count(tokens))
+        .as("avg_tok"))
+      .collect().map(_.toSeq.toList).toSet
+    val got = dst.read().select("conv_id", "n_turns", "n_tokens",
+      "min_tok", "max_tok", "avg_tok_sum", "avg_tok_cnt", "avg_tok")
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want)
+  }
+
+  test("min/max/avg: extremum deletion forces exact per-key recovery") {
+    val (src, dst) = mkPair("mma")
+    MergeApply.merge(src, ev(Seq(
+      (1L, "I", "c0", 0, "a b c"),          // 3 tokens
+      (2L, "I", "c0", 1, "a"),              // 1
+      (3L, "I", "c0", 2, "a b c d e"),      // 5 — the max
+      (4L, "I", "c1", 0, "a b"),
+      (5L, "I", "c1", 1, "a b"))), 0L)
+    assert(refreshMma(src, dst).mode == "full")
+    checkMma(src, dst)
+
+    // delete c0's max-holder (min survives), update c1's extremum away,
+    // and add a null-token turn (avg cnt must skip it)
+    MergeApply.merge(src, ev(Seq(
+      (10L, "D", "c0", 2, null),
+      (11L, "U", "c1", 0, "a b c d e f g"),
+      (12L, "I", "c2", 0, null))), 1L)
+    val r1 = refreshMma(src, dst)
+    assert(r1.mode == "incremental" && r1.applied)
+    checkMma(src, dst)
+    // the retraction really recovered: c0's max fell 5 -> 3
+    assert(dst.read().filter(col("conv_id") === "c0")
+      .select("max_tok").head.getInt(0) == 3)
+
+    // non-extremum delete stays on the delta path and stays correct;
+    // full-conversation delete tombstones the view row
+    MergeApply.merge(src, ev(Seq(
+      (20L, "D", "c0", 1, null),  // deletes the 1-token row (the min!)
+      (21L, "D", "c2", 0, null),
+      (22L, "I", "c1", 2, "x"))), 2L)
+    val r2 = refreshMma(src, dst)
+    assert(r2.mode == "incremental")
+    checkMma(src, dst)
+    assert(!dst.read().collect().map(_.getString(0)).contains("c2"))
+  }
+
+  test("min/max/avg: maintained view equals recompute across a random delete-heavy history") {
+    import graft.gen.{ChangeLogGen, GenConfig}
+    val (src, dst) = mkPair("mma-prop")
+    val g = GenConfig(nEvents = 3000L, nConvs = 25L, maxTurns = 8,
+      seed = 20260821L)
+    val log = ChangeLogGen.changeLogDF(spark, g)
+    (0 until 3).foreach { i =>
+      MergeApply.merge(src, log.filter(pmod(col("lsn"), lit(3)) === i),
+        i.toLong)
+      val r = refreshMma(src, dst)
+      assert(r.applied, s"round $i did not apply")
+      if (i > 0) assert(r.mode == "incremental", s"round $i: ${r.mode}")
+      checkMma(src, dst)
+    }
+  }
+
   test("refreshing with a changed sum definition fails fast, same one passes") {
     val (src, dst) = mkPair("sumguard")
     MergeApply.merge(src, ev(Seq((1L, "I", "c0", 0, "one two"))), 0L)
