@@ -144,11 +144,13 @@ object TableMain {
           var from = Long.MinValue
           var to = Long.MaxValue
           var rejOnly = false
+          var asJson = false
           var args = rest.toList
           while (args.nonEmpty) args match {
             case "--epoch-from" :: v :: t => from = v.toLong; args = t
             case "--epoch-to" :: v :: t => to = v.toLong; args = t
             case "--rejects-only" :: t => rejOnly = true; args = t
+            case "--json" :: t => asJson = true; args = t
             case ("--epoch-from" | "--epoch-to") :: Nil =>
               throw new IllegalArgumentException(s"${args.head} needs a value")
             case v :: t => n = v.toInt; args = t
@@ -191,12 +193,28 @@ object TableMain {
                   rejectedEvents = r.getAs[Long]("rejectedEvents")))
             }
           entries.takeRight(n).reverse.foreach { e =>
-            val rej = if (e.rejectedEvents > 0)
-              f" REJECTED=${e.rejectedEvents}" else ""
-            out(f"v${e.version}%-6d epoch=${e.epochId}%-8d " +
-              f"rows=${e.rowsApplied}%-9d buckets=${e.bucketsTouched.size}%-4d " +
-              f"files+${e.filesRewritten}/~${e.filesCarried} " +
-              f"lsn=[${e.minLsn},${e.maxLsn}] ${e.durationMs} ms$rej")
+            if (asJson)
+              // machine-readable lineage for audit tooling: one JSON
+              // object per line, newest first (all fields numeric or
+              // fixed-format — no string escaping surface)
+              out(s"""{"version":${e.version},"epochId":${e.epochId},""" +
+                s""""rowsInBatch":${e.rowsInBatch},""" +
+                s""""rowsApplied":${e.rowsApplied},""" +
+                s""""buckets":[${e.bucketsTouched.mkString(",")}],""" +
+                s""""filesRewritten":${e.filesRewritten},""" +
+                s""""filesCarried":${e.filesCarried},""" +
+                s""""minLsn":${e.minLsn},"maxLsn":${e.maxLsn},""" +
+                s""""watermarkTs":"${e.watermarkTs}",""" +
+                s""""durationMs":${e.durationMs},""" +
+                s""""rejectedEvents":${e.rejectedEvents}}""")
+            else {
+              val rej = if (e.rejectedEvents > 0)
+                f" REJECTED=${e.rejectedEvents}" else ""
+              out(f"v${e.version}%-6d epoch=${e.epochId}%-8d " +
+                f"rows=${e.rowsApplied}%-9d buckets=${e.bucketsTouched.size}%-4d " +
+                f"files+${e.filesRewritten}/~${e.filesCarried} " +
+                f"lsn=[${e.minLsn},${e.maxLsn}] ${e.durationMs} ms$rej")
+            }
           }
           0
         case "schema" =>

@@ -191,6 +191,20 @@ class TableMainSpec extends SparkSpec {
     assert(c4 == 0 && fresh.isEmpty)
   }
 
+  test("history --json emits one parseable object per entry") {
+    val dir = tmpDir("tm-hist-json")
+    morTable(dir)
+    val (code, lines) = cli(dir, "history", "--json")
+    assert(code == 0 && lines.nonEmpty)
+    lines.foreach { l =>
+      assert(l.startsWith("{") && l.endsWith("}"), l)
+      // every numeric field present; no trailing commas / bare values
+      Seq("\"version\":", "\"epochId\":", "\"rowsApplied\":",
+        "\"buckets\":[", "\"maxLsn\":", "\"rejectedEvents\":")
+        .foreach(k => assert(l.contains(k), s"$k missing in $l"))
+    }
+  }
+
   test("purge-verify: residuals named with pins pre-vacuum, clean bill after") {
     val dir = tmpDir("tm-purge-verify")
     val t = morTable(dir)
