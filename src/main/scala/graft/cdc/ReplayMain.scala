@@ -187,25 +187,46 @@ object ReplayMain {
         import org.apache.spark.sql.functions.{col, length}
         val view = LakeTable.load(spark, s"$workDir/aggview")
         val sums = Seq("n_chars" -> length(col("text")))
+        // min/max/avg ride the same replay: an update/delete-heavy
+        // changelog constantly removes extremum-holding rows, so the 8
+        // incremental cuts drive the per-key retraction-recovery path
+        // (not just least/greatest extension) at replay scale
+        val lenCol = length(col("text"))
+        val mins = Seq("min_len" -> lenCol)
+        val maxs = Seq("max_len" -> lenCol)
+        val avgs = Seq("avg_len" -> lenCol)
         val vMax = table.snapshot.version
         val cuts = (1 to 8).map(i => vMax * i / 8).distinct
           .filter(_ >= 1).sorted
         val tV = System.nanoTime()
         val rounds = cuts.map(v =>
-          AggView.refresh(table, view, sums, asOf = Some(v)))
+          AggView.refresh(table, view, sums, mins, maxs, avgs,
+            asOf = Some(v)))
         val vSec = (System.nanoTime() - tV) / 1e9
         val modes = rounds.groupBy(_.mode).view.mapValues(_.size).toMap
         print(f"[aggview] ${rounds.size} refresh rounds ($modes) in " +
           f"$vSec%.2f s; view vs oracle aggregate … ")
         val want = oracle
           .groupBy(_.conv_id).map { case (c, rs) =>
-            (c, rs.size.toLong,
-              rs.map(r => Option(r.text).map(_.length.toLong).getOrElse(0L))
-                .sum)
+            val lens = rs.map(r =>
+              Option(r.text).map(_.length.toLong).getOrElse(0L))
+            val nn = rs.flatMap(r => Option(r.text).map(_.length))
+            (c, rs.size.toLong, lens.sum,
+              nn.minOption.getOrElse(-1), nn.maxOption.getOrElse(-1),
+              nn.map(_.toLong).sum, nn.size.toLong,
+              // -1.0 sentinel for all-null, not NaN: boxed Scala tuple
+              // equality compares doubles with ==, where NaN != NaN
+              if (nn.isEmpty) -1.0
+              else nn.map(_.toLong).sum.toDouble / nn.size)
           }.toSet
-        val got = view.read().select("conv_id", "n_turns", "n_chars")
+        val got = view.read().select("conv_id", "n_turns", "n_chars",
+          "min_len", "max_len", "avg_len_sum", "avg_len_cnt", "avg_len")
           .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) -1 else r.getInt(3),
+            if (r.isNullAt(4)) -1 else r.getInt(4),
+            r.getLong(5), r.getLong(6),
+            if (r.isNullAt(7)) -1.0 else r.getDouble(7))).toSet
         if (got == want) println("OK (exact match)")
         else { println(s"MISMATCH got=${got.size} want=${want.size}"); sys.exit(1) }
       }
