@@ -401,11 +401,31 @@ object TableMain {
           // erasure evidence: scan every parquet file under the table
           // (all snapshots, orphans, staged intents, rejects) for the
           // ids; report residuals + what pins them, or a clean bill
-          require(rest.length == 1,
-            "purge-verify needs a comma-separated conv_id list")
-          val ids = rest.head.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val vJson = rest.contains("--json")
+          val vArgs = rest.filterNot(_ == "--json")
+          require(vArgs.length == 1,
+            "purge-verify needs a comma-separated conv_id list [--json]")
+          val ids = vArgs.head.split(",").map(_.trim).filter(_.nonEmpty).toSet
           val rep = graft.cdc.Purge.verifyErasure(table, ids)
-          if (rep.fullyClean) {
+          if (vJson) {
+            // machine-readable: one object per residual file + a summary
+            // line (paths/tags/ids are engine-generated — no exotic
+            // escaping surface beyond quotes, handled here)
+            def q(s: String) =
+              "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            rep.residuals.foreach { r =>
+              out(s"""{"path":${q(r.path)},""" +
+                s""""payloadRows":${r.payloadRows},""" +
+                s""""keyOnlyRows":${r.keyOnlyRows},""" +
+                s""""versions":[${r.versions.mkString(",")}],""" +
+                s""""pinningTags":[${r.pinningTags.map(q).mkString(",")}],""" +
+                s""""stagedIds":[${r.stagedIds.map(q).mkString(",")}]}""")
+            }
+            out(s"""{"summary":true,"residualFiles":${rep.residuals.size},""" +
+              s""""payloadClean":${rep.payloadClean},""" +
+              s""""fullyClean":${rep.fullyClean}}""")
+            if (rep.payloadClean) 0 else 1
+          } else if (rep.fullyClean) {
             out(s"[table] purge-verify: CLEAN — no trace of " +
               s"${ids.size} conversation(s) in any data file, snapshot, " +
               "staged intent, or reject dir")

@@ -230,10 +230,20 @@ class TableMainSpec extends SparkSpec {
     assert(c2 == 0, l2.mkString("\n"))
     assert(l2.exists(_.contains("payload clean")), l2.mkString("\n"))
 
+    // --json: one object per residual + a summary, same exit semantics
+    val (cj, lj) = cli(dir, "purge-verify", victim, "--json")
+    assert(cj == 0 && lj.nonEmpty)
+    assert(lj.forall(l => l.startsWith("{") && l.endsWith("}")),
+      lj.mkString("\n"))
+    assert(lj.last.contains("\"payloadClean\":true"), lj.mkString("\n"))
+
     assert(cli(dir, "purge", victim, "--scrub-tombstones")._1 == 0)
     assert(cli(dir, "vacuum", "1")._1 == 0)
     val (c3, l3) = cli(dir, "purge-verify", victim)
     assert(c3 == 0 && l3.exists(_.contains("CLEAN")), l3.mkString("\n"))
+    val (c4, l4) = cli(dir, "purge-verify", victim, "--json")
+    assert(c4 == 0 &&
+      l4.last.contains("\"fullyClean\":true"), l4.mkString("\n"))
   }
 
   test("compact warns on bucket ids holding no files instead of claiming success") {
