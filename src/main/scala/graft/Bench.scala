@@ -236,11 +236,16 @@ object Bench {
         }
         def inPhase(m: M): Boolean =
           math.abs(m.cal / median(calSeries.toSeq) - 1.0) <= driftTol
+        // redo a level only when drift leaves it with fewer than TWO
+        // in-phase runs — the estimator is already robust on two, and an
+        // unconditional redo spends ~7 min of a driver-budgeted session
+        // chasing a phase that may not have ended (r5 session 1's redo
+        // landed in the same trough it was escaping)
         var redos = 0
-        if (m1.exists(m => !inPhase(m)) && redos < 2) {
+        if (m1.count(inPhase) < 2 && redos < 2) {
           redos += 1; m1 += measure(n1, 10 + redos)
         }
-        if (m4.exists(m => !inPhase(m)) && redos < 2) {
+        if (m4.count(inPhase) < 2 && redos < 2) {
           redos += 1; m4 += measure(n4, 20 + redos)
         }
         val acc1 = m1.filter(inPhase)

@@ -64,8 +64,13 @@ object Verify {
       } match {
         case None =>
           org.apache.commons.io.FileUtils.deleteQuietly(dstDir): Unit
-          if (!tmpDir.renameTo(dstDir))
-            sys.error(s"verify: rename $tmpDir -> $dstDir failed")
+          if (!tmpDir.renameTo(dstDir)) {
+            // cost THIS query its row, never the rest of the loop — the
+            // same isolation contract runIsolated provides for hangs
+            System.err.println(
+              s"[verify] $name failed: rename $tmpDir -> $dstDir failed")
+            org.apache.commons.io.FileUtils.deleteQuietly(dstDir): Unit
+          }
         case Some(msg) =>
           System.err.println(s"[verify] $name failed: $msg")
           // stale results must not survive under the graded name — a

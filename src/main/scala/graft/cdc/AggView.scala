@@ -299,7 +299,15 @@ object AggView {
         .collect().map(_.getInt(0)).toSet
       val old = dst.readBuckets(buckets, asOf = Some(dstSnap.version))
       // a removed value that reaches the stored extremum may have BEEN
-      // the extremum — only an exact recompute of that key can tell
+      // the extremum — only an exact recompute of that key can tell.
+      // The absent-old-row case (col(n) null ⇒ no invalidation) is
+      // exact BECAUSE the feed is an endpoint diff: delete/preimage
+      // rows only occur for keys live at fromVersion — which, by view
+      // consistency, always have a view row — and a key new to the view
+      // arrives as pure inserts with intra-window churn already netted
+      // out, so least/greatest over its adds IS its true extremum. A
+      // per-commit replay feed would break this; changeFeed's contract
+      // (LakeTable.scala, "endpoint diff") is the load-bearing fact.
       val invalidated: Column = (
         defs.mins.map { case (n, _) =>
           col(s"__delmin_$n").isNotNull && col(n).isNotNull &&

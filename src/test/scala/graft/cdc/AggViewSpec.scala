@@ -222,6 +222,41 @@ class AggViewSpec extends SparkSpec {
     assert(!dst.read().collect().map(_.getString(0)).contains("c2"))
   }
 
+  test("min/max: intra-window churn on a view-new key resolves via the endpoint diff") {
+    val (src, dst) = mkPair("mma-churn")
+    MergeApply.merge(src, ev(Seq((1L, "I", "c0", 0, "a b"))), 0L)
+    assert(refreshMma(src, dst).mode == "full")
+
+    // between refreshes: a NEW conversation whose extremum-candidate turn
+    // is inserted and deleted INSIDE the window (epochs 1+2), plus a
+    // turn updated twice. The feed is an endpoint diff, so the view-new
+    // key must arrive as pure inserts of the SURVIVING state — if churn
+    // leaked through, least(adds) would keep the deleted 5-token row as
+    // min_tok and the stale middle update as text
+    MergeApply.merge(src, ev(Seq(
+      (10L, "I", "c9", 0, "q w e r t"),   // 5 tokens — later deleted
+      (11L, "I", "c9", 1, "a b c d e f g"),
+      (12L, "I", "c9", 2, "x"))), 1L)
+    MergeApply.merge(src, ev(Seq(
+      (20L, "D", "c9", 0, null),
+      (21L, "U", "c9", 2, "x y"),
+      (22L, "U", "c9", 2, "x y z"))), 2L)
+    val r = refreshMma(src, dst)
+    assert(r.mode == "incremental")
+    checkMma(src, dst)
+    val c9 = dst.read().filter(col("conv_id") === "c9")
+      .select("n_turns", "min_tok", "max_tok").head
+    assert(c9.getLong(0) == 2 && c9.getInt(1) == 3 && c9.getInt(2) == 7)
+
+    // and a key created AND fully deleted within the window emits
+    // nothing: no view row, no tombstone churn
+    MergeApply.merge(src, ev(Seq((30L, "I", "c8", 0, "gone"))), 3L)
+    MergeApply.merge(src, ev(Seq((31L, "D", "c8", 0, null))), 4L)
+    val r2 = refreshMma(src, dst)
+    assert(r2.mode == "incremental" && r2.keysTouched == 0L)
+    checkMma(src, dst)
+  }
+
   test("min/max/avg: maintained view equals recompute across a random delete-heavy history") {
     import graft.gen.{ChangeLogGen, GenConfig}
     val (src, dst) = mkPair("mma-prop")
